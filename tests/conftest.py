@@ -1,0 +1,14 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+This mirrors "multi-node without a cluster": sharding/collective code paths
+are exercised on 8 virtual CPU devices (cf. SURVEY.md §4 implication (c)).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,142 @@
+"""FOF engine tests against exact host-side oracles."""
+
+import numpy as np
+import pytest
+
+from velociraptor_stf_tpu.io.synthetic import (MockSpec, fof_oracle,
+                                               labels_match_rate, make_mock)
+from velociraptor_stf_tpu.ops import cells, fof
+
+
+def _canon(labels):
+    """Canonicalise a labeling to compare partitions."""
+    out = np.empty_like(labels)
+    seen = {}
+    for i, l in enumerate(labels):
+        out[i] = seen.setdefault(l, len(seen))
+    return out
+
+
+def partitions_equal(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return labels_match_rate(a, b) == 1.0 and labels_match_rate(b, a) == 1.0
+
+
+def test_binning_roundtrip():
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 1, (5000, 3)).astype(np.float32)
+    grid = cells.build_grid(np.zeros(3), np.ones(3), 0.05, periodic=True,
+                            boxsize=1.0)
+    b = cells.bin_particles(pos, grid)
+    order = np.asarray(b.order)
+    assert sorted(order.tolist()) == list(range(5000))
+    # counts sum to N; every particle's cell slice contains it
+    counts = np.asarray(b.cell_count)
+    assert counts.sum() == 5000
+    cid_sorted = np.asarray(b.cid_sorted)
+    assert (np.diff(cid_sorted) >= 0).all()
+    start = np.asarray(b.cell_start)
+    pcell = np.asarray(b.pcell)
+    for i in [0, 17, 4999]:
+        c = pcell[i]
+        assert start[c] <= i < start[c] + counts[c]
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_fof_matches_oracle_random(periodic):
+    """FOF on clustered random points must exactly match scipy oracle."""
+    rng = np.random.default_rng(42)
+    n = 4000
+    # clustered: mixture of uniform + a few tight blobs
+    pos = rng.uniform(0, 1, (n, 3))
+    for c in rng.uniform(0.2, 0.8, (6, 3)):
+        m = rng.integers(0, n, 200)
+        pos[m] = c + rng.normal(0, 0.01, (len(m), 3))
+    pos = np.mod(pos, 1.0)
+    b = 0.02
+    pfof, ng = fof.fof3d(pos.astype(np.float32), b,
+                         boxsize=1.0 if periodic else None, min_size=1)
+    oracle = fof_oracle(pos, b, boxsize=1.0 if periodic else None)
+    assert partitions_equal(np.asarray(pfof), oracle)
+
+
+def test_fof_min_size_and_ordering():
+    """Groups numbered 1..ng by decreasing size; small groups -> 0."""
+    rng = np.random.default_rng(3)
+    # two blobs of different sizes + isolated points
+    blob1 = rng.normal(0.3, 0.005, (300, 3))
+    blob2 = rng.normal(0.7, 0.005, (100, 3))
+    lone = rng.uniform(0, 1, (50, 3))
+    pos = np.concatenate([blob2, blob1, lone]).astype(np.float32)
+    pfof, ng = fof.fof3d(pos, 0.05, min_size=20)
+    pfof = np.asarray(pfof)
+    assert int(ng) == 2
+    # the bigger blob must be group 1
+    assert (pfof[100:400] == 1).all()
+    assert (pfof[:100] == 2).all()
+    # isolated particles untagged (0) unless they fell into a blob's reach
+    assert (pfof[400:] <= 2).all()
+
+
+def test_fof_long_filament():
+    """A long chain tests label-propagation convergence depth."""
+    n = 3000
+    t = np.linspace(0, 1, n)
+    pos = np.stack([t, 0.5 + 0.02 * np.sin(12 * np.pi * t),
+                    0.5 * np.ones(n)], 1)
+    pos += np.random.default_rng(1).normal(0, 1e-4, pos.shape)
+    pos = pos.astype(np.float32)
+    step = 1.0 / n
+    pfof, ng = fof.fof3d(pos, 3 * step, min_size=1)
+    # entire filament is one group
+    assert int(ng) >= 1
+    assert (np.asarray(pfof) == 1).sum() == n
+
+
+def test_fof_periodic_wrap():
+    """A blob straddling the periodic boundary is one group."""
+    rng = np.random.default_rng(7)
+    blob = np.mod(rng.normal(0.0, 0.01, (200, 3)), 1.0)  # wraps around 0
+    far = rng.uniform(0.3, 0.7, (100, 3))
+    pos = np.concatenate([blob, far]).astype(np.float32)
+    pfof, ng = fof.fof3d(pos, 0.05, boxsize=1.0, min_size=50)
+    pfof = np.asarray(pfof)
+    assert (pfof[:200] == 1).all()
+
+
+def test_fof_mock_planted_halos():
+    """Planted-halo mock: FOF recovers memberships at high match rate."""
+    spec = MockSpec(npart_background=8000, nhalos=5, particles_per_halo=400,
+                    halo_scale_radius=0.002, seed=5)
+    pos, vel, mass, truth = make_mock(spec)
+    # standard 0.2 * interparticle spacing: far below background percolation,
+    # far above the internal separations of the compact planted blobs
+    d = spec.boxsize / (len(pos)) ** (1 / 3)
+    b = 0.2 * d
+    pfof, ng = fof.fof3d(pos.astype(np.float32), b, boxsize=spec.boxsize,
+                         min_size=100)
+    pfof = np.asarray(pfof)
+    assert int(ng) >= spec.nhalos
+    halo_members = truth >= 0
+    rate = labels_match_rate(truth[halo_members], pfof[halo_members])
+    assert rate > 0.99
+
+
+def test_fof_6d_criterion():
+    """6D criterion separates spatially overlapping, kinematically distinct
+    streams."""
+    rng = np.random.default_rng(11)
+    n = 500
+    pos = np.tile(rng.uniform(0.4, 0.6, (n, 3)), (2, 1)).astype(np.float32)
+    vel = np.concatenate([
+        rng.normal(+500, 5, (n, 3)), rng.normal(-500, 5, (n, 3))
+    ]).astype(np.float32)
+    group = np.ones(2 * n, np.int32)
+    pred = fof.make_pred_6d(b2=0.05 ** 2, v2=50.0 ** 2, same_group=True)
+    pfof, ng = fof.fof3d(pos, 0.05, min_size=10, vel=vel,
+                         extra_fields={"group": group}, predicate=pred)
+    pfof = np.asarray(pfof)
+    assert int(ng) == 2
+    assert len(np.unique(pfof[:n])) == 1
+    assert len(np.unique(pfof[n:])) == 1
+    assert pfof[0] != pfof[n]
