@@ -1,0 +1,124 @@
+"""Field halo search: 3DFOF + 6DFOF refinement.
+
+TPU-native equivalent of the reference ``SearchFullSet``
+(/root/reference/src/search.cxx:24-855):
+
+* 3DFOF with linking length ``ellphys * ellxscale * ellhalophysfac``
+  (search.cxx:77) over the periodic box — here: cell-list min-label FOF
+  (ops/fof.py) instead of KD-tree + MPI link-across;
+* optional 6DFOF refinement (search.cxx:400-580): particles already in 3DFOF
+  groups are re-linked with the criterion
+  ``dx^2/ellx6d^2 + dv^2/vscale^2 <= 1`` where ``ellx6d`` is the 3DFOF
+  linking length scaled by ``ellhalo6dxfac`` and ``vscale^2`` is the
+  mass-weighted velocity dispersion of the largest 3DFOF group (FOF6D) or of
+  each group individually (FOF6DADAPTIVE), times ``ellhalo6dvfac^2``.
+  Implemented by pre-scaling phase coordinates to a unit 6D ball, exactly as
+  the reference scales particles before a TPHS-tree FOF (search.cxx:552-576),
+  but as one global sharded pass restricted to same-group pairs instead of an
+  OpenMP loop over per-group trees;
+* ``iKeepFOF`` keeps the 3DFOF envelopes as parents of the 6D structures
+  (search.cxx:581-649) — the 3DFOF labels are returned alongside.
+
+Note: the reference's single-velocity-scale accumulation contains a stray
+statement that makes ``mtotregion`` sum only one particle
+(search.cxx:445-450); we implement the evidently intended mass-weighted
+dispersion of the largest group.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fof, segments
+from ..utils import config as C
+
+
+def _pred_unit6d_samegroup(d2, own, nbr):
+    """Unit-ball 6D criterion restricted to same (nonzero) parent group."""
+    dv = own["vel"][:, :, None, :] - nbr["vel"][:, None, :, :]
+    dv2 = jnp.sum(dv * dv, axis=-1)
+    ok = (d2 + dv2) <= 1.0
+    g_own = own["group"][:, :, None]
+    g_nbr = nbr["group"][:, None, :]
+    return ok & (g_own == g_nbr) & (g_own > 0)
+
+
+@dataclass
+class FieldSearchResult:
+    pfof: jnp.ndarray           # final group ids, original particle order
+    ngroups: int                # number of final groups (host int)
+    pfof3d: Optional[jnp.ndarray] = None   # 3DFOF labels if 6D ran
+    ngroups3d: int = 0
+    vscale2: Optional[jnp.ndarray] = None  # velocity scale(s) used for 6D
+
+
+def velocity_scale_largest_group(vel, mass, pfof, num_segments: int,
+                                 ellhalo6dvfac: float) -> jnp.ndarray:
+    """Mass-weighted velocity dispersion^2 of group 1 x ellhalo6dvfac^2.
+
+    (Group ids are size-ordered, so group 1 is the largest 3DFOF halo —
+    matching the reference's use of the first group after its size sort.)
+    """
+    sel = (pfof == 1)
+    w = jnp.where(sel, mass, 0.0)
+    mtot = jnp.maximum(jnp.sum(w), 1e-30)
+    vmean = jnp.sum(vel * w[:, None], axis=0) / mtot
+    dv2 = jnp.sum((vel - vmean) ** 2, axis=-1)
+    vscale2 = jnp.sum(dv2 * w) / mtot
+    return vscale2 * ellhalo6dvfac ** 2
+
+
+def velocity_scale_per_group(vel, mass, pfof, num_segments: int,
+                             ellhalo6dvfac: float) -> jnp.ndarray:
+    """(num_segments,) per-group mass-weighted velocity dispersion^2 x fac^2
+    (FOF6DADAPTIVE, reference search.cxx:472-499)."""
+    vmean = segments.segment_mean(vel, mass, pfof, num_segments)
+    dv2 = jnp.sum((vel - vmean[pfof]) ** 2, axis=-1)
+    vscale2 = segments.segment_mean(dv2, mass, pfof, num_segments)
+    return vscale2 * ellhalo6dvfac ** 2
+
+
+def search_full_set(opt: C.Options, pos, vel, mass,
+                    boxsize: Optional[float] = None) -> FieldSearchResult:
+    """Find field halos.  Returns final labels in original particle order."""
+    pos = jnp.asarray(pos)
+    vel = jnp.asarray(vel)
+    mass = jnp.asarray(mass)
+    n = pos.shape[0]
+    minsize = opt.HaloMinSize if opt.HaloMinSize > 0 else opt.MinSize
+
+    b3d = opt.ellphys * opt.ellxscale * opt.ellhalophysfac
+    pfof3, ng3 = fof.fof3d(pos, b3d, boxsize=boxsize, min_size=minsize)
+    ng3 = int(jax.device_get(ng3))
+
+    run6d = opt.fofbgtype in (C.FOF6D, C.FOF6DADAPTIVE) and ng3 > 0
+    if not run6d:
+        return FieldSearchResult(pfof=pfof3, ngroups=ng3)
+
+    ell6d = b3d * opt.ellhalo6dxfac
+    nseg = ng3 + 1
+    if opt.fofbgtype == C.FOF6D and not opt.iKeepFOF:
+        vscale2 = velocity_scale_largest_group(vel, mass, pfof3, nseg,
+                                               opt.ellhalo6dvfac)
+        vs_per_particle = jnp.where(pfof3 > 0, vscale2, 1.0)
+    else:  # FOF6DADAPTIVE (or iKeepFOF: per-group scales, search.cxx:472)
+        vs_group = velocity_scale_per_group(vel, mass, pfof3, nseg,
+                                            opt.ellhalo6dvfac)
+        vs_per_particle = jnp.where(pfof3 > 0,
+                                    jnp.maximum(vs_group[jnp.clip(pfof3, 0, nseg - 1)], 1e-30),
+                                    1.0)
+
+    spos = pos / ell6d
+    svel = vel / jnp.sqrt(vs_per_particle)[:, None]
+    sbox = boxsize / ell6d if boxsize else None
+    pfof6, ng6 = fof.fof3d(
+        spos, 1.0, boxsize=sbox, min_size=minsize, vel=svel,
+        extra_fields={"group": pfof3}, predicate=_pred_unit6d_samegroup)
+    ng6 = int(jax.device_get(ng6))
+    return FieldSearchResult(pfof=pfof6, ngroups=ng6, pfof3d=pfof3,
+                             ngroups3d=ng3, vscale2=vs_per_particle)

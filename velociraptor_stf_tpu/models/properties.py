@@ -1,0 +1,288 @@
+"""Bulk (sub)structure properties via segment reductions.
+
+TPU-native equivalent of the reference property pipeline
+(/root/reference/src/substructureproperties.cxx): ``GetCM``:14 (bulk +
+shrinking-sphere iterative centre), ``GetProperties``:266 (mass, size, Vmax,
+velocity dispersion tensor, angular momentum, half-mass radii),
+``CalculateSphericalOverdensity``:5203 (log-log interpolated overdensity
+masses/radii with total-mass fallback, :5523), concentration root-find
+(``mycNFW``:4449, ``GetConcentration``:3656) and shape tensors (:3163).
+
+Everything that the reference computes with per-group OpenMP loops over
+radius-heapsorted particles becomes, on TPU, one global
+``lexsort((radius, group))`` + segmented cumulative sums + masked
+first-crossing searches — a handful of fused passes over the particle axis
+independent of the group-size distribution.
+
+Group arrays are indexed by group id (row 0 = untagged; rows beyond the real
+group count are zero-padded so the static shape can be rounded up).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import segments as seg
+
+PROPCMMINNUM = 10  # reference allvars.h:253
+
+
+def _first_crossing(cond: jnp.ndarray, g_s: jnp.ndarray, ng1: int,
+                    n: int) -> jnp.ndarray:
+    """Per group: smallest sorted index where cond holds, else n."""
+    idx = jnp.where(cond, jnp.arange(n, dtype=jnp.int32), n)
+    return seg.segment_min(idx, g_s, ng1)
+
+
+@partial(jax.jit, static_argnames=(
+    "num_groups", "so_thresholds", "iIterateCM", "boxsize", "min_size",
+    "so_minhalofac", "cmfrac", "cmadjustfac", "calc_shape"))
+def compute_properties(
+    pos: jnp.ndarray,
+    vel: jnp.ndarray,
+    mass: jnp.ndarray,
+    pfof: jnp.ndarray,
+    num_groups: int,
+    *,
+    G: float = 43.0211349,
+    boxsize: Optional[float] = None,
+    rhocrit: float = 1.0,
+    rhobg: float = 1.0,
+    virlevel: float = 200.0,
+    virBN98: float = 97.0,
+    so_thresholds: Tuple[float, ...] = (),
+    min_size: int = 20,
+    so_minhalofac: float = 0.05,
+    iIterateCM: bool = False,
+    cmfrac: float = 0.1,
+    cmadjustfac: float = 0.7,
+    calc_shape: bool = True,
+    refpos: Optional[jnp.ndarray] = None,
+    refvel: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Compute bulk properties for groups 1..num_groups.
+
+    Returns dict of (num_groups+1, ...) arrays keyed by reference
+    ``PropData`` field names (gcm, gcmvel, gmass, gsize, gMvir, gRvir,
+    gM200c, gR200c, gM200m, gR200m, gM500c, gR500c, gMBN98, gRBN98,
+    gmaxvel, gRmaxvel, gMmaxvel, gRhalfmass, gveldisp, gsigma_v, gJ, gq,
+    gs, geigvec, cNFW, Ekin, Krot, SO_mass, SO_radius, num).
+    """
+    n = pos.shape[0]
+    ng1 = num_groups + 1
+    m = mass if mass.ndim == 1 else jnp.full((n,), mass)
+
+    if boxsize:
+        pos = seg.unwrap_positions(pos, pfof, boxsize, num_groups)
+
+    num = seg.group_sizes(pfof, num_groups)
+    gmass = seg.segment_sum(m, pfof, ng1)
+    gcm = seg.segment_mean(pos, m, pfof, ng1)
+    gcmvel = seg.segment_mean(vel, m, pfof, ng1)
+
+    # --- iterative shrinking-sphere CM (reference GetCM:60-116) -----------
+    r2_all = jnp.sum((pos - gcm[pfof]) ** 2, axis=-1)
+    gsize2 = seg.segment_max(jnp.where(pfof > 0, r2_all, 0.0), pfof, ng1)
+    if iIterateCM:
+        fac2 = cmadjustfac ** 2
+
+        def cond_fn(state):
+            _, _, _, active = state
+            return jnp.any(active)
+
+        def body_fn(state):
+            cmold, ri2, rcmv2, active = state
+            ri2 = ri2 * fac2
+            d2 = jnp.sum((pos - cmold[pfof]) ** 2, axis=-1)
+            inside = (d2 <= ri2[pfof]) & (pfof > 0) & active[pfof]
+            w = jnp.where(inside, m, 0.0)
+            enc = seg.segment_sum(w, pfof, ng1)
+            nin = seg.segment_sum(inside.astype(jnp.int32), pfof, ng1)
+            cmnew = seg.segment_sum(pos * w[:, None], pfof, ng1) / \
+                jnp.maximum(enc, 1e-30)[:, None]
+            ok = (nin >= jnp.maximum(cmfrac * num, PROPCMMINNUM)) & active
+            cmold = jnp.where(ok[:, None], cmnew, cmold)
+            rcmv2 = jnp.where(ok, ri2, rcmv2)
+            return cmold, ri2, rcmv2, ok
+
+        active0 = (num * cmadjustfac >= PROPCMMINNUM) & \
+            (jnp.arange(ng1) > 0)
+        gcm, _, rcmv2, _ = jax.lax.while_loop(
+            cond_fn, body_fn, (gcm, gsize2, gsize2, active0))
+        # cm velocity from particles inside the final sphere
+        d2 = jnp.sum((pos - gcm[pfof]) ** 2, axis=-1)
+        inside = (d2 <= rcmv2[pfof]) & (pfof > 0)
+        w = jnp.where(inside, m, 0.0)
+        enc = jnp.maximum(seg.segment_sum(w, pfof, ng1), 1e-30)
+        gcmvel_it = seg.segment_sum(vel * w[:, None], pfof, ng1) / enc[:, None]
+        it_ok = (num * cmadjustfac >= PROPCMMINNUM)
+        gcmvel = jnp.where(it_ok[:, None], gcmvel_it, gcmvel)
+
+    ref = refpos if refpos is not None else gcm
+    vref = refvel if refvel is not None else gcmvel
+
+    # --- radius sort + segmented cumulative mass --------------------------
+    dx = pos - ref[pfof]
+    r2 = jnp.sum(dx * dx, axis=-1)
+    perm = jnp.lexsort((r2, pfof)).astype(jnp.int32)
+    g_s = pfof[perm]
+    r_s = jnp.sqrt(jnp.maximum(r2[perm], 1e-30))
+    m_s = m[perm]
+    offsets = seg.group_offsets(g_s, num_groups)
+    rank = seg.segment_rank(g_s, offsets)
+    Mcum = seg.segment_cumsum(m_s, g_s, offsets)
+
+    gsize = seg.segment_max(jnp.where(g_s > 0, r_s, 0.0), g_s, ng1)
+    num_f = num.astype(pos.dtype)
+
+    # --- spherical overdensity masses (reference :5203) -------------------
+    fac = jnp.log(3.0 / (4.0 * math.pi))
+    lnrho = jnp.log(jnp.maximum(Mcum, 1e-30)) - 3.0 * jnp.log(r_s) + fac
+    minnum = jnp.maximum((so_minhalofac * num_f + 1).astype(jnp.int32),
+                         int(min_size * so_minhalofac + 1))
+    def _lnthr(x):
+        return jnp.log(jnp.maximum(jnp.asarray(x, pos.dtype), 1e-30))
+
+    thresholds = [
+        ("Mvir", "Rvir", _lnthr(virlevel * rhobg)),
+        ("M200c", "R200c", _lnthr(rhocrit * 200.0)),
+        ("M200m", "R200m", _lnthr(rhobg * 200.0)),
+        ("M500c", "R500c", _lnthr(rhocrit * 500.0)),
+        ("MBN98", "RBN98", _lnthr(virBN98 * rhocrit)),
+    ] + [(f"SO{i}", f"SOr{i}", _lnthr(rhocrit * t))
+         for i, t in enumerate(so_thresholds)]
+
+    props: Dict[str, jnp.ndarray] = {}
+    first_mass = jnp.full(ng1, jnp.inf, m.dtype).at[g_s].min(
+        jnp.where(rank == 0, m_s, jnp.inf), mode="drop")
+    so_out = {}
+    for mname, rname, thr in thresholds:
+        cond = (lnrho < thr) & (rank >= minnum[g_s]) & (g_s > 0)
+        k = _first_crossing(cond, g_s, ng1, n)
+        found = k < n
+        kc = jnp.minimum(k, n - 1)
+        # previous sample in the same group (or same index at group start)
+        kp = jnp.maximum(kc - 1, offsets[g_s[kc]])
+        rho_k, rho_p = lnrho[kc], lnrho[kp]
+        drho = rho_k - rho_p
+        safe = jnp.abs(drho) > 1e-12
+        gamma1 = jnp.where(safe, jnp.log(r_s[kc] / r_s[kp]) / drho, 0.0)
+        gamma2 = jnp.where(safe, jnp.log(Mcum[kc] / Mcum[kp]) / drho, 0.0)
+        delta = thr - rho_k
+        Rso = r_s[kc] * jnp.exp(gamma1 * delta)
+        Mso = Mcum[kc] * jnp.exp(gamma2 * delta)
+        Rso = jnp.where(found, Rso, gsize)
+        Mso = jnp.where(found, Mso, gmass)
+        # zero out when below a single particle mass (reference :5305)
+        bad = Mso < first_mass
+        so_out[mname] = jnp.where(bad, 0.0, Mso)
+        so_out[rname] = jnp.where(bad, 0.0, Rso)
+    for k_, v in so_out.items():
+        if k_.startswith("SO"):
+            continue
+        props["g" + k_] = v
+    props["SO_mass"] = jnp.stack(
+        [so_out[f"SO{i}"] for i in range(len(so_thresholds))], axis=-1) \
+        if so_thresholds else jnp.zeros((ng1, 0), pos.dtype)
+    props["SO_radius"] = jnp.stack(
+        [so_out[f"SOr{i}"] for i in range(len(so_thresholds))], axis=-1) \
+        if so_thresholds else jnp.zeros((ng1, 0), pos.dtype)
+
+    # --- Vmax / Rmax / half-mass (reference :370-420) ---------------------
+    vc2 = G * Mcum / r_s
+    eligible = (Mcum >= gmass[g_s] / jnp.sqrt(jnp.maximum(num_f[g_s], 1.0))) \
+        & (g_s > 0)
+    vc2m = jnp.where(eligible, vc2, -jnp.inf)
+    gvmax2 = seg.segment_max(vc2m, g_s, ng1)
+    kmax = _first_crossing(vc2m == gvmax2[g_s], g_s, ng1, n)
+    kmaxc = jnp.minimum(kmax, n - 1)
+    props["gmaxvel"] = jnp.sqrt(jnp.maximum(gvmax2, 0.0))
+    props["gRmaxvel"] = jnp.where(kmax < n, r_s[kmaxc], 0.0)
+    props["gMmaxvel"] = jnp.where(kmax < n, Mcum[kmaxc], 0.0)
+
+    khalf = _first_crossing((Mcum > 0.5 * gmass[g_s]) & (g_s > 0),
+                            g_s, ng1, n)
+    khc = jnp.minimum(khalf, n - 1)
+    props["gRhalfmass"] = jnp.where(khalf < n, r_s[khc], 0.0)
+    # mass within 2 x Rhalfmass (see docstring note)
+    k2h = _first_crossing(
+        (r_s > 2.0 * props["gRhalfmass"][g_s]) & (g_s > 0), g_s, ng1, n)
+    k2c = jnp.minimum(jnp.maximum(k2h - 1, 0), n - 1)
+    props["gMassTwiceRhalfmass"] = jnp.where(k2h < n, Mcum[k2c], gmass)
+
+    # --- kinematics (reference :370-430) ----------------------------------
+    dv = vel - vref[pfof]
+    w = m
+    vouter = dv[:, :, None] * dv[:, None, :] * w[:, None, None]
+    gveldisp = seg.segment_sum(
+        jnp.where((pfof > 0)[:, None, None], vouter, 0.0), pfof, ng1)
+    gveldisp = gveldisp / jnp.maximum(gmass, 1e-30)[:, None, None]
+    props["gveldisp"] = gveldisp
+    props["gsigma_v"] = jnp.power(
+        jnp.maximum(jnp.linalg.det(gveldisp), 1e-30), 1.0 / 6.0)
+    J = jnp.cross(dx, dv) * w[:, None]
+    props["gJ"] = seg.segment_sum(
+        jnp.where((pfof > 0)[:, None], J, 0.0), pfof, ng1)
+    props["Ekin"] = 0.5 * seg.segment_sum(
+        jnp.where(pfof > 0, w * jnp.sum(dv * dv, -1), 0.0), pfof, ng1)
+
+    # rotational support: Krot = sum 0.5 m (j_z/R)^2 about gJ axis (ref :430)
+    jhat = props["gJ"] / jnp.maximum(
+        jnp.linalg.norm(props["gJ"], axis=-1, keepdims=True), 1e-30)
+    zdist = jnp.sum(dx * jhat[pfof], axis=-1)
+    Rdist2 = jnp.maximum(r2 - zdist ** 2, 1e-30)
+    jz = jnp.sum(jnp.cross(dx, dv) * jhat[pfof], axis=-1)
+    krot_i = 0.5 * w * jz ** 2 / Rdist2
+    props["Krot"] = seg.segment_sum(
+        jnp.where(pfof > 0, krot_i, 0.0), pfof, ng1) / \
+        jnp.maximum(props["Ekin"], 1e-30)
+
+    # --- shape (one-shot mass distribution tensor eigenvalues) ------------
+    if calc_shape:
+        iten = seg.segment_sum(
+            jnp.where((pfof > 0)[:, None, None],
+                      dx[:, :, None] * dx[:, None, :] * w[:, None, None], 0.0),
+            pfof, ng1) / jnp.maximum(gmass, 1e-30)[:, None, None]
+        evals, evecs = jnp.linalg.eigh(iten)  # ascending
+        lam_a = jnp.maximum(evals[:, 2], 1e-30)
+        props["gq"] = jnp.sqrt(evals[:, 1] / lam_a)
+        props["gs"] = jnp.sqrt(jnp.maximum(evals[:, 0], 0.0) / lam_a)
+        props["geigvec"] = evecs
+
+    # --- NFW concentration (reference :3656, mycNFW Newton) ---------------
+    R200c, M200c = props["gR200c"], props["gM200c"]
+    vvir2 = G * M200c / jnp.maximum(R200c, 1e-30)
+    VmaxVvir2 = props["gmaxvel"] ** 2 / jnp.maximum(vvir2, 1e-30)
+
+    def nfw_f(c):
+        return 0.216 * c / (jnp.log1p(c) - c / (1.0 + c))
+
+    c = jnp.full(ng1, 10.0, pos.dtype)
+    for _ in range(30):  # Newton on f(c) - VmaxVvir2 = 0
+        conec = c / (1.0 + c)
+        y = VmaxVvir2 - nfw_f(c)
+        dy = 0.216 * conec * conec / jnp.maximum(c, 1e-6)
+        c = jnp.clip(c + y / jnp.maximum(dy, 1e-12), 1.0, 1000.0)
+    ratio_fallback = jnp.where(
+        M200c > 0, R200c / jnp.maximum(props["gRmaxvel"], 1e-30),
+        gsize / jnp.maximum(props["gRmaxvel"], 1e-30))
+    use_newton = (VmaxVvir2 > 1.05) & (VmaxVvir2 <= 36.0)
+    props["cNFW"] = jnp.where(R200c <= 0, -1.0,
+                              jnp.where(use_newton, c, ratio_fallback))
+    props["VmaxVvir2"] = VmaxVvir2
+
+    props["num"] = num
+    props["gmass"] = gmass
+    props["gcm"] = gcm
+    props["gcmvel"] = gcmvel
+    props["gsize"] = gsize
+    # zero out the untagged row
+    for k_, v in props.items():
+        props[k_] = v.at[0].set(jnp.zeros_like(v[0]))
+    return props

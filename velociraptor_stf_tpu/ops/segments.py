@@ -1,0 +1,128 @@
+"""Segmented (per-group) array operations.
+
+TPU-native replacement for the reference's per-group bookkeeping arrays and
+OpenMP loops over groups (/root/reference/src/buildandsortarrays.cxx:
+``BuildNumInGroup``, ``BuildPGList``, ``BuildHead/Next/Len``, and the
+``schedule(dynamic)`` per-group loops all over search.cxx / unbind.cxx /
+substructureproperties.cxx).  On TPU, per-group work is expressed as
+segment reductions and segment scans over group-sorted arrays — one fused
+pass over the particle axis regardless of the group-size distribution, no
+ragged task scheduling.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def group_sizes(pfof: jnp.ndarray, num_groups: int) -> jnp.ndarray:
+    """(num_groups+1,) particle counts per group id (id 0 = untagged).
+
+    Reference equivalent: BuildNumInGroup (buildandsortarrays.cxx).
+    """
+    return jnp.zeros(num_groups + 1, jnp.int32).at[
+        jnp.clip(pfof, 0, num_groups)].add(1)
+
+
+def segment_sum(values: jnp.ndarray, seg: jnp.ndarray,
+                num_segments: int) -> jnp.ndarray:
+    return jax.ops.segment_sum(values, seg, num_segments=num_segments)
+
+
+def segment_mean(values: jnp.ndarray, weights: jnp.ndarray, seg: jnp.ndarray,
+                 num_segments: int) -> jnp.ndarray:
+    """Weighted per-segment mean along axis 0 (extra axes broadcast)."""
+    if values.ndim > 1:
+        w = weights[:, None]
+    else:
+        w = weights
+    num = jax.ops.segment_sum(values * w, seg, num_segments=num_segments)
+    den = jax.ops.segment_sum(weights, seg, num_segments=num_segments)
+    den = jnp.maximum(den, 1e-30)
+    if values.ndim > 1:
+        return num / den[:, None]
+    return num / den
+
+
+def sort_by_group(pfof: jnp.ndarray, key: jnp.ndarray = None
+                  ) -> jnp.ndarray:
+    """Permutation sorting particles by (group id, key).  Group 0 (untagged)
+    sorts first; use descending keys trick by passing -key if needed.
+
+    Reference equivalent: the PID-sort at search.cxx:427-436 that brings each
+    group's particles contiguous.
+    """
+    if key is None:
+        return jnp.argsort(pfof, stable=True).astype(jnp.int32)
+    return jnp.lexsort((key, pfof)).astype(jnp.int32)
+
+
+def group_offsets(pfof_sorted: jnp.ndarray, num_groups: int) -> jnp.ndarray:
+    """(num_groups+2,) start offset of each group id in group-sorted order.
+
+    offsets[g]..offsets[g+1] is group g's slice.
+    """
+    ids = jnp.arange(num_groups + 2, dtype=pfof_sorted.dtype)
+    return jnp.searchsorted(pfof_sorted, ids, side="left").astype(jnp.int32)
+
+
+def segment_cumsum(values: jnp.ndarray, seg_sorted: jnp.ndarray,
+                   offsets: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative sum within contiguous segments.
+
+    ``seg_sorted`` must be non-decreasing; ``offsets`` from group_offsets.
+    """
+    total = jnp.cumsum(values, axis=0)
+    # value of cumsum just before each segment's start
+    starts = offsets[seg_sorted]                      # (N,) start idx per row
+    base = jnp.where(starts > 0, total[jnp.maximum(starts - 1, 0)],
+                     jnp.zeros_like(total[0]))
+    return total - base
+
+
+def segment_rank(seg_sorted: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """0-based rank of each element within its contiguous segment."""
+    n = seg_sorted.shape[0]
+    return jnp.arange(n, dtype=jnp.int32) - offsets[seg_sorted]
+
+
+def segment_max(values: jnp.ndarray, seg: jnp.ndarray,
+                num_segments: int) -> jnp.ndarray:
+    return jax.ops.segment_max(values, seg, num_segments=num_segments)
+
+
+def segment_min(values: jnp.ndarray, seg: jnp.ndarray,
+                num_segments: int) -> jnp.ndarray:
+    return jax.ops.segment_min(values, seg, num_segments=num_segments)
+
+
+def segment_argmin(values: jnp.ndarray, seg: jnp.ndarray,
+                   num_segments: int) -> jnp.ndarray:
+    """Index (into the full array) of the per-segment minimum."""
+    n = values.shape[0]
+    vmin = segment_min(values, seg, num_segments)
+    is_min = values == vmin[seg]
+    idx = jnp.where(is_min, jnp.arange(n, dtype=jnp.int32), n)
+    return segment_min(idx, seg, num_segments)
+
+
+def unwrap_positions(pos: jnp.ndarray, pfof: jnp.ndarray, boxsize: float,
+                     num_groups: int) -> jnp.ndarray:
+    """Remove periodic wraps within each group so group geometry is simply
+    connected (reference AdjustStructureForPeriod, search.cxx:856-909).
+
+    Each group's particles are mapped to the minimum image relative to one
+    reference member (the lowest-index particle of the group).  Untagged
+    (pfof=0) particles are left as-is.
+    """
+    n = pos.shape[0]
+    first = segment_argmin(jnp.arange(n, dtype=jnp.int32), pfof,
+                           num_groups + 1)
+    ref = pos[jnp.clip(first[jnp.clip(pfof, 0, num_groups)], 0, n - 1)]
+    d = pos - ref
+    d = d - boxsize * jnp.round(d / boxsize)
+    unwrapped = ref + d
+    return jnp.where((pfof > 0)[:, None], unwrapped, pos)
