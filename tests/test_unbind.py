@@ -1,0 +1,163 @@
+"""Gravity-kernel and unbinding tests against brute-force oracles."""
+
+import numpy as np
+import pytest
+
+from velociraptor_stf_tpu.models import unbind as U
+from velociraptor_stf_tpu.ops import gravity
+from velociraptor_stf_tpu.utils.config import UnbindInfo, POTREF, USYSANDPART
+
+G = 43.0211349
+
+
+def brute_potential(pos, mass, eps=0.0):
+    d = pos[:, None, :] - pos[None, :, :]
+    d2 = (d ** 2).sum(-1) + eps ** 2
+    inv = 1.0 / np.sqrt(np.where(d2 > 0, d2, 1.0))
+    np.fill_diagonal(inv, 0.0)
+    return -G * (mass[None, :] * inv).sum(1)
+
+
+def test_direct_potential_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    n = 300
+    pos = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    import jax.numpy as jnp
+    w = gravity.direct_potential_group(
+        jnp.asarray(pos), jnp.asarray(mass), jnp.ones(n, bool),
+        jnp.float32(1e-6), G)
+    expect = brute_potential(pos.astype(np.float64), mass.astype(np.float64),
+                             eps=1e-3)
+    assert np.allclose(np.asarray(w), expect, rtol=2e-3)
+
+
+def test_bucketed_potential_multigroup():
+    """compute_potential must treat groups independently and match brute
+    force within each group."""
+    rng = np.random.default_rng(1)
+    ns = [50, 211, 700]   # spans several capacity classes
+    poss, masses, pfofs = [], [], []
+    for gi, n in enumerate(ns):
+        poss.append(rng.normal(10 * gi, 1, (n, 3)))
+        masses.append(rng.uniform(0.5, 2, n))
+        pfofs.append(np.full(n, gi + 1))
+    pos = np.concatenate(poss).astype(np.float32)
+    mass = np.concatenate(masses).astype(np.float32)
+    pfof = np.concatenate(pfofs).astype(np.int32)
+    # shuffle
+    perm = rng.permutation(len(pos))
+    pos, mass, pfof = pos[perm], mass[perm], pfof[perm]
+    W = np.asarray(U.compute_potential(pos, mass, pfof, 3, eps=1e-3, G=G))
+    for gi in range(1, 4):
+        m_ = pfof == gi
+        expect = brute_potential(pos[m_].astype(np.float64),
+                                 mass[m_].astype(np.float64), eps=1e-3)
+        got = W[m_] / mass[m_]  # stored as energy = m * phi
+        assert np.allclose(got, expect, rtol=5e-3), gi
+
+
+def test_grid_monopole_accuracy():
+    """Cell-monopole potential within ~1% of direct for a clustered blob."""
+    rng = np.random.default_rng(2)
+    n = 20000
+    # NFW-ish: r ~ lognormal gives strong central concentration
+    r = np.exp(rng.normal(-1.5, 1.0, n))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pos = (r[:, None] * d).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    import jax.numpy as jnp
+    w_mono = np.asarray(gravity.grid_monopole_potential(pos, mass, 1e-6, G))
+    w_direct = np.asarray(gravity.direct_potential_group(
+        jnp.asarray(pos), jnp.asarray(mass), jnp.ones(n, bool),
+        jnp.float32(1e-6), G))
+    err = np.abs(w_mono - w_direct) / np.abs(w_direct)
+    assert np.median(err) < 0.005
+    assert np.percentile(err, 99) < 0.03
+
+
+def _bound_system(rng, n, centre, radius=0.5, mtot=100.0):
+    """Cold near-virialised sphere: definitely bound."""
+    r = radius * rng.uniform(size=n) ** (1 / 3)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pos = centre + r[:, None] * d
+    sigma = 0.3 * np.sqrt(G * mtot / radius)
+    vel = rng.normal(0, sigma / np.sqrt(3), (n, 3))
+    mass = np.full(n, mtot / n)
+    return pos, vel, mass
+
+
+def test_unbind_keeps_bound_removes_interlopers():
+    rng = np.random.default_rng(3)
+    n = 1000
+    pos, vel, mass = _bound_system(rng, n, np.zeros(3))
+    # 50 interlopers passing through at >> escape velocity
+    ni = 50
+    posi = pos[:ni] * 0.5
+    vesc = np.sqrt(2 * G * 100.0 / 0.1)
+    veli = rng.normal(0, 5 * vesc, (ni, 3))
+    pos = np.concatenate([pos, posi]).astype(np.float32)
+    vel = np.concatenate([vel, veli]).astype(np.float32)
+    mass = np.concatenate([mass, mass[:ni]]).astype(np.float32)
+    pfof = np.ones(len(pos), np.int32)
+    uinfo = UnbindInfo(unbindflag=1, Eratio=1.0)
+    res = U.check_unbound_groups(pos, vel, mass, pfof, 1, uinfo, G,
+                                 min_size=20)
+    bound = np.asarray(res.bound)
+    # interlopers gone, bulk kept
+    assert bound[n:].sum() <= 5
+    assert bound[:n].sum() >= 0.9 * n
+    assert res.ngroups == 1
+    assert np.asarray(res.pfof)[:n].max() == 1
+
+
+def test_unbind_dissolves_unbound_group():
+    """A 'group' of particles flying apart at huge speed dissolves."""
+    rng = np.random.default_rng(4)
+    n = 200
+    pos = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 5000.0, (n, 3)).astype(np.float32)  # >> vesc
+    mass = np.full(n, 0.01, np.float32)
+    pfof = np.ones(n, np.int32)
+    uinfo = UnbindInfo(unbindflag=1)
+    res = U.check_unbound_groups(pos, vel, mass, pfof, 1, uinfo, G,
+                                 min_size=20)
+    assert res.ngroups == 0
+    assert np.asarray(res.pfof).max() == 0
+
+
+def test_unbind_min_bound_mass_frac():
+    """USYSANDPART: group with bound fraction below minEfrac dissolves."""
+    rng = np.random.default_rng(5)
+    n = 400
+    pos, vel, mass = _bound_system(rng, n, np.zeros(3))
+    # make 60% of particles wildly unbound
+    k = int(0.6 * n)
+    vel[:k] = rng.normal(0, 8000.0, (k, 3))
+    pfof = np.ones(n, np.int32)
+    uinfo = UnbindInfo(unbindflag=1, unbindtype=USYSANDPART, minEfrac=0.65)
+    res = U.check_unbound_groups(pos.astype(np.float32),
+                                 vel.astype(np.float32),
+                                 mass.astype(np.float32), pfof, 1, uinfo, G,
+                                 min_size=20)
+    assert res.ngroups == 0
+
+
+def test_sort_by_binding_energy():
+    rng = np.random.default_rng(6)
+    n = 500
+    pos, vel, mass = _bound_system(rng, n, np.zeros(3))
+    pos, vel, mass = (a.astype(np.float32) for a in (pos, vel, mass))
+    pfof = np.ones(n, np.int32)
+    import jax.numpy as jnp
+    W = U.compute_potential(pos, mass, pfof, 1, eps=1e-3, G=G)
+    gcmvel = jnp.zeros((2, 3))
+    perm, mbp, minpot = U.sort_by_binding_energy(
+        jnp.asarray(vel), jnp.asarray(mass), jnp.asarray(pfof), W, 1, gcmvel)
+    E = 0.5 * mass * (vel ** 2).sum(1) + np.asarray(W)
+    Es = E[np.asarray(perm)]
+    assert (np.diff(Es) >= -1e-3).all()      # ascending = most bound first
+    assert np.asarray(mbp)[1] == np.argmin(E)
+    assert np.asarray(minpot)[1] == np.argmin(np.asarray(W))

@@ -1,0 +1,232 @@
+"""Gravitational unbinding.
+
+TPU-native equivalent of the reference unbinding subsystem
+(/root/reference/src/unbind.cxx): ``CheckUnboundGroups``:196, ``Unbind``:320
+/732, iterative ejection helpers ``CheckGroupForBoundness``/
+``FillUnboundArrays``:49-100, with the KD-tree potential replaced by the
+bucketed direct / cell-monopole kernels in ops/gravity.py.
+
+Semantics mirrored:
+* a particle is bound when  Eratio * T + W < 0  with T the kinetic energy in
+  the group's reference frame and W its gravitational potential energy;
+* per iteration at most ``maxunbindfrac`` of the group's current particles
+  are removed, least-bound first, and the reference frame (CM velocity) is
+  re-estimated from the survivors (reference cmdelta re-evaluation);
+* reference frame: ``CMVELREF`` = bound-particle CM velocity;  ``POTREF`` =
+  mean velocity of the ``Npotref`` (or ``fracpotref`` fraction) particles at
+  the potential minimum, held fixed during the iteration;
+* groups dropping below MinSize are dissolved; with ``unbindtype ==
+  USYSANDPART`` groups whose bound mass fraction falls below ``minEfrac``
+  are dissolved (Min_bound_mass_frac);
+* group ids are renumbered by decreasing size afterwards
+  (ReorderGroupIDs semantics).
+
+Limitations this round: ``Keep_background_potential=0`` (subtracting ejected
+particles' potential) falls back to keeping the background potential
+(the reference default is 1 = keep).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import gravity, segments as seg
+from ..utils.config import CMVELREF, POTREF, UPART, USYSANDPART, UnbindInfo
+
+_DIRECT_CLASSES = (32, 128, 512, 2048, 8192, 32768)
+
+
+def compute_potential(pos, mass, pfof, num_groups: int, eps: float,
+                      G: float, boxsize: Optional[float] = None
+                      ) -> jnp.ndarray:
+    """(N,) gravitational potential energy W_i = m_i * Phi_i within each
+    particle's group (0 for untagged).  Size-bucketed direct sums; very
+    large groups use the cell-monopole approximation."""
+    pos = jnp.asarray(pos)
+    mass = jnp.asarray(mass)
+    n = pos.shape[0]
+    if boxsize:
+        pos = seg.unwrap_positions(pos, pfof, boxsize, num_groups)
+    eps2 = jnp.asarray(eps * eps, pos.dtype)
+
+    perm = seg.sort_by_group(pfof)
+    g_s = pfof[perm]
+    pos_s, mass_s = pos[perm], mass[perm]
+    offsets = seg.group_offsets(g_s, num_groups)
+    sizes = np.asarray(jax.device_get(offsets[1:] - offsets[:-1]))  # per gid
+    starts = np.asarray(jax.device_get(offsets[:-1]))
+
+    w_s = jnp.zeros(n, pos.dtype)
+    gids = np.arange(num_groups + 1)
+    prev_cap = 0
+    for cap in _DIRECT_CLASSES:
+        sel = gids[(gids > 0) & (sizes > prev_cap) & (sizes <= cap)]
+        prev_cap = cap
+        if len(sel) == 0:
+            continue
+        st = jnp.asarray(starts[sel], jnp.int32)
+        cnt = jnp.asarray(sizes[sel], jnp.int32)
+        wb = gravity.potential_class(pos_s, mass_s, st, cnt, cap, eps2, G)
+        karange = jnp.arange(cap, dtype=jnp.int32)
+        idx = jnp.minimum(st[:, None] + karange[None, :], n - 1)
+        valid = karange[None, :] < cnt[:, None]
+        w_s = w_s.at[jnp.where(valid, idx, n).reshape(-1)].add(
+            wb.reshape(-1), mode="drop")
+    # very large groups: cell-monopole approximation, host loop (few groups)
+    for g in gids[(gids > 0) & (sizes > _DIRECT_CLASSES[-1])]:
+        s, c = int(starts[g]), int(sizes[g])
+        wg = gravity.grid_monopole_potential(pos_s[s:s + c], mass_s[s:s + c],
+                                             float(eps * eps), G)
+        w_s = jax.lax.dynamic_update_slice(w_s, wg.astype(w_s.dtype), (s,))
+    # scale by particle mass: stored W is potential ENERGY (refs multiply in)
+    w_s = w_s * mass_s
+    return jnp.zeros(n, pos.dtype).at[perm].set(w_s)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "cmvelreftype",
+                                   "min_size", "max_iters"))
+def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
+                 Eratio, maxunbindfrac, min_size: int,
+                 cmvelreftype: int, max_iters: int = 100):
+    """Iterative ejection; returns (bound mask, iterations)."""
+    n = vel.shape[0]
+    ng1 = num_groups + 1
+    in_group = pfof > 0
+
+    def ref_vel(bound):
+        if cmvelreftype == POTREF:
+            return potref_vel
+        w = jnp.where(bound, mass, 0.0)
+        return seg.segment_mean(vel, w, pfof, ng1)
+
+    def cond_fn(state):
+        bound, changed, it = state
+        return changed & (it < max_iters)
+
+    def body_fn(state):
+        bound, _, it = state
+        vref = ref_vel(bound)
+        dv = vel - vref[pfof]
+        T = 0.5 * mass * jnp.sum(dv * dv, axis=-1)
+        E = Eratio * T + W
+        unbound = (E > 0) & bound
+        # cap removals per group: least-bound (highest E) first
+        nb = seg.segment_sum(bound.astype(jnp.int32), pfof, ng1)
+        cap = jnp.maximum((maxunbindfrac * nb).astype(jnp.int32), 1)
+        order = jnp.lexsort((-E, jnp.where(unbound, pfof, ng1)))
+        # rank among unbound of same group
+        gseq = jnp.where(unbound, pfof, ng1)[order]
+        offs = jnp.searchsorted(gseq, jnp.arange(ng1 + 1, dtype=jnp.int32),
+                                side="left").astype(jnp.int32)
+        rank_sorted = jnp.arange(n, dtype=jnp.int32) - \
+            offs[jnp.clip(gseq, 0, ng1)]
+        remove_sorted = (gseq < ng1) & (rank_sorted < cap[
+            jnp.clip(gseq, 0, num_groups)])
+        remove = jnp.zeros(n, bool).at[order].set(remove_sorted)
+        bound2 = bound & ~remove
+        # dissolve groups below min size
+        nb2 = seg.segment_sum(bound2.astype(jnp.int32), pfof, ng1)
+        bound2 = bound2 & (nb2[pfof] >= min_size)
+        changed = jnp.any(bound2 != bound)
+        return bound2, changed, it + 1
+
+    bound0 = in_group
+    bound, _, iters = jax.lax.while_loop(
+        cond_fn, body_fn, (bound0, jnp.bool_(True), jnp.int32(0)))
+    return bound, iters
+
+
+@dataclass
+class UnbindResult:
+    pfof: jnp.ndarray          # renumbered bound-group ids (original order)
+    ngroups: int
+    W: jnp.ndarray             # potential energy per particle
+    Efrac: jnp.ndarray         # bound mass fraction per (old) group id
+    bound: jnp.ndarray         # bool mask of particles kept in groups
+
+
+def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
+                         uinfo: UnbindInfo, G: float,
+                         boxsize: Optional[float] = None,
+                         min_size: int = 20,
+                         W: Optional[jnp.ndarray] = None) -> UnbindResult:
+    """Reference CheckUnboundGroups (unbind.cxx:196): compute potentials,
+    iteratively eject unbound particles, dissolve / renumber groups."""
+    pos = jnp.asarray(pos)
+    vel = jnp.asarray(vel)
+    mass = jnp.asarray(mass)
+    pfof = jnp.asarray(pfof)
+    n = pos.shape[0]
+    ng1 = num_groups + 1
+
+    if W is None:
+        W = compute_potential(pos, mass, pfof, num_groups, uinfo.eps, G,
+                              boxsize=boxsize)
+
+    mass0 = seg.segment_sum(jnp.where(pfof > 0, mass, 0.0), pfof, ng1)
+
+    # POTREF frame: mean velocity of particles near the potential minimum
+    if uinfo.cmvelreftype == POTREF:
+        perm = jnp.lexsort((W, pfof)).astype(jnp.int32)
+        g_s = pfof[perm]
+        offsets = seg.group_offsets(g_s, num_groups)
+        rank = seg.segment_rank(g_s, offsets)
+        counts = offsets[1:] - offsets[:-1]
+        npot = jnp.maximum(
+            (uinfo.fracpotref * counts[g_s]).astype(jnp.int32),
+            uinfo.Npotref)
+        selq = (rank < npot) & (g_s > 0)
+        w = jnp.where(selq, mass[perm], 0.0)
+        potref_vel = seg.segment_mean(vel[perm], w, g_s, ng1)
+    else:
+        potref_vel = jnp.zeros((ng1, 3), pos.dtype)
+
+    bound, _ = _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups,
+                            jnp.asarray(uinfo.Eratio, pos.dtype),
+                            jnp.asarray(uinfo.maxunbindfrac, pos.dtype),
+                            min_size, uinfo.cmvelreftype)
+
+    mass1 = seg.segment_sum(jnp.where(bound, mass, 0.0), pfof, ng1)
+    Efrac = mass1 / jnp.maximum(mass0, 1e-30)
+    if uinfo.unbindtype == USYSANDPART:
+        ok = Efrac >= uinfo.minEfrac
+        bound = bound & ok[pfof]
+
+    new_raw = jnp.where(bound, pfof, 0)
+    # renumber surviving groups by decreasing size
+    sizes = seg.group_sizes(new_raw, num_groups)
+    eligible = (sizes >= min_size) & (jnp.arange(ng1) > 0)
+    order = jnp.lexsort((jnp.arange(ng1), -jnp.where(eligible, sizes, 0)))
+    ng_new = jnp.sum(eligible).astype(jnp.int32)
+    gid_map = jnp.zeros(ng1, jnp.int32)
+    ranks = jnp.arange(ng1, dtype=jnp.int32)
+    gid_map = gid_map.at[order].set(jnp.where(ranks < ng_new, ranks + 1, 0))
+    pfof_new = gid_map[new_raw]
+    ng_new = int(jax.device_get(ng_new))
+    return UnbindResult(pfof=pfof_new, ngroups=ng_new, W=W, Efrac=Efrac,
+                        bound=bound)
+
+
+def sort_by_binding_energy(vel, mass, pfof, W, num_groups: int,
+                           gcmvel: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                         jnp.ndarray,
+                                                         jnp.ndarray]:
+    """Reference SortAccordingtoBindingEnergy
+    (substructureproperties.cxx:4256): per-group permutation ordering
+    particles most-bound-first; also returns per-group indices of the most
+    bound particle and of the potential minimum."""
+    n = vel.shape[0]
+    ng1 = num_groups + 1
+    dv = vel - gcmvel[pfof]
+    E = 0.5 * mass * jnp.sum(dv * dv, -1) + W
+    key = jnp.where(pfof > 0, E, jnp.inf)
+    perm = jnp.lexsort((key, pfof)).astype(jnp.int32)
+    mbp = seg.segment_argmin(jnp.where(pfof > 0, E, jnp.inf), pfof, ng1)
+    minpot = seg.segment_argmin(jnp.where(pfof > 0, W, jnp.inf), pfof, ng1)
+    return perm, mbp, minpot
