@@ -1,0 +1,66 @@
+"""Benchmark: FOF + 6DFOF + unbind throughput (particles/sec/chip).
+
+Target metric from BASELINE.json: particles/sec/chip for FOF+6DFOF+unbind;
+north star = 1024^3 end-to-end < 60 s on v5p-16, i.e. ~1.12e6
+particles/sec/chip.  ``vs_baseline`` is measured throughput / that target.
+
+Env overrides: VR_BENCH_N (particle count, default 128^3),
+VR_BENCH_REPS (timed repetitions, default 3).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from velociraptor_stf_tpu.io.synthetic import make_cosmo_mock
+    from velociraptor_stf_tpu.models.pipeline import find_structures
+    from velociraptor_stf_tpu.utils import config as C
+
+    n = int(os.environ.get("VR_BENCH_N", 128 ** 3))
+    reps = int(os.environ.get("VR_BENCH_REPS", 3))
+    boxsize = 100.0
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=max(
+        64, n // 16384), seed=7)
+
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = boxsize / n ** (1 / 3)
+    opt.fofbgtype = C.FOF6D
+    opt.MinSize = 20
+    opt.HaloMinSize = 32
+    opt.uinfo.unbindflag = 1
+    opt.uinfo.Eratio = 1.0
+    opt.G = 43.0211349
+    opt.Omega_m, opt.Omega_Lambda = 0.3, 0.7
+    C.config_check(opt)
+
+    # warmup (compile)
+    res = find_structures(opt, pos, vel, mass, boxsize=boxsize)
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = find_structures(opt, pos, vel, mass, boxsize=boxsize)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    nchips = 1  # bench runs single-chip
+    value = n / dt / nchips
+    target = 1024 ** 3 / 16 / 60.0  # north-star particles/sec/chip
+    print(json.dumps({
+        "metric": "fof6d_unbind_particles_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "particles/s/chip",
+        "vs_baseline": round(value / target, 4),
+    }))
+    if os.environ.get("VR_BENCH_VERBOSE"):
+        print(json.dumps({"n": n, "ngroups": res.ngroups,
+                          "times": times, "timings": res.timings}))
+
+
+if __name__ == "__main__":
+    main()

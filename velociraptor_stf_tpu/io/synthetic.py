@@ -127,3 +127,58 @@ def labels_match_rate(a: np.ndarray, b: np.ndarray, min_size: int = 1) -> float:
             besta[ga] = (gb, c)
     matched = sum(c for (ga, gb), c in pairs.items() if besta[ga][0] == gb)
     return matched / len(a)
+
+
+def make_cosmo_mock(npart_total: int, fhalo: float = 0.4, nhalos: int = 256,
+                    boxsize: float = 100.0, seed: int = 7,
+                    slope: float = -1.8, sigma8_vel: float = 300.0,
+                    G: float = 43.0211349):
+    """Vectorised large mock for benchmarks: power-law halo mass function.
+
+    ``fhalo`` of the particles live in ``nhalos`` NFW-ish blobs whose sizes
+    follow a power-law; the rest are uniform background.  Velocities:
+    background Hubble-ish random; halo members = bulk + dispersion tied to
+    size (sigma ~ n^(1/3)), so 6DFOF and unbinding have realistic work.
+    Returns (pos, vel, mass) float32.
+    """
+    rng = np.random.default_rng(seed)
+    nh = int(npart_total * fhalo)
+    nb = npart_total - nh
+    # power-law halo occupancies
+    u = rng.uniform(size=nhalos)
+    w = u ** (1.0 / (slope + 1.0)) if slope != -1.0 else np.exp(u)
+    sizes = np.maximum((w / w.sum() * nh).astype(np.int64), 32)
+    sizes[-1] += nh - sizes.sum()
+    if sizes[-1] < 32:
+        sizes[-1] = 32
+    nh = int(sizes.sum())
+    npart = nb + nh
+
+    pos = np.empty((npart, 3), np.float32)
+    vel = np.empty((npart, 3), np.float32)
+    pos[:nb] = rng.uniform(0, boxsize, (nb, 3)).astype(np.float32)
+    vel[:nb] = rng.normal(0, 100.0, (nb, 3)).astype(np.float32)
+
+    centres = rng.uniform(0, boxsize, (nhalos, 3))
+    halo_ids = np.repeat(np.arange(nhalos), sizes)
+    n_members = sizes[halo_ids].astype(np.float64)
+    # scale radius ~ n^(1/3) keeps core overdensity fixed at ~900x mean, so
+    # internal separations (~0.1 d_mean) stay far below b = 0.2 d_mean and
+    # FOF/6DFOF hold the blobs together like real NFW cores
+    d_mean = boxsize / npart_total ** (1 / 3)
+    rs = (0.3 * d_mean) * (n_members / 100.0) ** (1 / 3)
+    uu = rng.uniform(size=nh)
+    radii = rs / np.sqrt(np.maximum(uu ** (-2 / 3) - 1.0, 1e-4))
+    radii = np.minimum(radii, 6 * rs)
+    dirs = rng.normal(size=(nh, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pos[nb:] = np.mod(centres[halo_ids] + radii[:, None] * dirs,
+                      boxsize).astype(np.float32)
+    bulk = rng.normal(0, sigma8_vel, (nhalos, 3))
+    # near-virial internal dispersion: sigma_1d^2 = G M / (6 rs)
+    sig = np.sqrt(G * n_members / (6.0 * rs))
+    vel[nb:] = (bulk[halo_ids] +
+                rng.normal(size=(nh, 3)) * sig[:, None]).astype(np.float32)
+    mass = np.full(npart, 1.0, np.float32)
+    perm = rng.permutation(npart)
+    return pos[perm], vel[perm], mass[perm]

@@ -40,12 +40,9 @@ from ..utils import config as C
 
 def _pred_unit6d_samegroup(d2, own, nbr):
     """Unit-ball 6D criterion restricted to same (nonzero) parent group."""
-    dv = own["vel"][:, :, None, :] - nbr["vel"][:, None, :, :]
-    dv2 = jnp.sum(dv * dv, axis=-1)
-    ok = (d2 + dv2) <= 1.0
-    g_own = own["group"][:, :, None]
-    g_nbr = nbr["group"][:, None, :]
-    return ok & (g_own == g_nbr) & (g_own > 0)
+    dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+    return (d2 + dv2 <= 1.0) & (own["group"] == nbr["group"]) & \
+        (own["group"] > 0)
 
 
 @dataclass

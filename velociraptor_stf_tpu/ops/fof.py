@@ -45,102 +45,167 @@ PairPredicate = Callable[[jnp.ndarray, Dict[str, jnp.ndarray],
                           Dict[str, jnp.ndarray]], jnp.ndarray]
 
 
-def _slice_fields(fields: Dict[str, jnp.ndarray], idx: jnp.ndarray,
-                  valid: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    out = {}
-    for k, v in fields.items():
-        out[k] = v[idx]
-    out["_valid"] = valid
-    return out
-
-
-def _pair_d2(own_pos, nbr_pos, grid: CellGrid):
-    """(B,K,K) squared distances with periodic minimum image."""
-    d = own_pos[:, :, None, :] - nbr_pos[:, None, :, :]
+def _pair_d2_bcast(own_pos, nbr_pos, grid: CellGrid):
+    """Squared distances with periodic minimum image (broadcasting)."""
+    d = own_pos - nbr_pos
     if grid.periodic:
         box = jnp.asarray(grid.boxsize, d.dtype)
         d = d - box * jnp.round(d / box)
     return jnp.sum(d * d, axis=-1)
 
 
+# 9 (dx,dy) column offsets; each covers dz in {-1,0,1} as one contiguous
+# window of the cell-sorted particle array (packed ids of a z-run are
+# consecutive integers, so their particles are one contiguous slice).
+_OFFSETS_XY = np.stack(
+    np.meshgrid(np.arange(-1, 2), np.arange(-1, 2), indexing="ij"), -1
+).reshape(-1, 2).astype(np.int32)
+
+
+def neighbor_windows(binning: Binning, grid: CellGrid, tile_cells: int):
+    """Per occupied cell, the 9 contiguous candidate windows (+ wrap cells).
+
+    Returns (awin_start, awin_cnt, bwin_start, bwin_cnt):
+      awin_*: (9, C) particle-range windows covering cells
+              (x+dx, y+dy, z-1..z+1) — each a single contiguous slice;
+      bwin_*: (9, C) single-cell windows for the periodic z-wrap remainder
+              (z-1 or z+1 wrapping around the box); all-zero when the grid
+              is non-periodic or nz < 3.
+    Label-independent; computed once per FOF call.
+    """
+    n = binning.order.shape[0]
+    C = tile_cells
+    nx, ny, nz = grid.ncells
+    ucid = binning.ucid[:C]
+    is_pad = ucid == INT32_MAX
+    coords = unpack_cells(jnp.where(is_pad, 0, ucid), grid)       # (C,3)
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    start_ext = jnp.concatenate(
+        [binning.cell_start[:C], jnp.full((1,), n, jnp.int32)])
+
+    a_starts, a_cnts, b_starts, b_cnts = [], [], [], []
+    zero = jnp.zeros_like(x)
+    for dx, dy in _OFFSETS_XY:
+        if grid.periodic:
+            xq = jnp.mod(x + dx, nx)
+            yq = jnp.mod(y + dy, ny)
+            ok = ~is_pad
+        else:
+            xq, yq = x + dx, y + dy
+            ok = (~is_pad) & (xq >= 0) & (xq < nx) & (yq >= 0) & (yq < ny)
+            xq = jnp.clip(xq, 0, nx - 1)
+            yq = jnp.clip(yq, 0, ny - 1)
+        base = (xq * ny + yq) * nz
+        if grid.periodic and nz >= 3:
+            zlo = jnp.where(z == 0, 0, z - 1)
+            zhi = jnp.where(z == nz - 1, nz - 1, z + 1)
+            wrap = (z == 0) | (z == nz - 1)
+            zb = jnp.where(z == 0, nz - 1, zero)
+        elif grid.periodic:  # nz < 3: whole column
+            zlo, zhi = zero, jnp.full_like(z, nz - 1)
+            wrap = jnp.zeros_like(x, bool)
+            zb = zero
+        else:
+            zlo = jnp.maximum(z - 1, 0)
+            zhi = jnp.minimum(z + 1, nz - 1)
+            wrap = jnp.zeros_like(x, bool)
+            zb = zero
+        idlo, idhi = base + zlo, base + zhi
+        clo = jnp.searchsorted(ucid, idlo, side="left").astype(jnp.int32)
+        chi = jnp.searchsorted(ucid, idhi, side="right").astype(jnp.int32)
+        ps, pe = start_ext[clo], start_ext[chi]
+        a_starts.append(ps)
+        a_cnts.append(jnp.where(ok, pe - ps, 0))
+        # wrap remainder: single cell
+        idb = base + zb
+        cb = jnp.searchsorted(ucid, idb, side="left").astype(jnp.int32)
+        cbc = jnp.minimum(cb, C - 1)
+        found = ok & wrap & (ucid[cbc] == idb)
+        b_starts.append(binning.cell_start[cbc])
+        b_cnts.append(jnp.where(found, binning.cell_count[cbc], 0))
+    return (jnp.stack(a_starts), jnp.stack(a_cnts),
+            jnp.stack(b_starts), jnp.stack(b_cnts))
+
+
+def _slice_tile(flat, starts, width):
+    """(C, width, ...) contiguous-slice gather (DMA-friendly row fetches)."""
+    if flat.ndim == 1:
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flat, (s,), (width,)))(starts)
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            flat, (s, 0), (width, flat.shape[1])))(starts)
+
+
+def _pad_flat(arr, width, fill):
+    pad_shape = (width,) + arr.shape[1:]
+    return jnp.concatenate([arr, jnp.full(pad_shape, fill, arr.dtype)])
+
+
 def neighbor_min_sweep(
     labels: jnp.ndarray,
-    pos_sorted: jnp.ndarray,
-    fields: Dict[str, jnp.ndarray],
-    binning: Binning,
+    pos_pad: jnp.ndarray,
+    fields_pad: Dict[str, jnp.ndarray],
+    own_start: jnp.ndarray,
+    own_cnt: jnp.ndarray,
+    windows,
     grid: CellGrid,
     predicate: PairPredicate,
     capacity: int,
-    batch_cells: int,
 ) -> jnp.ndarray:
     """One sweep: per sorted particle, min label over linked neighbours.
 
-    labels/pos_sorted/fields are in sorted order.  Returns (N,) min labels
-    (>= own label is possible only for padding; real particles include self).
+    Cell-tile formulation: per occupied cell, an own tile of K particles is
+    checked against 9 contiguous candidate windows of width 3K (plus the
+    periodic z-wrap cells).  All loads are contiguous-slice gathers; the
+    compare is a fori_loop of fused (C, K) vector ops.  Returns the (N,)
+    neighbour-min in sorted particle order.
     """
     n = labels.shape[0]
-    k = capacity
-    nc = jnp.asarray(grid.ncells, jnp.int32)
-    ucid = binning.ucid
-    start, count = binning.cell_start, binning.cell_count
+    K = capacity
+    W = 3 * K
     sentinel = jnp.int32(np.iinfo(np.int32).max)
-    karange = jnp.arange(k, dtype=jnp.int32)
+    awin_s, awin_c, bwin_s, bwin_c = windows
+    labels_pad = _pad_flat(labels, W, sentinel)
 
-    num_batches = -(-n // batch_cells)
-    pad_cells = num_batches * batch_cells
-    cell_idx = jnp.arange(pad_cells, dtype=jnp.int32).reshape(num_batches,
-                                                              batch_cells)
+    karange = jnp.arange(K, dtype=jnp.int32)
+    own_pos = _slice_tile(pos_pad, own_start, K)               # (C,K,3)
+    own_valid = karange[None, :] < own_cnt[:, None]
+    own_fields = {k: _slice_tile(v, own_start, K)
+                  for k, v in fields_pad.items()}
+    best = jnp.where(own_valid, _slice_tile(labels_pad, own_start, K),
+                     sentinel)
 
-    coords_all = unpack_cells(ucid, grid)  # (N,3)
+    def scan_window(best, sw):
+        s, cnt, width = sw
 
-    def do_batch(cells):
-        c = jnp.minimum(cells, n - 1)
-        cell_ok = (cells < n) & (ucid[c] != INT32_MAX)
-        own_start, own_cnt = start[c], jnp.where(cell_ok, count[c], 0)
-        own_idx = own_start[:, None] + karange[None, :]          # (B,K)
-        own_valid = karange[None, :] < own_cnt[:, None]
-        own_idx_c = jnp.minimum(own_idx, n - 1)
-        own_pos = pos_sorted[own_idx_c]                           # (B,K,3)
-        own_lab = jnp.where(own_valid, labels[own_idx_c], sentinel)
-        own_f = _slice_fields(fields, own_idx_c, own_valid)
+        nbr_pos = _slice_tile(pos_pad, s, width)               # (C,W,3)
+        nbr_lab = _slice_tile(labels_pad, s, width)            # (C,W)
+        nbr_fields = {k: _slice_tile(v, s, width)
+                      for k, v in fields_pad.items()}
 
-        best = own_lab                                            # self term
-        coords = coords_all[c]                                    # (B,3)
+        def body(w, best):
+            d2 = _pair_d2_bcast(own_pos, nbr_pos[:, w][:, None, :], grid)
+            nbr_w = {k: v[:, w][:, None] if v.ndim == 2
+                     else v[:, w][:, None, :] for k, v in nbr_fields.items()}
+            link = predicate(d2, own_fields, nbr_w)
+            link = link & own_valid & (w < cnt)[:, None]
+            cand = jnp.where(link, nbr_lab[:, w][:, None], sentinel)
+            return jnp.minimum(best, cand)
 
-        for off in _OFFSETS:
-            ncoord = coords + jnp.asarray(off, jnp.int32)[None, :]
-            if grid.periodic:
-                ncoord = jnp.mod(ncoord, nc)
-                in_range = cell_ok
-            else:
-                in_range = cell_ok & jnp.all((ncoord >= 0) & (ncoord < nc),
-                                             axis=-1)
-                ncoord = jnp.clip(ncoord, 0, nc - 1)
-            nid = pack_cells(ncoord, grid)
-            j = jnp.searchsorted(ucid, nid, side="left").astype(jnp.int32)
-            j = jnp.minimum(j, n - 1)
-            found = in_range & (ucid[j] == nid)
-            nbr_cnt = jnp.where(found, count[j], 0)
-            nbr_idx = start[j][:, None] + karange[None, :]
-            nbr_valid = karange[None, :] < nbr_cnt[:, None]
-            nbr_idx_c = jnp.minimum(nbr_idx, n - 1)
-            nbr_pos = pos_sorted[nbr_idx_c]
-            nbr_lab = jnp.where(nbr_valid, labels[nbr_idx_c], sentinel)
-            nbr_f = _slice_fields(fields, nbr_idx_c, nbr_valid)
+        return jax.lax.fori_loop(0, width, body, best), None
 
-            d2 = _pair_d2(own_pos, nbr_pos, grid)                 # (B,K,K)
-            link = predicate(d2, own_f, nbr_f)
-            link = link & own_valid[:, :, None] & nbr_valid[:, None, :]
-            cand = jnp.where(link, nbr_lab[:, None, :], sentinel)
-            best = jnp.minimum(best, jnp.min(cand, axis=2))
+    for o in range(9):
+        best, _ = scan_window(best, (awin_s[o], awin_c[o], W))
+    if grid.periodic and grid.ncells[2] >= 3:
+        for o in range(9):
+            best, _ = scan_window(best, (bwin_s[o], bwin_c[o], K))
 
-        out_idx = jnp.where(own_valid, own_idx, n)                # n -> drop
-        return out_idx.reshape(-1), best.reshape(-1)
-
-    idxs, bests = jax.lax.map(do_batch, cell_idx)
+    # scatter tile results back to flat sorted order
+    out_idx = jnp.where(own_valid,
+                        own_start[:, None] + karange[None, :], n)
     nmin = jnp.full((n,), sentinel, labels.dtype)
-    nmin = nmin.at[idxs.reshape(-1)].min(bests.reshape(-1), mode="drop")
-    # padding slots keep sentinel; real particles always see themselves
+    nmin = nmin.at[out_idx.reshape(-1)].min(best.reshape(-1), mode="drop")
     return jnp.where(nmin == sentinel, labels, nmin)
 
 
@@ -157,7 +222,7 @@ def _compress(labels: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("grid", "predicate", "capacity",
-                                   "batch_cells", "max_sweeps"))
+                                   "tile_cells", "max_sweeps"))
 def fof_labels_sorted(
     pos_sorted: jnp.ndarray,
     fields: Dict[str, jnp.ndarray],
@@ -165,18 +230,36 @@ def fof_labels_sorted(
     grid: CellGrid,
     predicate: PairPredicate,
     capacity: int,
-    batch_cells: int = 256,
+    tile_cells: int,
     max_sweeps: int = 64,
 ) -> jnp.ndarray:
-    """Run the FOF fixed point; returns per-sorted-particle root labels."""
+    """Run the FOF fixed point; returns per-sorted-particle root labels.
+
+    ``capacity``: max particles per cell (static, host-measured).
+    ``tile_cells``: static padded count of occupied cells (>= the true
+    number of occupied cells).
+    """
     n = pos_sorted.shape[0]
+    C = tile_cells
+    W = 3 * capacity
     labels0 = jnp.arange(n, dtype=jnp.int32)
 
+    pos_pad = _pad_flat(pos_sorted, W, 0)
+    fields_pad = {k: _pad_flat(v, W, 0) for k, v in fields.items()}
+    own_start = binning.cell_start[:C]
+    own_cnt = jnp.where(binning.ucid[:C] == INT32_MAX, 0,
+                        binning.cell_count[:C])
+    windows = neighbor_windows(binning, grid, C)
+
     def sweep(labels):
-        nmin = neighbor_min_sweep(labels, pos_sorted, fields, binning, grid,
-                                  predicate, capacity, batch_cells)
+        nmin = neighbor_min_sweep(labels, pos_pad, fields_pad, own_start,
+                                  own_cnt, windows, grid, predicate,
+                                  capacity)
         hooked = labels.at[labels].min(nmin)
-        return _compress(hooked)
+        l = hooked
+        for _ in range(3):  # bounded path compression per sweep
+            l = l[l]
+        return l
 
     def cond(state):
         labels, prev_changed, it = state
@@ -189,7 +272,7 @@ def fof_labels_sorted(
 
     labels, _, _ = jax.lax.while_loop(
         cond, body, (sweep(labels0), jnp.bool_(True), jnp.int32(1)))
-    return labels
+    return _compress(labels)
 
 
 @partial(jax.jit, static_argnames=("min_size",))
@@ -227,57 +310,84 @@ def renumber_by_size(labels: jnp.ndarray, min_size: int,
 # Pair criteria (reference fofalgo.h / NBodylib FOF3d/FOF6d)
 # ---------------------------------------------------------------------------
 
-def make_pred_3d(b2: float) -> PairPredicate:
-    """Plain 3DFOF: physical separation within linking length."""
-
-    def pred(d2, own, nbr):
-        return d2 <= b2
-
-    return pred
+import dataclasses
 
 
-def make_pred_3d_types(b2: float, dark_type: int = 1) -> PairPredicate:
+@dataclasses.dataclass(frozen=True)
+class Pred3D:
+    """Plain 3DFOF: physical separation within linking length.
+
+    Frozen dataclass so equal parameters hash equal -> stable jit cache
+    (criteria are static arguments of the compiled FOF kernels).
+    """
+
+    b2: float
+
+    def __call__(self, d2, own, nbr):
+        return d2 <= self.b2
+
+
+@dataclasses.dataclass(frozen=True)
+class Pred3DTypes:
     """FOF3dDM (fofalgo.cxx): both particles must be of the given type for a
     link (baryons may not form links; used when iBaryonSearch>1)."""
 
-    def pred(d2, own, nbr):
-        ok = (own["ptype"][:, :, None] == dark_type) & \
-             (nbr["ptype"][:, None, :] == dark_type)
-        return (d2 <= b2) & ok
+    b2: float
+    dark_type: int = 1
 
-    return pred
+    def __call__(self, d2, own, nbr):
+        ok = (own["ptype"] == self.dark_type) & (nbr["ptype"] == self.dark_type)
+        return (d2 <= self.b2) & ok
 
 
-def make_pred_6d(b2: float, v2: float, same_group: bool = True) -> PairPredicate:
+@dataclasses.dataclass(frozen=True)
+class Pred6D:
     """FOF6d: dx^2/ellx^2 + dv^2/ellv^2 <= 1, optionally restricted to pairs
     in the same parent (3DFOF) group (reference search.cxx:552-576 runs the
     6D search per 3DFOF group)."""
 
-    def pred(d2, own, nbr):
-        dv = own["vel"][:, :, None, :] - nbr["vel"][:, None, :, :]
-        dv2 = jnp.sum(dv * dv, axis=-1)
-        ok = d2 / b2 + dv2 / v2 <= 1.0
-        if same_group:
-            ok = ok & (own["group"][:, :, None] == nbr["group"][:, None, :])
+    b2: float
+    v2: float
+    same_group: bool = True
+
+    def __call__(self, d2, own, nbr):
+        dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+        ok = d2 / self.b2 + dv2 / self.v2 <= 1.0
+        if self.same_group:
+            ok = ok & (own["group"] == nbr["group"])
         return ok
 
-    return pred
+
+@dataclasses.dataclass(frozen=True)
+class Pred6DScaled:
+    """6DFOF on pre-scaled phase coordinates (unit ball), with the velocity
+    scale baked into a per-particle field (adaptive variant)."""
+
+    same_group: bool = True
+
+    def __call__(self, d2, own, nbr):
+        dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+        ok = d2 + dv2 / own["vscale2"] <= 1.0
+        if self.same_group:
+            ok = ok & (own["group"] == nbr["group"])
+        return ok
+
+
+# backwards-compatible constructors
+def make_pred_3d(b2: float) -> PairPredicate:
+    return Pred3D(float(b2))
+
+
+def make_pred_3d_types(b2: float, dark_type: int = 1) -> PairPredicate:
+    return Pred3DTypes(float(b2), dark_type)
+
+
+def make_pred_6d(b2: float, v2: float, same_group: bool = True) -> PairPredicate:
+    return Pred6D(float(b2), float(v2), same_group)
 
 
 def make_pred_6d_scaled(same_group: bool = True) -> PairPredicate:
-    """6DFOF with per-particle velocity scale: dx^2/b^2 + dv^2/vscale2 <= 1
-    where b is baked into pre-scaled positions (unit radius) and vscale2 is a
-    per-particle field (adaptive per-group scale, FOF6DADAPTIVE)."""
-
-    def pred(d2, own, nbr):
-        dv = own["vel"][:, :, None, :] - nbr["vel"][:, None, :, :]
-        dv2 = jnp.sum(dv * dv, axis=-1)
-        ok = d2 + dv2 / own["vscale2"][:, :, None] <= 1.0
-        if same_group:
-            ok = ok & (own["group"][:, :, None] == nbr["group"][:, None, :])
-        return ok
-
-    return pred
+    return Pred6DScaled(same_group)
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +412,6 @@ def fof3d(
     extra_fields: Optional[Dict[str, jnp.ndarray]] = None,
     predicate: Optional[PairPredicate] = None,
     capacity: Optional[int] = None,
-    batch_cells: Optional[int] = None,
     target_cells_per_dim: Optional[int] = None,
     return_order: bool = False,
 ):
@@ -321,11 +430,14 @@ def fof3d(
                       boxsize=boxsize or 0.0,
                       target_cells_per_dim=target_cells_per_dim)
     binning = bin_particles(pos, grid)
+    kmax, ncocc = jax.device_get(
+        (jnp.max(binning.cell_count), binning.num_cells))
     if capacity is None:
-        kmax = int(jax.device_get(jnp.max(binning.cell_count)))
-        capacity = _round_capacity(kmax)
-    if batch_cells is None:
-        batch_cells = max(8, min(512, (1 << 21) // (capacity * capacity)))
+        capacity = _round_capacity(int(kmax))
+    tile_cells = 16
+    while tile_cells < int(ncocc):
+        tile_cells *= 2
+    tile_cells = min(tile_cells, n)
     order = binning.order
     pos_s = pos[order]
     fields = {}
@@ -335,9 +447,9 @@ def fof3d(
         for k, v in extra_fields.items():
             fields[k] = jnp.asarray(v)[order]
     if predicate is None:
-        predicate = make_pred_3d(float(linking_length) ** 2)
+        predicate = Pred3D(float(linking_length) ** 2)
     labels = fof_labels_sorted(pos_s, fields, binning, grid, predicate,
-                               capacity, batch_cells)
+                               capacity, tile_cells)
     pfof_sorted, ngroups = renumber_by_size(labels, min_size, orig_index=order)
     pfof = jnp.zeros(n, jnp.int32).at[order].set(pfof_sorted)
     if return_order:
