@@ -2,13 +2,19 @@
 
 This mirrors "multi-node without a cluster": sharding/collective code paths
 are exercised on 8 virtual CPU devices (cf. SURVEY.md §4 implication (c)).
-Must run before jax is imported anywhere.
+
+Note: the axon TPU plugin in this image overrides the JAX_PLATFORMS
+environment variable, so the platform must be forced via jax.config before
+any backend is initialised.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,174 @@
+"""IO tests: gadget/HDF readers, catalog writers round-trips."""
+
+import os
+
+import numpy as np
+import pytest
+
+from velociraptor_stf_tpu.io import gadget as G
+from velociraptor_stf_tpu.io import hdf as H
+from velociraptor_stf_tpu.io import writers as W
+from velociraptor_stf_tpu.utils import config as C
+
+
+@pytest.fixture
+def snap(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 5000
+    pos = rng.uniform(0, 50, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 100, (n, 3)).astype(np.float32)
+    pids = np.arange(1, n + 1)
+    ptype = np.concatenate([np.zeros(1500, np.int8),
+                            np.ones(n - 1500, np.int8)])
+    mass = np.where(ptype == 0, 0.5, 1.5).astype(np.float32)
+    return pos, vel, pids, ptype, mass
+
+
+def test_gadget_roundtrip(tmp_path, snap):
+    pos, vel, pids, ptype, mass = snap
+    fn = str(tmp_path / "snap.gdt")
+    G.write_gadget(fn, pos, vel, pids, ptype, mass, boxsize=50.0)
+    hdr, p2, v2, i2, t2, m2 = G.read_gadget(fn)
+    assert hdr.ntotal == len(pos)
+    assert hdr.boxsize == 50.0
+    o, oo = np.argsort(i2), np.argsort(pids)
+    assert np.allclose(p2[o], pos[oo])
+    assert np.allclose(v2[o], vel[oo])
+    assert np.allclose(m2[o], mass[oo])
+    assert (t2[o] == ptype[oo]).all()
+
+
+def test_hdf_reader(tmp_path, snap):
+    import h5py
+
+    pos, vel, pids, ptype, mass = snap
+    fn = str(tmp_path / "snap.hdf5")
+    with h5py.File(fn, "w") as f:
+        h = f.create_group("Header")
+        h.attrs["BoxSize"] = 50.0
+        h.attrs["Time"] = 1.0
+        h.attrs["Redshift"] = 0.0
+        h.attrs["Omega0"] = 0.3
+        h.attrs["OmegaLambda"] = 0.7
+        h.attrs["HubbleParam"] = 0.7
+        h.attrs["NumFilesPerSnapshot"] = 1
+        npt = np.array([(ptype == t).sum() for t in range(6)], np.uint64)
+        h.attrs["NumPart_Total"] = npt
+        h.attrs["MassTable"] = np.zeros(6)
+        for t in (0, 1):
+            sel = ptype == t
+            g = f.create_group(f"PartType{t}")
+            g["Coordinates"] = pos[sel]
+            g["Velocities"] = vel[sel]
+            g["ParticleIDs"] = pids[sel]
+            g["Masses"] = mass[sel]
+            if t == 0:
+                g["InternalEnergy"] = np.full(sel.sum(), 7.5, np.float32)
+    hdr, p2, v2, i2, t2, m2, extras = H.read_hdf(fn)
+    assert hdr.boxsize == 50.0
+    assert hdr.omega0 == pytest.approx(0.3)
+    o, oo = np.argsort(i2), np.argsort(pids)
+    assert np.allclose(p2[o], pos[oo])
+    assert np.allclose(m2[o], mass[oo])
+    assert (t2[o] == ptype[oo]).all()
+    assert extras["u"][t2 == 0][0] == pytest.approx(7.5)
+    # dm only
+    hdr, p3, *_ = H.read_hdf(fn, parttypes=[1])
+    assert len(p3) == (ptype == 1).sum()
+
+
+def _dummy_props(ng):
+    rng = np.random.default_rng(1)
+    p = {}
+    for k in ("gmass", "gMvir", "gRvir", "gM200c", "gR200c", "gM200m",
+              "gR200m", "gM500c", "gR500c", "gMBN98", "gRBN98", "gsize",
+              "gRhalfmass", "gRmaxvel", "gmaxvel", "gMmaxvel", "gsigma_v",
+              "gq", "gs", "cNFW", "Krot", "Ekin"):
+        p[k] = rng.uniform(1, 2, ng + 1)
+    p["num"] = rng.integers(20, 100, ng + 1)
+    p["gcm"] = rng.uniform(0, 50, (ng + 1, 3))
+    p["gcmvel"] = rng.normal(0, 100, (ng + 1, 3))
+    p["gveldisp"] = rng.normal(0, 1, (ng + 1, 3, 3))
+    p["gJ"] = rng.normal(0, 1, (ng + 1, 3))
+    p["geigvec"] = np.tile(np.eye(3), (ng + 1, 1, 1))
+    p["SO_mass"] = np.zeros((ng + 1, 0))
+    p["SO_radius"] = np.zeros((ng + 1, 0))
+    return p
+
+
+def test_write_properties_and_catalogs(tmp_path):
+    import h5py
+
+    opt = C.Options()
+    opt.ibinaryout = C.OUTHDF
+    opt.lengthtokpc, opt.velocitytokms, opt.masstosolarmass = 1000., 1., 1e10
+    ng = 5
+    props = _dummy_props(ng)
+    out = str(tmp_path / "cat")
+    cols = W.properties_table(opt, props, ng)
+    W.write_properties(opt, out, cols, ng)
+    with h5py.File(out + ".properties") as f:
+        assert int(f["Num_of_groups"][()]) == ng
+        assert f["Xc"].shape == (ng,)
+        assert (np.asarray(f["ID"]) == np.arange(1, ng + 1)).all()
+        for name in ("Mass_200crit", "R_200crit", "Vmax", "sigV", "cNFW",
+                     "veldisp_xy", "eig_zz", "lambda_B", "npart",
+                     "Structuretype", "hostHaloID"):
+            assert name in f, name
+
+    # catalogs
+    n = 200
+    rng = np.random.default_rng(2)
+    pfof = rng.integers(0, ng + 1, n).astype(np.int32)
+    pids = np.arange(1000, 1000 + n)
+    W.write_group_catalog(opt, out, pfof, pids, ng)
+    with h5py.File(out + ".catalog_groups") as f:
+        sizes = np.asarray(f["Group_Size"])
+        assert sizes.sum() == (pfof > 0).sum()
+        offs = np.asarray(f["Offset"])
+        assert (np.diff(offs) == sizes[:-1]).all()
+    with h5py.File(out + ".catalog_particles") as f:
+        plist = np.asarray(f["Particle_IDs"])
+        assert len(plist) == (pfof > 0).sum()
+        # group 1's slice contains exactly the pids of group 1
+        with h5py.File(out + ".catalog_groups") as fg:
+            s0 = int(np.asarray(fg["Offset"])[0])
+            n0 = int(np.asarray(fg["Group_Size"])[0])
+        assert set(plist[s0:s0 + n0]) == set(pids[pfof == 1])
+
+    # unbound split
+    bound = rng.uniform(size=n) > 0.3
+    W.write_group_catalog(opt, out, pfof, pids, ng, bound_mask=bound)
+    with h5py.File(out + ".catalog_particles.unbound") as f:
+        assert len(np.asarray(f["Particle_IDs"])) == \
+            ((pfof > 0) & ~bound).sum()
+
+    parent = np.array([0, 0, 1, 1, 0, 2])
+    W.write_hierarchy(opt, out, parent, ng)
+    with h5py.File(out + ".hierarchy") as f:
+        ns = np.asarray(f["Number_of_substructures_in_halo"])
+        assert ns[0] == 2 and ns[1] == 1
+        pa = np.asarray(f["Parent_halo_ID"])
+        assert pa[1] == 1 and pa[0] == -1
+
+    W.write_config_info(opt, out)
+    W.write_sim_info(opt, out)
+    W.write_unit_info(opt, out)
+    for ext in (".configuration", ".siminfo", ".units"):
+        assert os.path.getsize(out + ext) > 100
+    W.write_fof_grp(out, pfof)
+    lines = open(out + ".fof.grp").read().splitlines()
+    assert int(lines[0]) == n
+
+
+def test_write_ascii_mode(tmp_path):
+    opt = C.Options()
+    opt.ibinaryout = C.OUTASCII
+    ng = 3
+    props = _dummy_props(ng)
+    out = str(tmp_path / "cat")
+    cols = W.properties_table(opt, props, ng)
+    W.write_properties(opt, out, cols, ng)
+    lines = open(out + ".properties").read().splitlines()
+    assert lines[1].split()[0] == str(ng)
+    assert len(lines) == 3 + ng

@@ -1,0 +1,146 @@
+"""Substructure pipeline tests: velocity density, outliers, stream FOF,
+recursion — on planted subhalo/stream mocks."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from velociraptor_stf_tpu.models import bgfield, localfield, substructure as S
+from velociraptor_stf_tpu.utils import config as C
+
+G = 43.0211349
+
+
+def host_with_subhalo(seed=0, nhost=6000, nsub=600, rsub=0.06,
+                      sub_offset=0.45, sub_sigma=6.0):
+    """Host halo (Plummer-ish, virial dispersion) + compact cold subhalo."""
+    rng = np.random.default_rng(seed)
+    R = 1.0
+    mtot = 100.0
+    # host: uniform-ish sphere with Maxwellian velocities
+    r = R * rng.uniform(size=nhost) ** (1 / 2)  # denser centre
+    d = rng.normal(size=(nhost, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    hpos = r[:, None] * d
+    sigma = np.sqrt(G * mtot / (6 * R))
+    hvel = rng.normal(0, sigma, (nhost, 3))
+    # subhalo: compact, cold, offset position and coherent bulk velocity
+    spos = sub_offset * np.array([1.0, 0, 0]) + \
+        rsub * rng.normal(size=(nsub, 3)) / np.sqrt(3)
+    bulk = np.array([0.0, 1.6 * sigma, 0.0])
+    svel = bulk + rng.normal(0, sub_sigma, (nsub, 3))
+    pos = np.concatenate([hpos, spos]).astype(np.float32)
+    vel = np.concatenate([hvel, svel]).astype(np.float32)
+    mass = np.full(len(pos), mtot / len(pos), np.float32)
+    member = np.concatenate([np.zeros(nhost, bool), np.ones(nsub, bool)])
+    return pos, vel, mass, member
+
+
+def test_velocity_density_cold_clump():
+    """Cold kinematic clump members get much higher velocity density."""
+    pos, vel, mass, member = host_with_subhalo()
+    dens = np.asarray(localfield.velocity_density(
+        jnp.asarray(pos), jnp.asarray(vel), nvel=32, nsearch=256))
+    assert np.isfinite(dens).all()
+    assert (dens > 0).all()
+    # subhalo members' velocity density strongly exceeds host median
+    assert np.median(dens[member]) > 10 * np.median(dens[~member])
+
+
+def test_outlier_values_distribution():
+    """ell values: background roughly standard-normalised, clump >> thr."""
+    pos, vel, mass, member = host_with_subhalo()
+    valid = np.ones(len(pos), bool)
+    ell, dens, stats = S.structure_outliers(
+        C.Options(), pos, vel, mass, valid)
+    ell = np.asarray(ell)
+    assert np.isfinite(ell).all()
+    # background ell distribution ~ normalised: mode near 0, small spread
+    # (the clump's tail inflates the raw std)
+    bg = ell[~member]
+    assert abs(np.median(bg)) < 0.6
+    assert 0.3 < np.percentile(bg, 84) - np.percentile(bg, 50) < 3.0
+    # clump members skew high: their median beats the background p84 and a
+    # sizable fraction crosses the default 2.5 outlier threshold (the
+    # iterative expansion then grows the group from those seeds)
+    assert np.median(ell[member]) > np.percentile(bg, 84)
+    assert (ell[member] > 2.5).mean() > 0.15
+
+
+def test_search_subset_finds_subhalo():
+    pos, vel, mass, member = host_with_subhalo()
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = 0.25     # -> substructure linking length 0.05
+    opt.iiterflag = 1
+    opt.ellthreshold = 2.5
+    opt.Vratio = 2.0
+    opt.thetaopen = 0.10
+    opt.ellfac = 1.0
+    opt.MinSize = 20
+    # recentre not needed (host built at origin, zero bulk)
+    valid = np.ones(len(pos), bool)
+    ell, dens, _ = S.structure_outliers(opt, pos, vel, mass, valid)
+    pfof, ng = S.search_subset(opt, jnp.asarray(pos), jnp.asarray(vel),
+                               jnp.asarray(mass), ell)
+    pfof = np.asarray(pfof)
+    assert ng >= 1
+    # the dominant group is the planted subhalo; recovery is bounded by the
+    # outlier threshold semantics (links need one side above ellthreshold,
+    # so growth stops one hop beyond the high-ell core -- same as the
+    # reference with Iterative_threshold_factor=1)
+    main = pfof == 1
+    overlap = (main & member).sum()
+    assert overlap > 0.4 * member.sum()
+    # contamination from the host is small
+    assert (main & ~member).sum() < 0.15 * main.sum()
+
+
+def test_search_sub_sub_recursion_and_hierarchy():
+    """Two planted subhalos in one field halo; hierarchy bookkeeping."""
+    rng = np.random.default_rng(42)
+    pos, vel, mass, member = host_with_subhalo(seed=1)
+    # second subhalo on the other side with different bulk velocity
+    nsub2 = 500
+    sigma = np.sqrt(G * 100.0 / 6)
+    s2pos = np.array([-0.5, 0.2, 0]) + 0.05 * rng.normal(size=(nsub2, 3)) / np.sqrt(3)
+    s2vel = np.array([0.0, -1.7 * sigma, 0.8 * sigma]) + \
+        rng.normal(0, 12.0, (nsub2, 3))
+    pos = np.concatenate([pos, s2pos.astype(np.float32)])
+    vel = np.concatenate([vel, s2vel.astype(np.float32)])
+    mass = np.full(len(pos), 100.0 / len(pos), np.float32)
+    member2 = np.zeros(len(pos), bool)
+    member2[-nsub2:] = True
+    member = np.concatenate([member, np.zeros(nsub2, bool)])
+
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = 0.25
+    opt.iiterflag = 1
+    opt.ellthreshold = 2.5
+    opt.Vratio = 2.0
+    opt.thetaopen = 0.10
+    opt.ellfac = 1.0
+    opt.MinSize = 20
+    opt.uinfo.unbindflag = 0   # keep test focused on the search
+    opt.G = G
+
+    # everything is one field group
+    pfof = np.ones(len(pos), np.int32)
+    pfof_all, ng_total, hostid, parent, level = S.search_sub_sub(
+        opt, pos, vel, mass, pfof, 1)
+    assert ng_total >= 3           # field halo + >= 2 substructures
+    # substructures found at level 1 with parent 1
+    subs = [g for g in range(2, ng_total + 1) if parent[g] == 1]
+    assert len(subs) >= 2
+    # members recovered: each planted clump maps to one substructure id
+    for memb in (member, member2):
+        ids, counts = np.unique(pfof_all[memb], return_counts=True)
+        dom = ids[np.argmax(counts)]
+        assert dom != 1 and dom != 0
+        assert counts.max() > 0.35 * memb.sum()
+    assert hostid[1] == -1
+    for g in subs:
+        assert hostid[g] == 1
+        assert level[g] == 1

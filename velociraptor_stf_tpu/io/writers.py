@@ -1,0 +1,356 @@
+"""Catalog writers: .properties / .catalog_* / .hierarchy / metadata.
+
+TPU-native equivalent of the reference output layer
+(/root/reference/src/io.cxx): ``WriteProperties``:1570 (HDF dataset names
+from ``PropDataHeader``, allvars.h:3305), ``WriteGroupCatalog``:377,
+``WriteGroupPartType``:936, ``WriteHierarchy``:3128, ``WriteFOF``:252, and
+the run metadata writers ``WriteVELOCIraptorConfig``:3658 (.configuration),
+``WriteSimulationInfo``:3698 (.siminfo), ``WriteUnitInfo``:3737 (.units).
+
+Formats: HDF5 (``Binary_output=2``) and ASCII (``Binary_output=0``); the
+reference's raw-binary mode maps to HDF5 here (HDF is its production mode).
+Single-file output (the MPI per-rank ``name.N`` split collapses on a
+single-controller TPU run: File_id=0, Num_of_files=1).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..utils import config as C
+
+
+def _halo_ids(ngroups: int, snapshotvalue: int) -> np.ndarray:
+    """Temporally unique halo ids (reference: snapvalue*1e12 + gid)."""
+    base = np.int64(snapshotvalue) * np.int64(1000000000000)
+    return base + np.arange(1, ngroups + 1, dtype=np.int64)
+
+
+def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
+                     ngroups: int,
+                     hostid: Optional[np.ndarray] = None,
+                     parent: Optional[np.ndarray] = None,
+                     numsubstruct: Optional[np.ndarray] = None,
+                     id_mbp: Optional[np.ndarray] = None,
+                     id_minpot: Optional[np.ndarray] = None,
+                     pos_mbp: Optional[np.ndarray] = None,
+                     pos_minpot: Optional[np.ndarray] = None,
+                     vel_mbp: Optional[np.ndarray] = None,
+                     vel_minpot: Optional[np.ndarray] = None,
+                     efrac: Optional[np.ndarray] = None,
+                     epot: Optional[np.ndarray] = None
+                     ) -> Dict[str, np.ndarray]:
+    """Assemble the .properties column dict with reference field names
+    (PropDataHeader, allvars.h:3314-...)."""
+    g = slice(1, ngroups + 1)
+    z = np.zeros(ngroups)
+    zi = np.zeros(ngroups, np.int64)
+
+    def get(key, default=None):
+        if key in props:
+            return np.asarray(props[key])[g]
+        return z.copy() if default is None else default
+
+    gcm = np.asarray(props["gcm"])[g]
+    gcmvel = np.asarray(props["gcmvel"])[g]
+    vd = np.asarray(props["gveldisp"])[g]
+    J = np.asarray(props["gJ"])[g]
+    eig = np.asarray(props.get("geigvec", np.zeros((ngroups + 1, 3, 3))))[g]
+    M200c = get("gM200c")
+    R200c = get("gR200c")
+    vmax = get("gmaxvel")
+    # Bullock spin lambda_B = |J| / (sqrt(2) M200c V200c R200c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v200 = np.sqrt(np.where(R200c > 0, opt.G * M200c / R200c, 0.0))
+        lamB = np.linalg.norm(J, axis=1) / \
+            (np.sqrt(2.0) * M200c * v200 * R200c)
+    lamB = np.nan_to_num(lamB, nan=0.0, posinf=0.0)
+
+    pmb = pos_mbp if pos_mbp is not None else gcm
+    pmp = pos_minpot if pos_minpot is not None else gcm
+    vmb = vel_mbp if vel_mbp is not None else gcmvel
+    vmp = vel_minpot if vel_minpot is not None else gcmvel
+
+    cols = {
+        "ID": _halo_ids(ngroups, opt.snapshotvalue),
+        "ID_mbp": id_mbp if id_mbp is not None else zi.copy(),
+        "ID_minpot": id_minpot if id_minpot is not None else zi.copy(),
+        "hostHaloID": hostid[g].astype(np.int64) if hostid is not None
+        else np.full(ngroups, -1, np.int64),
+        "numSubStruct": numsubstruct[g].astype(np.int64)
+        if numsubstruct is not None else zi.copy(),
+        "npart": np.asarray(props["num"])[g].astype(np.uint64),
+        "Structuretype": np.where(
+            (hostid[g] if hostid is not None
+             else np.full(ngroups, -1)) == -1,
+            C.HALOSTYPE, C.HALOSTYPE).astype(np.int32),
+        "Mvir": get("gMvir"),
+        "Xc": gcm[:, 0], "Yc": gcm[:, 1], "Zc": gcm[:, 2],
+        "Xcmbp": pmb[:, 0], "Ycmbp": pmb[:, 1], "Zcmbp": pmb[:, 2],
+        "Xcminpot": pmp[:, 0], "Ycminpot": pmp[:, 1], "Zcminpot": pmp[:, 2],
+        "VXc": gcmvel[:, 0], "VYc": gcmvel[:, 1], "VZc": gcmvel[:, 2],
+        "VXcmbp": vmb[:, 0], "VYcmbp": vmb[:, 1], "VZcmbp": vmb[:, 2],
+        "VXcminpot": vmp[:, 0], "VYcminpot": vmp[:, 1],
+        "VZcminpot": vmp[:, 2],
+        "Mass_tot": get("gmass"),
+        "Mass_FOF": get("gmass"),
+        "Mass_200mean": get("gM200m"),
+        "Mass_200crit": M200c,
+        "Mass_BN98": get("gMBN98"),
+        "Efrac": efrac if efrac is not None else np.ones(ngroups),
+        "Rvir": get("gRvir"),
+        "R_size": get("gsize"),
+        "R_200mean": get("gR200m"),
+        "R_200crit": R200c,
+        "R_BN98": get("gRBN98"),
+        "R_HalfMass": get("gRhalfmass"),
+        "Rmax": get("gRmaxvel"),
+        "Vmax": vmax,
+        "sigV": get("gsigma_v"),
+        "lambda_B": lamB,
+        "Lx": J[:, 0], "Ly": J[:, 1], "Lz": J[:, 2],
+        "q": get("gq"), "s": get("gs"),
+        "cNFW": get("cNFW"),
+        "Krot": get("Krot"),
+        "Ekin": get("Ekin"),
+        "Epot": epot if epot is not None else z.copy(),
+    }
+    for i, a in enumerate("xyz"):
+        for j, b in enumerate("xyz"):
+            cols[f"veldisp_{a}{b}"] = vd[:, i, j]
+            cols[f"eig_{a}{b}"] = eig[:, i, j]
+    # SO list columns (reference: SO_Mass_<value>_rhocrit etc.)
+    if "SO_mass" in props and props["SO_mass"].shape[-1] > 0:
+        for i, thr in enumerate(opt.SOthresholds_values_crit):
+            tag = f"{thr:g}_rhocrit"
+            cols[f"SO_Mass_{tag}"] = np.asarray(props["SO_mass"])[g][:, i]
+            cols[f"SO_R_{tag}"] = np.asarray(props["SO_radius"])[g][:, i]
+    return cols
+
+
+def _file_header_attrs(opt: C.Options, ngroups: int) -> Dict[str, np.ndarray]:
+    return {
+        "File_id": np.int32(0),
+        "Num_of_files": np.int32(1),
+        "Num_of_groups": np.uint64(ngroups),
+        "Total_num_of_groups": np.uint64(ngroups),
+        "Cosmological_Sim": np.uint32(opt.icosmologicalin),
+        "Comoving_or_Physical": np.uint32(opt.icomoveunit),
+        "Period": np.float64(opt.p),
+        "Time": np.float64(opt.a),
+        "Length_unit_to_kpc": np.float64(opt.lengthtokpc),
+        "Velocity_to_kms": np.float64(opt.velocitytokms),
+        "Mass_unit_to_solarmass": np.float64(opt.masstosolarmass),
+    }
+
+
+def write_properties(opt: C.Options, outname: str, cols: Dict[str, np.ndarray],
+                     ngroups: int):
+    """.properties file (reference WriteProperties, io.cxx:1570)."""
+    if opt.ibinaryout == C.OUTHDF or opt.ibinaryout == C.OUTBINARY:
+        import h5py
+
+        with h5py.File(f"{outname}.properties", "w") as f:
+            for k, v in _file_header_attrs(opt, ngroups).items():
+                f.create_dataset(k, data=v)
+            for k, v in cols.items():
+                f.create_dataset(k, data=v)
+    else:
+        keys = list(cols.keys())
+        with open(f"{outname}.properties", "w") as f:
+            f.write(f"0 1\n{ngroups} {ngroups}\n")
+            f.write(" ".join(f"{k}({i+1})" for i, k in enumerate(keys)) + "\n")
+            arr = np.column_stack([np.asarray(cols[k], np.float64)
+                                   for k in keys])
+            np.savetxt(f, arr, fmt="%.10g")
+
+
+def write_group_catalog(opt: C.Options, outname: str, pfof: np.ndarray,
+                        pids: np.ndarray, ngroups: int,
+                        order_within_group: Optional[np.ndarray] = None,
+                        bound_mask: Optional[np.ndarray] = None,
+                        ptype: Optional[np.ndarray] = None):
+    """.catalog_groups / .catalog_particles(.unbound) /
+    .catalog_parttypes(.unbound) (reference io.cxx:377,936).
+
+    ``order_within_group``: optional global permutation placing particles in
+    output order (e.g. binding-energy sorted); defaults to index order.
+    ``bound_mask``: particles failing it go to the .unbound files.
+    """
+    n = len(pfof)
+    if order_within_group is None:
+        order_within_group = np.lexsort((np.arange(n), pfof))
+    perm = order_within_group
+    gsel = pfof[perm] > 0
+    perm = perm[gsel]
+    gids = pfof[perm]
+    bound = np.ones(len(perm), bool) if bound_mask is None \
+        else bound_mask[perm]
+
+    # bound first within each group, preserving order
+    order2 = np.lexsort((~bound, gids), axis=0)
+    # lexsort uses last key as primary: (secondary ~bound, primary gids)
+    perm = perm[order2]
+    gids = gids[order2]
+    bound = bound[order2]
+
+    sizes = np.bincount(gids, minlength=ngroups + 1)[1:ngroups + 1]
+    nb_sizes = np.bincount(gids[bound], minlength=ngroups + 1)[1:ngroups + 1]
+    # offsets into the bound and unbound pid lists
+    off_bound = np.concatenate([[0], np.cumsum(nb_sizes)])[:-1]
+    nub_sizes = sizes - nb_sizes
+    off_unbound = np.concatenate([[0], np.cumsum(nub_sizes)])[:-1]
+
+    pid_bound = pids[perm[bound]]
+    pid_unbound = pids[perm[~bound]]
+    typ_bound = ptype[perm[bound]] if ptype is not None else None
+    typ_unbound = ptype[perm[~bound]] if ptype is not None else None
+
+    if opt.ibinaryout in (C.OUTHDF, C.OUTBINARY):
+        import h5py
+
+        with h5py.File(f"{outname}.catalog_groups", "w") as f:
+            for k, v in _file_header_attrs(opt, ngroups).items():
+                f.create_dataset(k, data=v)
+            f.create_dataset("Group_Size", data=sizes.astype(np.uint32))
+            f.create_dataset("Offset", data=off_bound.astype(np.uint64))
+            f.create_dataset("Offset_unbound",
+                             data=off_unbound.astype(np.uint64))
+        for nm, pidlist in ((".catalog_particles", pid_bound),
+                            (".catalog_particles.unbound", pid_unbound)):
+            with h5py.File(outname + nm, "w") as f:
+                f.create_dataset("File_id", data=np.int32(0))
+                f.create_dataset("Num_of_files", data=np.int32(1))
+                f.create_dataset("Num_of_particles_in_groups",
+                                 data=np.uint64(len(pidlist)))
+                f.create_dataset("Total_num_of_particles_in_all_groups",
+                                 data=np.uint64(len(pidlist)))
+                f.create_dataset("Particle_IDs",
+                                 data=pidlist.astype(np.int64))
+        if ptype is not None:
+            for nm, tl in ((".catalog_parttypes", typ_bound),
+                           (".catalog_parttypes.unbound", typ_unbound)):
+                with h5py.File(outname + nm, "w") as f:
+                    f.create_dataset("File_id", data=np.int32(0))
+                    f.create_dataset("Num_of_files", data=np.int32(1))
+                    f.create_dataset("Num_of_particles_in_groups",
+                                     data=np.uint64(len(tl)))
+                    f.create_dataset("Total_num_of_particles_in_all_groups",
+                                     data=np.uint64(len(tl)))
+                    f.create_dataset("Particle_types",
+                                     data=tl.astype(np.uint16))
+    else:
+        with open(f"{outname}.catalog_groups", "w") as f:
+            f.write("0 1\n")
+            f.write(f"{ngroups} {ngroups}\n")
+            np.savetxt(f, sizes, fmt="%d")
+            np.savetxt(f, off_bound, fmt="%d")
+            np.savetxt(f, off_unbound, fmt="%d")
+        for nm, pidlist in ((".catalog_particles", pid_bound),
+                            (".catalog_particles.unbound", pid_unbound)):
+            with open(outname + nm, "w") as f:
+                f.write("0 1\n")
+                f.write(f"{len(pidlist)} {len(pidlist)}\n")
+                np.savetxt(f, pidlist, fmt="%d")
+
+
+def write_hierarchy(opt: C.Options, outname: str, parent: np.ndarray,
+                    ngroups: int):
+    """.hierarchy (reference WriteHierarchy, io.cxx:3128)."""
+    nsubs = np.zeros(ngroups + 1, np.int64)
+    for g in range(1, ngroups + 1):
+        p = parent[g]
+        if p > 0:
+            nsubs[p] += 1
+    parent_out = np.where(parent[1:ngroups + 1] > 0,
+                          parent[1:ngroups + 1], -1).astype(np.int64)
+    if opt.ibinaryout in (C.OUTHDF, C.OUTBINARY):
+        import h5py
+
+        with h5py.File(f"{outname}.hierarchy", "w") as f:
+            f.create_dataset("File_id", data=np.int32(0))
+            f.create_dataset("Num_of_files", data=np.int32(1))
+            f.create_dataset("Num_of_groups", data=np.uint64(ngroups))
+            f.create_dataset("Total_num_of_groups", data=np.uint64(ngroups))
+            f.create_dataset("Number_of_substructures_in_halo",
+                             data=nsubs[1:].astype(np.uint32))
+            f.create_dataset("Parent_halo_ID", data=parent_out)
+    else:
+        with open(f"{outname}.hierarchy", "w") as f:
+            f.write("0 1\n")
+            f.write(f"{ngroups} {ngroups}\n")
+            np.savetxt(f, np.column_stack([nsubs[1:], parent_out]), fmt="%d")
+
+
+def write_fof_grp(outname: str, pfof: np.ndarray):
+    """.fof.grp tipsy-style array file (reference WriteFOF, io.cxx:252)."""
+    with open(f"{outname}.fof.grp", "w") as f:
+        f.write(f"{len(pfof)}\n")
+        np.savetxt(f, np.asarray(pfof, np.int64), fmt="%d")
+
+
+def write_config_info(opt: C.Options, outname: str):
+    """.configuration run metadata (reference WriteVELOCIraptorConfig,
+    io.cxx:3658): key=value dump of the active options."""
+    import dataclasses as _dc
+
+    with open(f"{outname}.configuration", "w") as f:
+        f.write(f"#VELOCIraptor-STF-TPU configuration, written "
+                f"{_time.strftime('%Y-%m-%d %H:%M:%S')}\n")
+        for fld in _dc.fields(opt):
+            v = getattr(opt, fld.name)
+            if fld.name in ("unknown_keys",):
+                continue
+            if _dc.is_dataclass(v):
+                for sf in _dc.fields(v):
+                    f.write(f"{fld.name}.{sf.name}={getattr(v, sf.name)}\n")
+            elif isinstance(v, list):
+                f.write(f"{fld.name}={','.join(str(x) for x in v)}\n")
+            else:
+                f.write(f"{fld.name}={v}\n")
+
+
+def write_sim_info(opt: C.Options, outname: str):
+    """.siminfo (reference WriteSimulationInfo, io.cxx:3698)."""
+    with open(f"{outname}.siminfo", "w") as f:
+        for k, v in (
+            ("Cosmological_Sim", opt.icosmologicalin),
+            ("ScaleFactor", opt.a),
+            ("h_val", opt.h),
+            ("Omega_m", opt.Omega_m),
+            ("Omega_Lambda", opt.Omega_Lambda),
+            ("Omega_b", opt.Omega_b),
+            ("Omega_cdm", opt.Omega_cdm),
+            ("Omega_r", opt.Omega_r),
+            ("Omega_nu", opt.Omega_nu),
+            ("Omega_k", opt.Omega_k),
+            ("Omega_DE", opt.Omega_de),
+            ("w_of_DE", opt.w_de),
+            ("Hubble_unit", opt.H),
+            ("Period", opt.p),
+            ("Critical_density", opt.rhocrit),
+            ("Matter_density", opt.rhobg),
+            ("Virial_density", opt.virlevel),
+            ("BN98_density", opt.virBN98),
+            ("Gravity", opt.G),
+        ):
+            f.write(f"{k} : {v}\n")
+
+
+def write_unit_info(opt: C.Options, outname: str):
+    """.units (reference WriteUnitInfo, io.cxx:3737)."""
+    with open(f"{outname}.units", "w") as f:
+        for k, v in (
+            ("Length_unit_to_kpc", opt.lengthtokpc),
+            ("Velocity_unit_to_kms", opt.velocitytokms),
+            ("Mass_unit_to_solarmass", opt.masstosolarmass),
+            ("Length_unit", opt.lengthinputconversion),
+            ("Velocity_unit", opt.velocityinputconversion),
+            ("Mass_unit", opt.massinputconversion),
+            ("Gravity", opt.G),
+            ("Hubble_unit", opt.H),
+        ):
+            f.write(f"{k} : {v}\n")

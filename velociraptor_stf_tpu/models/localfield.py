@@ -1,0 +1,124 @@
+"""Local phase-space (velocity) density estimation.
+
+TPU-native equivalent of the reference's ``GetVelocityDensity``
+(/root/reference/src/localfield.cxx:18) in its *approximative* mode (:726),
+which is the production default (``Local_velocity_density_approximate_
+calculation`` >= 1): instead of a per-particle kNN, the reference finds one
+shared candidate set of ``Nsearch`` physical neighbours per KD-tree leaf
+(around the leaf centre-of-mass) and each leaf particle then takes its
+``Nvel`` nearest *velocity* neighbours from that shared set, summing an
+SPH (Epanechnikov) kernel over velocity distances.
+
+TPU design: KD-tree leaves become equal-size chunks of the Morton-sorted
+particle array ("leaves" of ``leaf_size`` particles with KD-leaf-like
+spatial locality).  Candidate gathering is leaf-to-leaf: the M nearest
+leaves by centre distance supply M*leaf_size candidates, from which the
+Nsearch nearest to the leaf centre are kept — all dense top_k over
+statically shaped tiles, no priority queues (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cells import morton_keys
+
+
+@partial(jax.jit, static_argnames=("nvel", "nsearch", "leaf_size",
+                                   "cand_leaves", "chunk"))
+def velocity_density(
+    pos: jnp.ndarray,
+    vel: jnp.ndarray,
+    nvel: int = 32,
+    nsearch: int = 256,
+    leaf_size: int = 32,
+    cand_leaves: Optional[int] = None,
+    chunk: int = 2048,
+    active: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(N,) local velocity density for each particle.
+
+    ``active``: optional bool mask; inactive particles get density 0 and are
+    excluded from candidate sets (reference STRUCDEN Type==0 skip,
+    localfield.cxx:806).
+    """
+    n = pos.shape[0]
+    nleaf = -(-n // leaf_size)
+    if cand_leaves is None:
+        cand_leaves = max(2, int(np.ceil(1.5 * nsearch / leaf_size)))
+    m = min(cand_leaves, nleaf)
+    nsearch = min(nsearch, m * leaf_size)
+    nvel = min(nvel, nsearch - 1)
+    npad = nleaf * leaf_size
+
+    lo = jnp.min(pos, axis=0)
+    hi = jnp.max(pos, axis=0)
+    key = morton_keys(pos, lo, hi)
+    if active is not None:
+        # sort actives first so leaves are pure
+        key = jnp.where(active, key, np.iinfo(np.int32).max)
+    order = jnp.argsort(key).astype(jnp.int32)
+    pad_idx = jnp.concatenate(
+        [order, jnp.full((npad - n,), n - 1, jnp.int32)])
+    P = pos[pad_idx].reshape(nleaf, leaf_size, 3)
+    V = vel[pad_idx].reshape(nleaf, leaf_size, 3)
+    valid = (jnp.arange(npad) < n).reshape(nleaf, leaf_size)
+    if active is not None:
+        valid = valid & active[pad_idx].reshape(nleaf, leaf_size)
+
+    wsum = jnp.maximum(jnp.sum(valid, axis=1), 1)[:, None]
+    cm = jnp.sum(jnp.where(valid[..., None], P, 0.0), axis=1) / wsum  # (L,3)
+    leaf_ok = jnp.any(valid, axis=1)
+    # park empty leaves far away so they are never selected as candidates
+    big = jnp.max(hi - lo) * 1e3
+    cm_sel = jnp.where(leaf_ok[:, None], cm,
+                       hi[None, :] + big * (1 + jnp.arange(nleaf,
+                                                           dtype=pos.dtype))[:, None])
+
+    nchunk = -(-nleaf // chunk)
+    lpad = nchunk * chunk
+    leaf_ids = jnp.arange(lpad, dtype=jnp.int32).reshape(nchunk, chunk)
+
+    def do_chunk(lids):
+        l = jnp.minimum(lids, nleaf - 1)
+        c = cm_sel[l]                                         # (B,3)
+        d2leaf = jnp.sum((c[:, None, :] - cm_sel[None, :, :]) ** 2, -1)
+        _, cand_l = jax.lax.top_k(-d2leaf, m)                 # (B,M)
+        cand_pos = P[cand_l].reshape(l.shape[0], m * leaf_size, 3)
+        cand_vel = V[cand_l].reshape(l.shape[0], m * leaf_size, 3)
+        cand_valid = valid[cand_l].reshape(l.shape[0], m * leaf_size)
+        # Nsearch nearest candidates to the leaf centre
+        d2cm = jnp.sum((cand_pos - c[:, None, :]) ** 2, -1)
+        d2cm = jnp.where(cand_valid, d2cm, jnp.inf)
+        _, sel = jax.lax.top_k(-d2cm, nsearch)                # (B,Nsearch)
+        sel_vel = jnp.take_along_axis(cand_vel, sel[..., None], axis=1)
+        sel_valid = jnp.take_along_axis(cand_valid, sel, axis=1)
+        # per particle: Nvel nearest velocity neighbours from the shared set
+        dv2 = jnp.sum((V[l][:, :, None, :] - sel_vel[:, None, :, :]) ** 2,
+                      -1)                                      # (B,K,Ns)
+        dv2 = jnp.where(sel_valid[:, None, :], dv2, jnp.inf)
+        # exclude the self match (zero distance appears once for the particle
+        # itself when it is within its own leaf's candidate set)
+        topneg, _ = jax.lax.top_k(-dv2, nvel + 1)
+        dvk = -topneg                                          # ascending
+        is_self = dvk[..., :1] <= 0.0
+        dsel = jnp.where(is_self, dvk[..., 1:nvel + 1], dvk[..., 0:nvel])
+        h2 = jnp.maximum(dsel[..., -1], 1e-30)
+        u2 = dsel / h2[..., None]
+        kern = jnp.maximum(1.0 - u2, 0.0)
+        h3 = h2 * jnp.sqrt(h2)
+        dens = 15.0 / (8.0 * jnp.pi) / h3 * jnp.sum(
+            jnp.where(jnp.isfinite(dsel), kern, 0.0), axis=-1)
+        return dens                                            # (B,K)
+
+    dens_leaf = jax.lax.map(do_chunk, leaf_ids)                # (nc,B,K)
+    dens_flat = dens_leaf.reshape(lpad * leaf_size)[:npad]
+    scatter_idx = jnp.where(valid.reshape(-1), pad_idx, n)  # n -> dropped
+    out = jnp.zeros(n, pos.dtype)
+    out = out.at[scatter_idx].set(dens_flat, mode="drop")
+    return out

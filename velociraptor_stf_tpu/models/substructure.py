@@ -1,0 +1,386 @@
+"""Substructure search: phase-space outlier stream FOF + recursion.
+
+TPU-native equivalent of the reference substructure pipeline:
+
+* ``SearchSubset`` (/root/reference/src/search.cxx:910-1816): FOFSTPROB
+  stream criterion (/root/reference/src/fofalgo.cxx ``FOFStreamwithprob``):
+  a pair links when both particles are phase-space outliers
+  (ell >= threshold), their separation is within the substructure linking
+  length, their speed ratio is within [1/Vratio, Vratio] and the angle
+  between their velocity vectors is below thetaopen.  With
+  ``Iterative_searchflag`` the initial search uses tightened thresholds
+  (ellfac/vfac/thetafac/nminfac, search.cxx:965-972), after which groups
+  are expanded by attaching untagged particles that link to tagged ones
+  under the base thresholds (``FOFStreamwithprobIterative`` semantics) and
+  groups connected by enough relaxed links are merged
+  (``MergeGroups``/``fmerge``, search.cxx:1088-1400).
+* ``CheckSignificance`` (search.cxx:2947): groups must exceed the expected
+  mean outlier value of a Gaussian tail by ``siglevel`` sigma; low-ell
+  members are shed (lowest first) until significant, else dissolved.
+* ``SearchSubSub`` (search.cxx:2480): recursion over structures with
+  >= MINSUBSIZE particles — per structure, re-centre, rebuild the
+  background grid + local velocity density + outlier values on the
+  structure's own particles, run SearchSubset, unbind, splice new group
+  ids, and recurse to MAXSUBLEVEL while tracking the parent hierarchy.
+
+TPU design: each structure is padded to a power-of-two particle count so
+the jitted per-structure pipeline compiles once per size class; padded
+slots carry zero mass / -inf outlier values and cannot link or contribute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import erf
+
+from ..ops import fof, segments as seg
+from ..utils import config as C
+from . import bgfield, localfield, unbind as unbind_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPred:
+    """FOFStreamwithprob criterion (reference fofalgo.cxx:21-34)."""
+
+    b2: float          # param[6]: physical linking length^2
+    vratio: float      # param[7]
+    costheta: float    # param[8] = cos(thetaopen * pi)
+    ellthr: float      # param[9]
+
+    def __call__(self, d2, own, nbr):
+        v_own, v_nbr = own["vel"], nbr["vel"]
+        v1 = jnp.sqrt(jnp.sum(v_own * v_own, -1))
+        v2 = jnp.sqrt(jnp.sum(v_nbr * v_nbr, -1))
+        vdot = jnp.sum(v_own * v_nbr, -1) / jnp.maximum(v1 * v2, 1e-30)
+        ratio = v1 / jnp.maximum(v2, 1e-30)
+        ok = (d2 < self.b2) & (vdot > self.costheta)
+        ok = ok & (ratio < self.vratio) & (ratio > 1.0 / self.vratio)
+        return ok & (own["ell"] >= self.ellthr) & (nbr["ell"] >= self.ellthr)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPredAttach:
+    """FOFStreamwithprobIterative semantics for group expansion: only ONE of
+    the pair needs to be an outlier (the tagged side), used to attach
+    untagged particles to existing groups (fofalgo.cxx:36-50)."""
+
+    b2: float
+    vratio: float
+    costheta: float
+    ellthr: float
+
+    def __call__(self, d2, own, nbr):
+        v_own, v_nbr = own["vel"], nbr["vel"]
+        v1 = jnp.sqrt(jnp.sum(v_own * v_own, -1))
+        v2 = jnp.sqrt(jnp.sum(v_nbr * v_nbr, -1))
+        vdot = jnp.sum(v_own * v_nbr, -1) / jnp.maximum(v1 * v2, 1e-30)
+        ratio = v1 / jnp.maximum(v2, 1e-30)
+        ok = (d2 < self.b2) & (vdot > self.costheta)
+        ok = ok & (ratio < self.vratio) & (ratio > 1.0 / self.vratio)
+        return ok & ((own["ell"] >= self.ellthr) | (nbr["ell"] >= self.ellthr))
+
+
+@dataclasses.dataclass(frozen=True)
+class _GroupAttach:
+    """Wrap a pair predicate to require the neighbour to be tagged."""
+
+    base: object
+
+    def __call__(self, d2, own, nbr):
+        return self.base(d2, own, nbr) & (nbr["__grp"] > 0)
+
+
+def significance_filter(ell, pfof, num_groups: int, ellthreshold: float,
+                        siglevel: float, min_size: int):
+    """Reference CheckSignificance (search.cxx:2947), vectorised.
+
+    Keep the largest top-k (by ell) prefix of each group whose
+    beta = (mean_ell/E[ell|ell>thr] - 1) * sqrt(k) >= siglevel; below
+    min_size the group dissolves.  Equivalent to the reference's
+    remove-lowest-ell-one-at-a-time loop.
+    """
+    n = ell.shape[0]
+    ng1 = num_groups + 1
+    thr = ellthreshold
+    ellaveexp = math.sqrt(2.0 / math.pi) * math.exp(-0.5 * thr * thr) / \
+        max(1.0 - erf(thr / math.sqrt(2.0)), 1e-300)
+
+    order = jnp.lexsort((-ell, pfof)).astype(jnp.int32)
+    g_s = pfof[order]
+    e_s = ell[order]
+    offsets = seg.group_offsets(g_s, num_groups)
+    rank = seg.segment_rank(g_s, offsets)
+    cume = seg.segment_cumsum(e_s, g_s, offsets)
+    k = (rank + 1).astype(ell.dtype)
+    beta = (cume / k / ellaveexp - 1.0) * jnp.sqrt(k)
+    okk = (beta >= siglevel) & (g_s > 0)
+    kstar = seg.segment_max(jnp.where(okk, rank + 1, 0), g_s, ng1)
+    kstar = jnp.where(kstar >= min_size, kstar, 0)
+    keep_sorted = (rank < kstar[g_s]) & (g_s > 0)
+    keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
+    return jnp.where(keep, pfof, 0)
+
+
+def search_subset(opt: C.Options, pos, vel, mass, ell,
+                  active: Optional[jnp.ndarray] = None
+                  ) -> Tuple[jnp.ndarray, int]:
+    """Find substructure candidates in one (re-centred) particle set.
+
+    ``ell``: outlier values (set -inf on padded/inactive slots).
+    Returns (pfof, ngroups) in the set's order; ids 1..ng by size.
+    Mirrors SearchSubset with foftype FOFSTPROB (+ iterative expansion).
+    """
+    n = pos.shape[0]
+    ellx2 = (opt.ellxscale * opt.ellphys) ** 2
+    costh = math.cos(opt.thetaopen * math.pi)
+    minsize = opt.MinSize
+
+    if opt.iiterflag:
+        pred0 = StreamPred(ellx2, opt.Vratio * opt.vfac,
+                           math.cos(opt.thetaopen * math.pi * opt.thetafac),
+                           opt.ellthreshold * opt.ellfac)
+        minsize0 = max(2, int(opt.MinSize * opt.nminfac))
+    else:
+        pred0 = StreamPred(ellx2, opt.Vratio, costh, opt.ellthreshold)
+        minsize0 = opt.MinSize
+
+    b = math.sqrt(ellx2)
+    pfof, ng = fof.fof3d(pos, b, boxsize=None, min_size=minsize0, vel=vel,
+                         extra_fields={"ell": ell}, predicate=pred0)
+    ng = int(jax.device_get(ng))
+    if ng == 0:
+        return pfof, 0
+
+    if opt.iiterflag:
+        # expansion: attach untagged particles under the base thresholds
+        pred_att = StreamPredAttach(ellx2, opt.Vratio * opt.vfac,
+                                    math.cos(opt.thetaopen * math.pi *
+                                             opt.thetafac),
+                                    opt.ellthreshold)
+        pfof = attach_expand(pos, vel, ell, pfof, b, pred_att)
+        # relaxed second expansion with larger linking length (ellxfac)
+        ellx2b = ellx2 * opt.ellxfac ** 2
+        pred_att2 = StreamPredAttach(
+            ellx2b, opt.Vratio * opt.vfac,
+            math.cos(opt.thetaopen * math.pi * opt.thetafac),
+            opt.ellthreshold * opt.ellfac)
+        pfof = attach_expand(pos, vel, ell, pfof, math.sqrt(ellx2b),
+                             pred_att2)
+
+    # significance + final min size, renumber by size
+    ngpad = 1
+    while ngpad < ng + 1:
+        ngpad *= 2
+    pfof = significance_filter(ell, pfof, ngpad, opt.ellthreshold,
+                               opt.siglevel, minsize)
+    sizes = seg.group_sizes(pfof, ngpad)
+    # renumber by size
+    labels = pfof  # group ids already; reuse renumber via sizes
+    eligible = (sizes >= minsize) & (jnp.arange(ngpad + 1) > 0)
+    order = jnp.lexsort((jnp.arange(ngpad + 1),
+                         -jnp.where(eligible, sizes, 0)))
+    ngnew = jnp.sum(eligible).astype(jnp.int32)
+    gid_map = jnp.zeros(ngpad + 1, jnp.int32)
+    ranks = jnp.arange(ngpad + 1, dtype=jnp.int32)
+    gid_map = gid_map.at[order].set(
+        jnp.where(ranks < ngnew, ranks + 1, 0))
+    pfof = gid_map[jnp.clip(pfof, 0, ngpad)]
+    return pfof, int(jax.device_get(ngnew))
+
+
+def attach_expand(pos, vel, ell, pfof, linking_length, pred,
+                  max_rounds: int = 16):
+    """Expansion pass: untagged particles adopt the min group id among
+    linked tagged neighbours; iterate to exhaustion."""
+    from ..ops.cells import bin_particles, build_grid
+
+    pos = jnp.asarray(pos)
+    n = pos.shape[0]
+    lo = np.asarray(jax.device_get(jnp.min(pos, 0)))
+    hi = np.asarray(jax.device_get(jnp.max(pos, 0)))
+    grid = build_grid(lo, hi, linking_length)
+    binning = bin_particles(pos, grid)
+    kmax, ncocc = jax.device_get(
+        (jnp.max(binning.cell_count), binning.num_cells))
+    capacity = fof._round_capacity(int(kmax))
+    tile_cells = 16
+    while tile_cells < int(ncocc):
+        tile_cells *= 2
+    tile_cells = min(tile_cells, n)
+    order = binning.order
+    fields = {"vel": jnp.asarray(vel)[order], "ell": jnp.asarray(ell)[order]}
+    labels0 = jnp.asarray(pfof)[order]
+    labels = _attach_fixed_point(pos[order], fields, binning, grid, pred,
+                                 capacity, tile_cells, labels0, max_rounds)
+    return jnp.zeros(n, jnp.int32).at[order].set(labels)
+
+
+@partial(jax.jit, static_argnames=("grid", "pred", "capacity", "tile_cells",
+                                   "max_rounds"))
+def _attach_fixed_point(pos_s, fields, binning, grid, pred, capacity: int,
+                        tile_cells: int, labels0, max_rounds: int):
+    W = 3 * capacity
+    pos_pad = fof._pad_flat(pos_s, W, 0)
+    fields_pad = {k: fof._pad_flat(v, W, 0) for k, v in fields.items()}
+    own_start = binning.cell_start[:tile_cells]
+    own_cnt = jnp.where(binning.ucid[:tile_cells] == fof.INT32_MAX, 0,
+                        binning.cell_count[:tile_cells])
+    windows = fof.neighbor_windows(binning, grid, tile_cells)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    wrap = _GroupAttach(pred)
+
+    def body(state):
+        labels, changed, it = state
+        f2 = dict(fields_pad)
+        f2["__grp"] = fof._pad_flat(labels, W, 0)
+        nmin = fof.neighbor_min_sweep(
+            jnp.where(labels > 0, labels, big), pos_pad, f2,
+            own_start, own_cnt, windows, grid, wrap, capacity)
+        new = jnp.where((labels == 0) & (nmin > 0) & (nmin != big),
+                        nmin, labels)
+        return new, jnp.any(new != labels), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_rounds)
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+    return labels
+
+
+def _next_pow2(x: int, lo: int = 1024) -> int:
+    k = lo
+    while k < x:
+        k *= 2
+    return k
+
+
+def _pad_structure(pos, vel, mass, npad, spacing):
+    """Pad a structure's arrays to npad particles.
+
+    Padded slots are placed on a compact cubic lattice of pitch ``spacing``
+    just outside the structure's bounding box: mutually farther apart than
+    any linking length (so they are isolated singletons) without inflating
+    the domain extent (which would degrade the FOF cell grid).  Zero
+    velocity and mass.
+    """
+    nsub = pos.shape[0]
+    extra = npad - nsub
+    if extra == 0:
+        return pos, vel, mass, np.ones(nsub, bool)
+    side = int(np.ceil(extra ** (1 / 3)))
+    ii = np.arange(extra)
+    lattice = np.stack([ii % side, (ii // side) % side,
+                        ii // (side * side)], axis=1).astype(pos.dtype)
+    corner = pos.min(0) - 10.0 * spacing
+    ppos = np.concatenate([pos, (corner - lattice * spacing).astype(pos.dtype)])
+    pvel = np.concatenate([vel, np.zeros((extra, 3), vel.dtype)])
+    pmass = np.concatenate([mass, np.zeros(extra, mass.dtype)])
+    valid = np.concatenate([np.ones(nsub, bool), np.zeros(extra, bool)])
+    return ppos, pvel, pmass, valid
+
+
+def structure_outliers(opt: C.Options, pos, vel, mass, valid):
+    """Background grid + local velocity density + outlier values for one
+    (padded) structure; the per-structure preamble of SearchSubSub
+    (search.cxx:2631-2649)."""
+    nsub = int(valid.sum()) if hasattr(valid, "sum") else pos.shape[0]
+    dens = localfield.velocity_density(
+        jnp.asarray(pos), jnp.asarray(vel), nvel=opt.Nvel,
+        nsearch=opt.Nsearch, active=jnp.asarray(valid))
+    cellsize = int(max(C.MINCELLSIZE, opt.Ncellfac * nsub))
+    cellsize = min(cellsize, max(32, nsub // 2))
+    cellpos, gvel, gdispinv, cok = bgfield.background_grid(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass), cellsize)
+    R = bgfield.denv_ratio(jnp.asarray(pos), jnp.asarray(vel), dens,
+                           cellpos, gvel, gdispinv, opt.Nsearch)
+    ell, stats = bgfield.outlier_values(R, jnp.asarray(mass),
+                                        active=jnp.asarray(valid))
+    ell = jnp.where(jnp.asarray(valid), ell, -jnp.inf)
+    return ell, dens, stats
+
+
+def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
+                   boxsize: Optional[float] = None):
+    """Recursive substructure search (reference SearchSubSub,
+    search.cxx:2480-2946).
+
+    Returns (pfof, ngroups_total, hostid, parentgid, level) where the per-
+    group arrays are indexed by group id (entry 0 unused; hostid=-1 for
+    field objects, reference GetHierarchy semantics).
+    """
+    pos = np.asarray(pos)
+    vel = np.asarray(vel)
+    mass = np.asarray(mass)
+    pfof_all = np.asarray(pfof).copy()
+    ng_total = int(ngroups)
+    parent = np.zeros(ng_total + 1, np.int64)   # 0 = field
+    level_of = np.zeros(ng_total + 1, np.int32)
+    # pad-lattice pitch: safely beyond every linking length used in the
+    # subsearch (base and ellxfac-expanded)
+    pad_spacing = 3.0 * opt.ellxscale * opt.ellphys * max(1.0, opt.ellxfac)
+
+    queue = [g for g in range(1, ng_total + 1)
+             if (pfof_all == g).sum() >= C.MINSUBSIZE]
+    for level in range(1, C.MAXSUBLEVEL + 1):
+        if not queue or not opt.iSubSearch:
+            break
+        new_queue = []
+        for g in queue:
+            idx = np.where(pfof_all == g)[0]
+            nsub = len(idx)
+            if nsub < C.MINSUBSIZE:
+                continue
+            spos = pos[idx].astype(np.float32)
+            svel = vel[idx].astype(np.float32)
+            smass = mass[idx].astype(np.float32)
+            if boxsize:  # unwrap about the first member
+                d = spos - spos[0]
+                spos = spos[0] + d - boxsize * np.round(d / boxsize)
+            if opt.icmrefadjust:
+                w = smass / smass.sum()
+                spos = spos - (spos * w[:, None]).sum(0)
+                svel = svel - (svel * w[:, None]).sum(0)
+            npad = _next_pow2(nsub)
+            ppos, pvel, pmass, valid = _pad_structure(spos, svel, smass,
+                                                      npad, pad_spacing)
+            ell, dens, _ = structure_outliers(opt, ppos, pvel, pmass, valid)
+            sub_pfof, ng_sub = search_subset(opt, jnp.asarray(ppos),
+                                             jnp.asarray(pvel),
+                                             jnp.asarray(pmass), ell)
+            if ng_sub > 0 and opt.uinfo.unbindflag:
+                ures = unbind_mod.check_unbound_groups(
+                    ppos, pvel, pmass, sub_pfof, _next_pow2(ng_sub, 16),
+                    opt.uinfo, opt.G, min_size=opt.MinSize)
+                sub_pfof, ng_sub = ures.pfof, ures.ngroups
+            if ng_sub == 0:
+                continue
+            sub_np = np.asarray(sub_pfof)[:nsub]
+            sel = sub_np > 0
+            pfof_all[idx[sel]] = ng_total + sub_np[sel]
+            parent = np.concatenate([parent, np.full(ng_sub, g, np.int64)])
+            level_of = np.concatenate(
+                [level_of, np.full(ng_sub, level, np.int32)])
+            for s in range(1, ng_sub + 1):
+                if (sub_np == s).sum() >= C.MINSUBSIZE:
+                    new_queue.append(ng_total + s)
+            ng_total += ng_sub
+        queue = new_queue
+
+    # hostid: walk to top-level ancestor (reference GetHierarchy /
+    # PropData.hostid: -1 for field objects)
+    hostid = np.full(ng_total + 1, -1, np.int64)
+    for g in range(1, ng_total + 1):
+        p = g
+        while parent[p] != 0:
+            p = parent[p]
+        hostid[g] = p if p != g else -1
+    return pfof_all, ng_total, hostid, parent, level_of

@@ -190,3 +190,30 @@ def max_cell_count(pos, grid: CellGrid) -> int:
     """Host helper: max particles in any cell (to pick static capacity K)."""
     b = bin_particles(jnp.asarray(pos), grid)
     return int(jax.device_get(jnp.max(b.cell_count)))
+
+
+def _spread_bits_10(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x so there are two zero bits between each
+    (classic Morton bit-interleave helper)."""
+    x = x.astype(jnp.uint32) & 0x3FF
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def morton_keys(pos: jnp.ndarray, lo, hi, bits: int = 10) -> jnp.ndarray:
+    """(N,) int32 Morton (Z-order) keys of positions within [lo, hi].
+
+    Used to give contiguous chunks of the sorted particle array good spatial
+    locality -- the TPU replacement for KD-tree leaf buckets (reference
+    NBodylib leaves used as density-estimation work units,
+    localfield.cxx:776-826)."""
+    lo = jnp.asarray(lo, pos.dtype)
+    hi = jnp.asarray(hi, pos.dtype)
+    scale = (2 ** bits - 1) / jnp.maximum(hi - lo, 1e-30)
+    c = jnp.clip(((pos - lo) * scale), 0, 2 ** bits - 1).astype(jnp.int32)
+    key = (_spread_bits_10(c[..., 0]) << 2) | \
+          (_spread_bits_10(c[..., 1]) << 1) | _spread_bits_10(c[..., 2])
+    return key.astype(jnp.int32)
