@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cells import morton_keys
+from ..ops.kdgrid import median_partition
 
 MAXNGRID = 6  # reference allvars.h:185 (interpolation uses MAXNGRID+1 cells)
 
@@ -48,15 +48,26 @@ def background_grid(pos, vel, mass, cellsize: int):
     Ncellfac*N), bgfield.cxx:21).
     """
     n = pos.shape[0]
-    C = max(1, -(-n // cellsize))
-    npad = C * cellsize
+    npad = 1
+    while npad < n:
+        npad *= 2
+    levels = 0
+    while (npad >> (levels + 1)) >= max(cellsize, 1):
+        levels += 1
+    C = 1 << levels
+    chunk = npad // C
     lo, hi = jnp.min(pos, 0), jnp.max(pos, 0)
-    order = jnp.argsort(morton_keys(pos, lo, hi)).astype(jnp.int32)
-    pad_idx = jnp.concatenate([order, jnp.full((npad - n,), n - 1, jnp.int32)])
-    valid = (jnp.arange(npad) < n).reshape(C, cellsize)
-    P = pos[pad_idx].reshape(C, cellsize, 3)
-    V = vel[pad_idx].reshape(C, cellsize, 3)
-    M = jnp.where(valid, mass[pad_idx].reshape(C, cellsize), 0.0)
+    extra = npad - n
+    farpos = hi[None, :] + (jnp.max(hi - lo) + 1.0) * \
+        (2.0 + jnp.arange(extra, dtype=pos.dtype))[:, None]
+    pos_ext = jnp.concatenate([pos, farpos])
+    vel_ext = jnp.concatenate([vel, jnp.zeros((extra, 3), vel.dtype)])
+    mass_ext = jnp.concatenate([mass, jnp.zeros(extra, mass.dtype)])
+    pad_idx = median_partition(pos_ext, levels)
+    valid = (pad_idx < n).reshape(C, chunk)
+    P = pos_ext[pad_idx].reshape(C, chunk, 3)
+    V = vel_ext[pad_idx].reshape(C, chunk, 3)
+    M = jnp.where(valid, mass_ext[pad_idx].reshape(C, chunk), 0.0)
     mtot = jnp.maximum(jnp.sum(M, 1), 1e-30)
     cell_ok = jnp.sum(M, 1) > 0
     cellpos = jnp.sum(P * M[..., None], 1) / mtot[:, None]
@@ -102,48 +113,71 @@ def denv_ratio(pos, vel, density, cellpos, gvel, gveldisp_inv, nsearch: int):
     return jnp.log(tempdenv) - math.log(norm) - fbg
 
 
-@partial(jax.jit, static_argnames=("nbins",))
-def _ratio_distribution(R, mass, active, nbins: int):
+@partial(jax.jit, static_argnames=("nbins", "nbins2"))
+def _ratio_distribution(R, mass, active, nbins: int, nbins2: int):
     """Mode and two-sided dispersions of the R distribution.
 
-    The reference (DetermineDenVRatioDistribution, localbgcomp.cxx:134)
-    histograms R, locates the most probable value, estimates the two-sided
-    e^{-1/2}-crossing widths, rebins with Scott's rule around the peak and
-    optionally Newton-fits a skew-Gaussian (stf-fitting.h).  Here the same
-    quantities come from a two-pass histogram mode (coarse then refined
-    around the peak, replacing the dynamic rebin with a static-width second
-    pass) and robust one-sided MAD widths (Gaussian-consistent, playing the
-    skew-Gaussian's two variances).
+    Mirrors the reference DetermineDenVRatioDistribution
+    (localbgcomp.cxx:134): histogram R, locate the most probable value,
+    estimate the two-sided widths from the e^{-1/2} crossing points either
+    side of the peak (linear interpolation between bins).  The reference's
+    dynamic Scott's-rule rebinning is replaced by a static-width second
+    pass: a refined histogram over a window of +-3 robust sigma around the
+    coarse mode, which resolves narrow peaks regardless of the global
+    range.  Peak-crossing widths are tail-insensitive -- outlier
+    substructure does not inflate them (unlike moment/MAD estimates).
     """
     big = jnp.asarray(np.inf, R.dtype)
-    Ra = jnp.where(active, R, big)
-    Rb = jnp.where(active, R, -big)
-    rmin, rmax = jnp.min(Ra), jnp.max(Rb)
+    rmin = jnp.min(jnp.where(active, R, big))
+    rmax = jnp.max(jnp.where(active, R, -big))
 
-    def hist_mode(lo, hi, nb):
+    def hist(lo, hi, nb):
         width = jnp.maximum((hi - lo) / nb, 1e-12)
         ir = jnp.clip(((R - lo) / width).astype(jnp.int32), 0, nb)
         w = jnp.where(active & (R >= lo) & (R < hi), mass, 0.0)
-        rbin = jnp.zeros(nb + 1, R.dtype).at[ir].add(w)[:nb]
-        ip = jnp.argmax(rbin)
-        return lo + (ip + 0.5) * width
+        return jnp.zeros(nb + 1, R.dtype).at[ir].add(w)[:nb], width
 
-    m0 = hist_mode(rmin, rmax, nbins)
-    # global robust scale to size the refinement window
+    # coarse mode
+    h0, w0 = hist(rmin, rmax, nbins)
+    m0 = rmin + (jnp.argmax(h0) + 0.5) * w0
+    # robust window scale
     med = jnp.nanmedian(jnp.where(active, R, jnp.nan))
     sg = 1.4826 * jnp.nanmedian(jnp.where(active, jnp.abs(R - med), jnp.nan))
     sg = jnp.maximum(sg, 1e-6)
-    m1 = hist_mode(m0 - 3 * sg, m0 + 3 * sg, 4 * nbins)
+    # refined histogram around the peak; bin count follows Scott's rule
+    # (~2 n^(1/3) bins over +-3 sigma), like the reference's rebin pass
+    nb2 = nbins2
+    lo2, hi2 = m0 - 3 * sg, m0 + 3 * sg
+    h1, w1 = hist(lo2, hi2, nb2)
+    ip = jnp.argmax(h1)
+    peak = h1[ip]
+    mode = lo2 + (ip + 0.5) * w1
+    thresh = jnp.exp(-0.5) * peak
+    bins = jnp.arange(nb2)
 
-    d = R - m1
-    in_win = active & (jnp.abs(d) < 6 * sg)
-    sdlow = 1.4826 * jnp.nanmedian(
-        jnp.where(in_win & (d < 0), -d, jnp.nan))
-    sdhigh = 1.4826 * jnp.nanmedian(
-        jnp.where(in_win & (d > 0), d, jnp.nan))
-    sdlow = jnp.maximum(jnp.nan_to_num(sdlow, nan=sg), 1e-6)
-    sdhigh = jnp.maximum(jnp.nan_to_num(sdhigh, nan=sg), 1e-6)
-    return m1, sdlow, sdhigh
+    # crossing below the mode
+    cond_lo = (h1 <= thresh) & (bins <= ip)
+    jlo = jnp.max(jnp.where(cond_lo, bins, -1))
+    ok_lo = jlo >= 0
+    jl = jnp.clip(jlo, 0, nb2 - 2)
+    frac = (thresh - h1[jl]) / jnp.maximum(h1[jl + 1] - h1[jl], 1e-30)
+    frac = jnp.clip(frac, 0.0, 1.0)
+    xlo = lo2 + (jl + 0.5 + frac) * w1
+    sdlow = jnp.where(ok_lo, mode - xlo, sg)
+
+    # crossing above the mode
+    cond_hi = (h1 <= thresh) & (bins >= ip)
+    jhi = jnp.min(jnp.where(cond_hi, bins, nb2))
+    ok_hi = jhi < nb2
+    jh = jnp.clip(jhi, 1, nb2 - 1)
+    frac = (thresh - h1[jh - 1]) / jnp.maximum(h1[jh] - h1[jh - 1], -1e-30)
+    frac = jnp.clip(frac, 0.0, 1.0)
+    xhi = lo2 + (jh - 0.5 + frac) * w1
+    sdhigh = jnp.where(ok_hi, xhi - mode, sg)
+
+    sdlow = jnp.maximum(sdlow, 1e-6)
+    sdhigh = jnp.maximum(sdhigh, 1e-6)
+    return mode, sdlow, sdhigh
 
 
 def outlier_values(R, mass, active=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -153,7 +187,8 @@ def outlier_values(R, mass, active=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if active is None:
         active = jnp.ones(n, bool)
     nbins = int(math.ceil(math.log2(max(n, 2)) + 1) * 4)
-    mode, sdlow, sdhigh = _ratio_distribution(R, mass, active, nbins)
+    nbins2 = int(min(max(2 * n ** (1 / 3), 16), 256))
+    mode, sdlow, sdhigh = _ratio_distribution(R, mass, active, nbins, nbins2)
     d = R - mode
     ell = jnp.where(d > 0, d / sdhigh, d / sdlow)
     return ell, (mode, sdlow, sdhigh)

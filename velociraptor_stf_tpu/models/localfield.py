@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cells import morton_keys
+from ..ops.kdgrid import median_partition
 
 
 @partial(jax.jit, static_argnames=("nvel", "nsearch", "leaf_size",
@@ -48,28 +48,32 @@ def velocity_density(
     localfield.cxx:806).
     """
     n = pos.shape[0]
-    nleaf = -(-n // leaf_size)
+    npad = 1
+    while npad < n:
+        npad *= 2
+    nleaf = npad // leaf_size
     if cand_leaves is None:
         cand_leaves = max(2, int(np.ceil(1.5 * nsearch / leaf_size)))
     m = min(cand_leaves, nleaf)
     nsearch = min(nsearch, m * leaf_size)
     nvel = min(nvel, nsearch - 1)
-    npad = nleaf * leaf_size
 
     lo = jnp.min(pos, axis=0)
     hi = jnp.max(pos, axis=0)
-    key = morton_keys(pos, lo, hi)
-    if active is not None:
-        # sort actives first so leaves are pure
-        key = jnp.where(active, key, np.iinfo(np.int32).max)
-    order = jnp.argsort(key).astype(jnp.int32)
-    pad_idx = jnp.concatenate(
-        [order, jnp.full((npad - n,), n - 1, jnp.int32)])
-    P = pos[pad_idx].reshape(nleaf, leaf_size, 3)
-    V = vel[pad_idx].reshape(nleaf, leaf_size, 3)
-    valid = (jnp.arange(npad) < n).reshape(nleaf, leaf_size)
-    if active is not None:
-        valid = valid & active[pad_idx].reshape(nleaf, leaf_size)
+    # pow2 padding: park extra slots far away so KD leaves stay pure
+    extra = npad - n
+    far = hi[None, :] + (jnp.max(hi - lo) + 1.0) * \
+        (2.0 + jnp.arange(extra, dtype=pos.dtype))[:, None]
+    pos_ext = jnp.concatenate([pos, far])
+    vel_ext = jnp.concatenate([vel, jnp.zeros((extra, 3), vel.dtype)])
+    act_ext = jnp.concatenate(
+        [active if active is not None else jnp.ones(n, bool),
+         jnp.zeros(extra, bool)])
+    levels = int(np.log2(nleaf)) if nleaf > 1 else 0
+    pad_idx = median_partition(pos_ext, levels, active=act_ext)
+    P = pos_ext[pad_idx].reshape(nleaf, leaf_size, 3)
+    V = vel_ext[pad_idx].reshape(nleaf, leaf_size, 3)
+    valid = (act_ext[pad_idx] & (pad_idx < n)).reshape(nleaf, leaf_size)
 
     wsum = jnp.maximum(jnp.sum(valid, axis=1), 1)[:, None]
     cm = jnp.sum(jnp.where(valid[..., None], P, 0.0), axis=1) / wsum  # (L,3)
@@ -118,7 +122,7 @@ def velocity_density(
 
     dens_leaf = jax.lax.map(do_chunk, leaf_ids)                # (nc,B,K)
     dens_flat = dens_leaf.reshape(lpad * leaf_size)[:npad]
-    scatter_idx = jnp.where(valid.reshape(-1), pad_idx, n)  # n -> dropped
+    scatter_idx = jnp.where(valid.reshape(-1), pad_idx, npad)  # -> dropped
     out = jnp.zeros(n, pos.dtype)
     out = out.at[scatter_idx].set(dens_flat, mode="drop")
     return out

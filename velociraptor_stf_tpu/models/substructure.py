@@ -114,7 +114,9 @@ def significance_filter(ell, pfof, num_groups: int, ellthreshold: float,
 
     order = jnp.lexsort((-ell, pfof)).astype(jnp.int32)
     g_s = pfof[order]
-    e_s = ell[order]
+    # zero out untagged/padded entries: segment_cumsum is a global-cumsum
+    # difference, so +-inf outside the groups would poison later segments
+    e_s = jnp.where((g_s > 0) & jnp.isfinite(ell[order]), ell[order], 0.0)
     offsets = seg.group_offsets(g_s, num_groups)
     rank = seg.segment_rank(g_s, offsets)
     cume = seg.segment_cumsum(e_s, g_s, offsets)
