@@ -1,0 +1,184 @@
+"""Command-line driver.
+
+TPU-native equivalent of the reference ``main()`` / ``GetArgs``
+(/root/reference/src/main.cxx:20, /root/reference/src/ui.cxx:9): parse the
+same CLI flags (-C config, -i input, -I input type, -s num files,
+-o output, -Z read threads, -v verbose), read the snapshot, derive unit
+scalings and cosmology, run the search pipeline, write catalogs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .io import gadget as gadget_io
+from .io import hdf as hdf_io
+from .io import writers
+from .models import pipeline, unbind as unbind_mod
+from .utils import config as C
+from .utils import units
+from .utils.timing import PhaseTimer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vrtpu",
+        description="TPU-native VELOCIraptor: halo/subhalo finder")
+    p.add_argument("-C", dest="config", required=True,
+                   help="configuration file (reference keyword format)")
+    p.add_argument("-i", dest="input", required=True, help="input snapshot")
+    p.add_argument("-I", dest="inputtype", type=int, default=C.IOGADGET,
+                   help="input type 1=gadget 2=hdf 3=tipsy 4=ramses")
+    p.add_argument("-s", dest="num_files", type=int, default=1)
+    p.add_argument("-o", dest="output", default=None,
+                   help="output base name (overrides config Output)")
+    p.add_argument("-Z", dest="nsnapread", type=int, default=1)
+    p.add_argument("-v", dest="verbose", type=int, default=None)
+    return p
+
+
+def read_snapshot(opt: C.Options):
+    """Dispatch to the format reader; returns (pos, vel, pids, ptype, mass,
+    boxsize) in *internal units* (input conversions applied, reference
+    ReadData io.cxx:73)."""
+    want_types = None
+    if opt.partsearchtype == C.PSTDARK:
+        want_types = [1, 2, 3]
+    elif opt.partsearchtype == C.PSTGAS:
+        want_types = [0]
+    elif opt.partsearchtype == C.PSTSTAR:
+        want_types = [4]
+
+    if opt.inputtype == C.IOGADGET:
+        hdr, pos, vel, pids, ptype, mass = gadget_io.read_gadget(
+            opt.fname, parttypes=want_types)
+        boxsize = hdr.boxsize
+        opt.a = hdr.time if opt.icosmologicalin else 1.0
+        opt.Omega_m = hdr.omega0 or opt.Omega_m
+        opt.Omega_Lambda = hdr.omega_lambda or opt.Omega_Lambda
+        opt.h = hdr.hubble_param or opt.h
+        ntot = hdr.ntotal
+    elif opt.inputtype == C.IOHDF:
+        hdr, pos, vel, pids, ptype, mass, extras = hdf_io.read_hdf(
+            opt.fname, parttypes=want_types,
+            convention=opt.ihdfnameconvention)
+        boxsize = hdr.boxsize
+        opt.a = hdr.time if opt.icosmologicalin else 1.0
+        opt.Omega_m = hdr.omega0 or opt.Omega_m
+        opt.Omega_Lambda = hdr.omega_lambda or opt.Omega_Lambda
+        opt.h = hdr.hubble_param or opt.h
+        ntot = int(hdr.npart_total.sum()) or len(pos)
+    elif opt.inputtype == C.IOTIPSY:
+        from .io import tipsy as tipsy_io
+
+        hdr, pos, vel, pids, ptype, mass = tipsy_io.read_tipsy(opt.fname)
+        boxsize = opt.p
+        ntot = len(pos)
+    else:
+        raise NotImplementedError(
+            f"input type {opt.inputtype} not implemented yet "
+            "(gadget=1, hdf=2, tipsy=3 supported)")
+
+    # unit conversions (reference readers apply l/v/m conversions inline)
+    if opt.lengthinputconversion != 1.0:
+        pos = pos * opt.lengthinputconversion
+        boxsize = boxsize * opt.lengthinputconversion
+    if opt.velocityinputconversion != 1.0:
+        vel = vel * opt.velocityinputconversion
+    if opt.massinputconversion != 1.0:
+        mass = mass * opt.massinputconversion
+    # interparticle spacing -> linking length scale
+    # (reference gadgetio.cxx:1417 / hdfio.cxx:1967)
+    if opt.icosmologicalin and boxsize > 0:
+        opt.ellxscale = units.interparticle_spacing(boxsize, ntot)
+        opt.p = boxsize
+    return pos, vel, pids, ptype, mass, boxsize if boxsize > 0 else None
+
+
+def run(opt: C.Options) -> pipeline.CatalogResult:
+    """Full standalone run: read, search, write (reference main())."""
+    timer = PhaseTimer(verbose=opt.iverbose)
+    with timer.phase("read"):
+        pos, vel, pids, ptype, mass, boxsize = read_snapshot(opt)
+    res = pipeline.find_structures(opt, pos, vel, mass, boxsize=boxsize)
+    for k, v in res.timings.items():
+        timer.record(k, v)
+
+    with timer.phase("output"):
+        ng = res.ngroups
+        efrac = None
+        id_mbp = id_minpot = None
+        order_bind = None
+        if res.W is not None and ng > 0:
+            import jax.numpy as jnp
+
+            gcmvel = jnp.asarray(res.props["gcmvel"])
+            ngp = len(res.props["gmass"]) - 1
+            perm, mbp, minpot = unbind_mod.sort_by_binding_energy(
+                jnp.asarray(vel), jnp.asarray(mass),
+                jnp.asarray(np.minimum(res.pfof, ngp)),
+                jnp.asarray(res.W), ngp, gcmvel)
+            order_bind = np.asarray(perm)
+            mbp_np = np.asarray(mbp)[1:ng + 1]
+            minpot_np = np.asarray(minpot)[1:ng + 1]
+            okb = (mbp_np >= 0) & (mbp_np < len(pids))
+            id_mbp = np.where(okb, pids[np.clip(mbp_np, 0, len(pids) - 1)], -1)
+            id_minpot = np.where(okb, pids[np.clip(minpot_np, 0,
+                                                   len(pids) - 1)], -1)
+        numsub = None
+        if res.parent is not None:
+            numsub = np.zeros(ng + 1, np.int64)
+            for g in range(1, ng + 1):
+                pg = res.parent[g]
+                if pg > 0:
+                    numsub[pg] += 1
+        cols = writers.properties_table(
+            opt, res.props, ng, hostid=res.hostid, numsubstruct=numsub,
+            id_mbp=id_mbp, id_minpot=id_minpot)
+        writers.write_properties(opt, opt.outname, cols, ng)
+        writers.write_group_catalog(opt, opt.outname, res.pfof, pids, ng,
+                                    order_within_group=order_bind,
+                                    ptype=ptype)
+        writers.write_hierarchy(
+            opt, opt.outname,
+            res.parent if res.parent is not None
+            else np.zeros(ng + 1, np.int64), ng)
+        writers.write_config_info(opt, opt.outname)
+        writers.write_sim_info(opt, opt.outname)
+        writers.write_unit_info(opt, opt.outname)
+        if opt.iwritefof:
+            writers.write_fof_grp(opt.outname,
+                                  res.pfof if res.pfof3d is None
+                                  else res.pfof3d)
+    timer.report()
+    return res
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    opt = C.parse_config_file(args.config)
+    opt.fname = args.input
+    opt.inputtype = args.inputtype
+    opt.num_files = args.num_files
+    opt.nsnapread = args.nsnapread
+    if args.output:
+        opt.outname = args.output
+    if args.verbose is not None:
+        opt.iverbose = args.verbose
+    if not opt.outname:
+        print("No output name given (config Output= or -o), terminating",
+              file=sys.stderr)
+        return 9
+    C.config_check(opt)
+    res = run(opt)
+    print(f"Found {res.ngroups} structures; catalogs written to "
+          f"{opt.outname}.*")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,47 @@
+"""Velocity-density checkpoint cache.
+
+The reference's only checkpoint/resume facility: the local velocity density
+field can be written after computation and re-read on re-runs to skip the
+most expensive phase (/root/reference/src/io.cxx:178-251
+``ReadLocalVelocityDensity``/``WriteLocalVelocityDensity``; enabled by the
+``Output_den`` config key, main.cxx:271-275).  Stored as .npz keyed by a
+content hash of the particle ids so a stale cache is never applied.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def _fingerprint(pids: np.ndarray) -> np.ndarray:
+    pids = np.asarray(pids)
+    return np.array([len(pids),
+                     int(np.bitwise_xor.reduce(pids.astype(np.int64)))
+                     if len(pids) else 0])
+
+
+def write_local_velocity_density(fname: str, density: np.ndarray,
+                                 pids: np.ndarray) -> None:
+    np.savez_compressed(fname, density=np.asarray(density),
+                        fingerprint=_fingerprint(pids))
+
+
+def read_local_velocity_density(fname: str,
+                                pids: np.ndarray) -> Optional[np.ndarray]:
+    """Returns the cached densities or None (missing / mismatched)."""
+    path = fname if fname.endswith(".npz") else fname + ".npz"
+    if not os.path.exists(path):
+        if os.path.exists(fname):
+            path = fname
+        else:
+            return None
+    try:
+        with np.load(path) as z:
+            if np.array_equal(z["fingerprint"], _fingerprint(pids)):
+                return z["density"]
+    except Exception:
+        return None
+    return None

@@ -42,7 +42,8 @@ class CatalogResult:
     pfof3d: Optional[np.ndarray] = None  # parent 3DFOF ids when 6D ran
     timings: Dict[str, float] = field(default_factory=dict)
     # substructure outputs (filled when iSubSearch)
-    hostid: Optional[np.ndarray] = None  # parent group id per group (-1 field)
+    hostid: Optional[np.ndarray] = None  # top host per group (-1 = field)
+    parent: Optional[np.ndarray] = None  # direct parent gid (0 = field)
     hierarchy_level: Optional[np.ndarray] = None
 
 
@@ -69,6 +70,16 @@ def find_structures(opt: C.Options, pos, vel, mass,
         jax.block_until_ready(pfof)
         timings["unbind"] = time.time() - t0
 
+    hostid = parent = level = None
+    if opt.iSubSearch and ng > 0:
+        t0 = time.time()
+        from . import substructure as sub_mod
+
+        pfof, ng, hostid, parent, level = sub_mod.search_sub_sub(
+            opt, pos, vel, mass, np.asarray(pfof), ng, boxsize=boxsize)
+        pfof = jnp.asarray(pfof)
+        timings["substructure"] = time.time() - t0
+
     t0 = time.time()
     ngpad = _pad_pow2(max(ng, 1))
     pr = props_mod.compute_properties(
@@ -90,4 +101,5 @@ def find_structures(opt: C.Options, pos, vel, mass,
         pfof=np.asarray(pfof), ngroups=ng, props=props_np,
         W=None if W is None else np.asarray(W),
         pfof3d=None if fres.pfof3d is None else np.asarray(fres.pfof3d),
-        timings=timings)
+        timings=timings, hostid=hostid,
+        hierarchy_level=level, parent=parent)
