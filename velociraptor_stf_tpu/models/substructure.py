@@ -358,6 +358,20 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             sub_pfof, ng_sub = search_subset(opt, jnp.asarray(ppos),
                                              jnp.asarray(pvel),
                                              jnp.asarray(pmass), ell)
+            # merger-remnant core search (reference search.cxx:1530,
+            # HaloCoreGrowth): cores beyond the main one become substructures
+            if opt.iHaloCoreSearch > 0 and level <= opt.maxnlevelcoresearch:
+                core, ncores = halo_core_search(opt, ppos, pvel, pmass,
+                                                valid, sub_pfof,
+                                                sublevel=level)
+                if ncores >= 2:
+                    core_np = np.asarray(core)
+                    sub_np0 = np.asarray(sub_pfof)
+                    extra = (core_np > 1) & (sub_np0 == 0)
+                    sub_pfof = jnp.asarray(
+                        np.where(extra, core_np - 1 + ng_sub, sub_np0)
+                    ).astype(jnp.int32)
+                    ng_sub += ncores - 1
             if ng_sub > 0 and opt.uinfo.unbindflag:
                 ures = unbind_mod.check_unbound_groups(
                     ppos, pvel, pmass, sub_pfof, _next_pow2(ng_sub, 16),
@@ -386,3 +400,130 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             p = parent[p]
         hostid[g] = p if p != g else -1
     return pfof_all, ng_total, hostid, parent, level_of
+
+
+# ---------------------------------------------------------------------------
+# Halo core search (merger remnants)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Pred6DCore:
+    """FOF6d criterion restricted to eligible (untagged) particles
+    (reference FOF6d + FOFcheckbg gating, search.cxx:1596-1600)."""
+
+    b2: float
+    v2: float
+
+    def __call__(self, d2, own, nbr):
+        dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+        ok = d2 / self.b2 + dv2 / self.v2 <= 1.0
+        return ok & (own["elig"] > 0) & (nbr["elig"] > 0)
+
+
+def halo_core_search(opt: C.Options, pos, vel, mass, valid, pfof_sub,
+                     sublevel: int = 1):
+    """6DFOF core search with shrinking linking lengths + phase-tensor core
+    growth (reference search.cxx:1530-1816 and HaloCoreGrowth:1817).
+
+    ``pfof_sub``: existing substructure ids (those particles are ignored).
+    Returns (core_id (N,), ncores) where core 1 is the halo's main core and
+    cores 2..ncores are merger-remnant candidates to be promoted to
+    substructures (reference iHaloCoreSearch==2 semantics).
+    """
+    pos = jnp.asarray(pos)
+    vel = jnp.asarray(vel)
+    mass = jnp.asarray(mass)
+    n = pos.shape[0]
+    valid = jnp.asarray(valid)
+    nvalid = int(np.asarray(jax.device_get(jnp.sum(valid))))
+
+    # halo velocity dispersion (1D average), reference HaloSigmaV
+    w = jnp.where(valid, mass, 0.0)
+    mtot = jnp.maximum(jnp.sum(w), 1e-30)
+    vmean = jnp.sum(vel * w[:, None], 0) / mtot
+    sigv2 = jnp.sum(jnp.sum((vel - vmean) ** 2, -1) * w) / mtot / 3.0
+    sigv2 = float(np.asarray(jax.device_get(sigv2)))
+
+    ellx = opt.ellxscale * opt.ellphys * opt.ellhalophysfac * \
+        opt.halocorexfac * opt.halocorexfac ** (sublevel - 1)
+    ellx2 = ellx * ellx
+    ellv2 = sigv2 * opt.halocorevfac ** 2
+    minsize = max(int(nvalid * opt.halocorenfac *
+                      opt.halocorenumfaciter ** (sublevel - 1)), opt.MinSize)
+
+    core = jnp.zeros(n, jnp.int32)
+    ncores = 0
+    for loop in range(max(1, opt.halocorenumloops)):
+        # eligible: untagged by substructure search and (first loop) any
+        # particle, later loops only the current main core's particles
+        if loop == 0:
+            elig = valid & (jnp.asarray(pfof_sub) == 0)
+        else:
+            elig = valid & (jnp.asarray(pfof_sub) == 0) & (core == 1)
+        pred = Pred6DCore(float(ellx2), float(max(ellv2, 1e-30)))
+        pfc, ngc = fof.fof3d(
+            pos, math.sqrt(ellx2), min_size=minsize, vel=vel,
+            extra_fields={"elig": elig.astype(jnp.int32)}, predicate=pred)
+        ngc = int(jax.device_get(ngc))
+        if ngc == 0:
+            break
+        pfc = jnp.asarray(pfc)
+        if loop == 0:
+            core = pfc
+            ncores = ngc
+        else:
+            # refined main core replaces core 1; extra groups appended
+            core = jnp.where((core == 1) & (pfc == 0), 0, core)
+            core = jnp.where(pfc == 1, 1, core)
+            if ngc > 1:
+                core = jnp.where(pfc > 1, pfc - 1 + ncores, core)
+                ncores += ngc - 1
+        ellx2 *= opt.halocorexfaciter ** 2
+        ellv2 *= opt.halocorevfaciter ** 2
+        minsize = max(int(minsize * opt.halocorenumfaciter), opt.MinSize)
+        if minsize * opt.halocorenumfaciter >= nvalid:
+            break
+    if ncores < 2:
+        return jnp.zeros(n, jnp.int32), 0
+
+    # phase-tensor core growth (reference HaloCoreGrowth with
+    # iPhaseCoreGrowth: Mahalanobis assignment using per-core 6D phase
+    # dispersion tensors, iterated)
+    if opt.iHaloCoreSearch >= 2 and opt.iPhaseCoreGrowth:
+        core = _phase_tensor_growth(pos, vel, mass, valid,
+                                    jnp.asarray(pfof_sub), core, ncores)
+    return core, ncores
+
+
+@partial(jax.jit, static_argnames=("ncores", "iters"))
+def _phase_tensor_growth(pos, vel, mass, valid, pfof_sub, core,
+                         ncores: int, iters: int = 4):
+    """Assign untagged halo particles to the phase-space-nearest core."""
+    n = pos.shape[0]
+    nc1 = ncores + 1
+    phase = jnp.concatenate([pos, vel], axis=1)              # (N,6)
+    assignable = valid & (pfof_sub == 0)
+
+    def step(core, _):
+        w = jnp.where((core > 0) & valid, mass, 0.0)
+        msum = jnp.maximum(
+            jax.ops.segment_sum(w, core, num_segments=nc1), 1e-30)
+        mu = jax.ops.segment_sum(phase * w[:, None], core,
+                                 num_segments=nc1) / msum[:, None]
+        d = phase - mu[core]
+        cov = jax.ops.segment_sum(
+            d[:, :, None] * d[:, None, :] * w[:, None, None], core,
+            num_segments=nc1) / msum[:, None, None]
+        tr = jnp.trace(cov, axis1=1, axis2=2) / 6.0
+        cov = cov + (1e-6 * jnp.maximum(tr, 1e-20))[:, None, None] * \
+            jnp.eye(6, dtype=pos.dtype)[None]
+        icov = jnp.linalg.inv(cov)                           # (nc1,6,6)
+        # Mahalanobis distance of every particle to every core
+        dd = phase[:, None, :] - mu[None, 1:, :]             # (N,nc,6)
+        md = jnp.einsum("nci,cij,ncj->nc", dd, icov[1:], dd)
+        best = jnp.argmin(md, axis=1).astype(jnp.int32) + 1
+        newcore = jnp.where(assignable, best, core)
+        return newcore, None
+
+    core, _ = jax.lax.scan(step, core, None, length=iters)
+    return core
