@@ -34,6 +34,14 @@ h_val=0.7
 Binary_output=2
 Verbose=0
 Write_group_array_file=1
+Calculate_aperture_quantities=1
+Number_of_apertures=2
+Aperture_values_in_kpc=50,200,
+Number_of_projected_apertures=1
+Projected_aperture_values_in_kpc=100,
+Number_of_overdensities=2
+Overdensity_values_in_critical_density=500,2500,
+Extensive_halo_properties_output=1
 """
 
 

@@ -100,7 +100,9 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
         "Mass_200mean": get("gM200m"),
         "Mass_200crit": M200c,
         "Mass_BN98": get("gMBN98"),
-        "Efrac": efrac if efrac is not None else np.ones(ngroups),
+        "Efrac": efrac if efrac is not None else
+        (np.asarray(props["Efrac"])[g] if "Efrac" in props
+         else np.ones(ngroups)),
         "Rvir": get("gRvir"),
         "R_size": get("gsize"),
         "R_200mean": get("gR200m"),
@@ -116,12 +118,45 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
         "cNFW": get("cNFW"),
         "Krot": get("Krot"),
         "Ekin": get("Ekin"),
-        "Epot": epot if epot is not None else z.copy(),
+        "Epot": epot if epot is not None else
+        (np.asarray(props["Epot"])[g] if "Epot" in props else z.copy()),
     }
     for i, a in enumerate("xyz"):
         for j, b in enumerate("xyz"):
             cols[f"veldisp_{a}{b}"] = vd[:, i, j]
             cols[f"eig_{a}{b}"] = eig[:, i, j]
+    if "Efrac" in props:
+        cols["Efrac"] = np.asarray(props["Efrac"])[g]
+    if "Epot" in props:
+        cols["Epot"] = np.asarray(props["Epot"])[g]
+    # aperture columns (reference Aperture_mass_<value>_kpc naming)
+    for ai, a in enumerate(opt.aperture_values_kpc):
+        for src_key, out_key in ((f"Aperture_mass_{ai}", "Aperture_mass"),
+                                 (f"Aperture_npart_{ai}", "Aperture_npart"),
+                                 (f"Aperture_veldisp_{ai}",
+                                  "Aperture_veldisp")):
+            if src_key in props:
+                cols[f"{out_key}_{a:g}_kpc"] = np.asarray(props[src_key])[g]
+    for ai, a in enumerate(opt.aperture_proj_values_kpc):
+        for pi, tag in enumerate(("xy", "xz", "yz")):
+            k2 = f"Projected_aperture_{ai}_mass_proj{pi}"
+            if k2 in props:
+                cols[f"Projected_aperture_{a:g}_kpc_mass_{tag}"] = \
+                    np.asarray(props[k2])[g]
+    # RVmax columns
+    if "RVmax_sigV" in props:
+        cols["RVmax_sigV"] = np.asarray(props["RVmax_sigV"])[g]
+        RJ = np.asarray(props["RVmax_L"])[g]
+        cols["RVmax_Lx"], cols["RVmax_Ly"], cols["RVmax_Lz"] = \
+            RJ[:, 0], RJ[:, 1], RJ[:, 2]
+        cols["RVmax_q"] = np.asarray(props["RVmax_q"])[g]
+        cols["RVmax_s"] = np.asarray(props["RVmax_s"])[g]
+        rvd = np.asarray(props["RVmax_veldisp"])[g]
+        rev = np.asarray(props["RVmax_eigvec"])[g]
+        for i, a in enumerate("xyz"):
+            for j, b in enumerate("xyz"):
+                cols[f"RVmax_veldisp_{a}{b}"] = rvd[:, i, j]
+                cols[f"RVmax_eig_{a}{b}"] = rev[:, i, j]
     # SO list columns (reference: SO_Mass_<value>_rhocrit etc.)
     if "SO_mass" in props and props["SO_mass"].shape[-1] > 0:
         for i, thr in enumerate(opt.SOthresholds_values_crit):

@@ -93,6 +93,30 @@ def find_structures(opt: C.Options, pos, vel, mass,
         min_size=opt.MinSize,
         iIterateCM=bool(opt.iIterateCM),
         cmfrac=opt.pinfo.cmfrac, cmadjustfac=opt.pinfo.cmadjustfac)
+    # extended properties: apertures / profiles / RVmax / energies
+    if opt.iaperturecalc or opt.iprofilecalc:
+        to_int = 1.0 / opt.lengthtokpc if opt.lengthtokpc > 0 else 1.0
+        aps = tuple(a * to_int for a in opt.aperture_values_kpc) \
+            if opt.iaperturecalc else ()
+        aps_proj = tuple(a * to_int for a in opt.aperture_proj_values_kpc) \
+            if opt.iaperturecalc else ()
+        edges = tuple(opt.profile_bin_edges) if opt.iprofilecalc else ()
+        extra = props_mod.compute_aperture_properties(
+            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+            jnp.asarray(pfof), ngpad, refpos=pr["gcm"], refvel=pr["gcmvel"],
+            apertures=aps, apertures_proj=aps_proj, profile_edges=edges,
+            iprofilenorm=opt.iprofilenorm, R200c=pr["gR200c"])
+        pr.update(extra)
+    if opt.iextrahalooutput:
+        pr.update(props_mod.compute_rvmax_properties(
+            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+            jnp.asarray(pfof), ngpad, refpos=pr["gcm"],
+            refvel=pr["gcmvel"], rmax=pr["gRmaxvel"]))
+    if W is not None:
+        pr.update(props_mod.compute_energies(
+            jnp.asarray(vel), jnp.asarray(mass), jnp.asarray(pfof),
+            jnp.asarray(W), ngpad, pr["gcmvel"],
+            jnp.asarray(opt.uinfo.Eratio, jnp.float32)))
     jax.block_until_ready(pr["gmass"])
     timings["properties"] = time.time() - t0
 

@@ -286,3 +286,128 @@ def compute_properties(
     for k_, v in props.items():
         props[k_] = v.at[0].set(jnp.zeros_like(v[0]))
     return props
+
+
+@partial(jax.jit, static_argnames=("num_groups", "apertures",
+                                   "apertures_proj", "profile_edges",
+                                   "iprofilenorm"))
+def compute_aperture_properties(
+    pos, vel, mass, pfof, num_groups: int, *,
+    refpos, refvel,
+    apertures: Tuple[float, ...] = (),
+    apertures_proj: Tuple[float, ...] = (),
+    profile_edges: Tuple[float, ...] = (),
+    iprofilenorm: int = 0,
+    R200c=None,
+) -> Dict[str, jnp.ndarray]:
+    """Aperture masses/counts/dispersions, projected aperture masses and
+    radial mass profiles.
+
+    Reference: ``CalculateApertureQuantities``
+    (/root/reference/src/substructureproperties.cxx:4539) and the radial-bin
+    accumulation ``AddParticleToRadialBin`` (:941-951); aperture values are
+    in internal length units (converted from kpc by the caller), profile
+    bins are log10 radius normalised by R200c (``Radial_profile_norm=0``) or
+    physical.
+    """
+    n = pos.shape[0]
+    ng1 = num_groups + 1
+    out: Dict[str, jnp.ndarray] = {}
+    dx = pos - refpos[pfof]
+    dv = vel - refvel[pfof]
+    r2 = jnp.sum(dx * dx, -1)
+    ing = pfof > 0
+
+    for ai, a in enumerate(apertures):
+        sel = ing & (r2 < a * a)
+        w = jnp.where(sel, mass, 0.0)
+        m_ap = seg.segment_sum(w, pfof, ng1)
+        n_ap = seg.segment_sum(sel.astype(jnp.int32), pfof, ng1)
+        vm = seg.segment_mean(vel, w, pfof, ng1)
+        dv2 = jnp.sum((vel - vm[pfof]) ** 2, -1)
+        sig = jnp.sqrt(jnp.maximum(
+            seg.segment_sum(jnp.where(sel, dv2 * mass, 0.0), pfof, ng1) /
+            jnp.maximum(m_ap, 1e-30) / 3.0, 0.0))
+        out[f"Aperture_mass_{ai}"] = m_ap
+        out[f"Aperture_npart_{ai}"] = n_ap
+        out[f"Aperture_veldisp_{ai}"] = sig
+        # half-mass radius within the aperture is deferred (needs sort)
+
+    # projected apertures over the 3 coordinate projections (reference
+    # aperture_proj x/y/z)
+    for ai, a in enumerate(apertures_proj):
+        for pi, (i0, i1) in enumerate(((0, 1), (0, 2), (1, 2))):
+            rp2 = dx[:, i0] ** 2 + dx[:, i1] ** 2
+            sel = ing & (rp2 < a * a)
+            m_ap = seg.segment_sum(jnp.where(sel, mass, 0.0), pfof, ng1)
+            out[f"Projected_aperture_{ai}_mass_proj{pi}"] = m_ap
+
+    if profile_edges:
+        edges = jnp.asarray(profile_edges, pos.dtype)   # log10 bin edges
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        if iprofilenorm == 0 and R200c is not None:
+            rn = r / jnp.maximum(R200c[pfof], 1e-30)
+        else:
+            rn = r
+        ib = jnp.searchsorted(edges, jnp.log10(jnp.maximum(rn, 1e-30))
+                              ).astype(jnp.int32)
+        nb = len(profile_edges) + 1
+        flat = jnp.where(ing, pfof * nb + ib, ng1 * nb)
+        prof = jnp.zeros(ng1 * nb + 1, pos.dtype).at[flat].add(mass)
+        npart = jnp.zeros(ng1 * nb + 1, jnp.int32).at[flat].add(1)
+        out["Mass_profile"] = prof[:ng1 * nb].reshape(ng1, nb)
+        out["Npart_profile"] = npart[:ng1 * nb].reshape(ng1, nb)
+    return out
+
+
+@partial(jax.jit, static_argnames=("num_groups",))
+def compute_rvmax_properties(pos, vel, mass, pfof, num_groups: int, *,
+                             refpos, refvel, rmax) -> Dict[str, jnp.ndarray]:
+    """Kinematics within R_Vmax (reference RVmax_* fields,
+    substructureproperties.cxx:430-520): dispersion tensor, sigV, angular
+    momentum, shape within the radius of maximum circular velocity."""
+    n = pos.shape[0]
+    ng1 = num_groups + 1
+    dx = pos - refpos[pfof]
+    dv = vel - refvel[pfof]
+    r2 = jnp.sum(dx * dx, -1)
+    sel = (pfof > 0) & (r2 < rmax[pfof] ** 2)
+    w = jnp.where(sel, mass, 0.0)
+    msum = jnp.maximum(seg.segment_sum(w, pfof, ng1), 1e-30)
+    vouter = dv[:, :, None] * dv[:, None, :] * w[:, None, None]
+    vd = seg.segment_sum(vouter, pfof, ng1) / msum[:, None, None]
+    J = seg.segment_sum(jnp.cross(dx, dv) * w[:, None], pfof, ng1)
+    iten = seg.segment_sum(dx[:, :, None] * dx[:, None, :] *
+                           w[:, None, None], pfof, ng1) / msum[:, None, None]
+    evals, evecs = jnp.linalg.eigh(iten)
+    lam = jnp.maximum(evals[:, 2], 1e-30)
+    return {
+        "RVmax_veldisp": vd,
+        "RVmax_sigV": jnp.power(jnp.maximum(jnp.linalg.det(vd), 1e-30),
+                                1.0 / 6.0),
+        "RVmax_L": J,
+        "RVmax_q": jnp.sqrt(evals[:, 1] / lam),
+        "RVmax_s": jnp.sqrt(jnp.maximum(evals[:, 0], 0.0) / lam),
+        "RVmax_eigvec": evecs,
+        "RVmax_npart": seg.segment_sum(sel.astype(jnp.int32), pfof, ng1),
+    }
+
+
+@partial(jax.jit, static_argnames=("num_groups",))
+def compute_energies(vel, mass, pfof, W, num_groups: int, gcmvel,
+                     Eratio) -> Dict[str, jnp.ndarray]:
+    """Efrac (bound mass fraction) and Epot/Ekin totals per group
+    (reference GetBindingEnergy, substructureproperties.cxx:3884)."""
+    ng1 = num_groups + 1
+    dv = vel - gcmvel[pfof]
+    T = 0.5 * mass * jnp.sum(dv * dv, -1)
+    E = Eratio * T + W
+    ing = pfof > 0
+    mtot = jnp.maximum(
+        seg.segment_sum(jnp.where(ing, mass, 0.0), pfof, ng1), 1e-30)
+    mbound = seg.segment_sum(jnp.where(ing & (E < 0), mass, 0.0), pfof, ng1)
+    return {
+        "Efrac": mbound / mtot,
+        "Epot": 0.5 * seg.segment_sum(jnp.where(ing, W, 0.0), pfof, ng1),
+        "Ekin_unbind": seg.segment_sum(jnp.where(ing, T, 0.0), pfof, ng1),
+    }
