@@ -18,6 +18,12 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: axon compiles are slow and the tunnel worker
+    # occasionally dies mid-compile; caching lets a retry resume quickly
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("VR_JAX_CACHE", "/tmp/vr_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from velociraptor_stf_tpu.io.synthetic import make_cosmo_mock
     from velociraptor_stf_tpu.models.pipeline import find_structures
     from velociraptor_stf_tpu.utils import config as C
