@@ -1,0 +1,130 @@
+"""Baryon association with dark-matter structures.
+
+TPU-native equivalent of the reference ``SearchBaryons``
+(/root/reference/src/search.cxx:3053-3588): after the DM-only structure
+search, every gas/star/BH particle is assigned to the group of its
+phase-space-nearest tagged DM particle, provided that DM particle lies
+within the scaled linking length (:3201+).  The reference then re-runs
+unbinding with baryons included; the caller does the same here.
+
+The MPI baryon export/exchange machinery (mpiroutines.cxx:2170-3031)
+disappears: the assignment is one global nearest-tagged-neighbour sweep
+over the combined particle set (ops/fof.py::nearest_assign_sweep).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fof
+from ..ops.cells import bin_particles, build_grid
+from ..utils import config as C
+
+
+@dataclasses.dataclass(frozen=True)
+class PhaseMetric:
+    """Phase-space distance dx^2/ellx^2 + dv^2/ellv^2; eligible pairs are
+    (baryon assignee, tagged DM candidate)."""
+
+    ellx2: float
+    ellv2: float
+
+    def __call__(self, d2, own, nbr):
+        dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+        dist = d2 / self.ellx2 + dv2 / self.ellv2
+        elig = (own["isb"] > 0) & (nbr["isb"] == 0) & (dist <= 1.0)
+        return dist, elig
+
+
+def search_baryons(opt: C.Options, pos_dm, vel_dm, pfof_dm,
+                   pos_b, vel_b,
+                   boxsize: Optional[float] = None,
+                   vscale2: Optional[float] = None
+                   ) -> jnp.ndarray:
+    """Assign baryons to DM groups; returns (Nb,) group ids (0=unassigned).
+
+    Linking length: the halo linking length scaled like the reference's
+    baryon search (physical ell * ellhalophysfac); velocity scale: the
+    global halo dispersion (opt.HaloVelDispScale or measured here).
+    """
+    pos_dm = jnp.asarray(pos_dm)
+    vel_dm = jnp.asarray(vel_dm)
+    pos_b = jnp.asarray(pos_b)
+    vel_b = jnp.asarray(vel_b)
+    pfof_dm = jnp.asarray(pfof_dm)
+    nd, nb = pos_dm.shape[0], pos_b.shape[0]
+
+    ellx = opt.ellphys * opt.ellxscale * opt.ellhalophysfac
+    if vscale2 is None:
+        if opt.HaloVelDispScale > 0:
+            vscale2 = opt.HaloVelDispScale
+        else:
+            sel = pfof_dm > 0
+            w = sel.astype(pos_dm.dtype)
+            mt = jnp.maximum(jnp.sum(w), 1.0)
+            vm = jnp.sum(vel_dm * w[:, None], 0) / mt
+            vscale2 = float(jax.device_get(
+                jnp.sum(jnp.sum((vel_dm - vm) ** 2, -1) * w) / mt))
+    ellv2 = max(vscale2, 1e-30) * opt.ellhalovelfac ** 2
+
+    pos = jnp.concatenate([pos_dm, pos_b])
+    vel = jnp.concatenate([vel_dm, vel_b])
+    isb = jnp.concatenate([jnp.zeros(nd, jnp.int32),
+                           jnp.ones(nb, jnp.int32)])
+    groups = jnp.concatenate([pfof_dm.astype(jnp.int32),
+                              jnp.zeros(nb, jnp.int32)])
+    n = nd + nb
+
+    lo = np.asarray(jax.device_get(jnp.min(pos, 0)))
+    hi = np.asarray(jax.device_get(jnp.max(pos, 0)))
+    periodic = boxsize is not None and boxsize > 0
+    grid = build_grid(lo, hi, ellx, periodic=periodic,
+                      boxsize=boxsize or 0.0)
+    binning = bin_particles(pos, grid)
+    kmax, ncocc = jax.device_get((jnp.max(binning.cell_count),
+                                  binning.num_cells))
+    cap = fof._round_capacity(int(kmax))
+    tc = 16
+    while tc < int(ncocc):
+        tc *= 2
+    tc = min(tc, n)
+
+    order = binning.order
+    metric = PhaseMetric(float(ellx * ellx), float(ellv2))
+    grp_sorted, _ = _assign(pos[order], vel[order], isb[order],
+                            groups[order], binning, grid, metric, cap, tc)
+    grp = jnp.zeros(n, jnp.int32).at[order].set(grp_sorted)
+    return grp[nd:]
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("grid", "metric", "capacity",
+                                   "tile_cells"))
+def _assign(pos_s, vel_s, isb_s, groups_s, binning, grid, metric,
+            capacity: int, tile_cells: int):
+    W = 3 * capacity
+    pos_pad = fof._pad_flat(pos_s, W, 0)
+    fields_pad = {
+        "vel": fof._pad_flat(vel_s, W, 0),
+        "isb": fof._pad_flat(isb_s, W, 0),
+    }
+    own_start = binning.cell_start[:tile_cells]
+    own_cnt = jnp.where(binning.ucid[:tile_cells] == fof.INT32_MAX, 0,
+                        binning.cell_count[:tile_cells])
+    windows = fof.neighbor_windows(binning, grid, tile_cells)
+    dist0 = jnp.full(pos_s.shape[0], jnp.inf, pos_s.dtype)
+    dist_pad = fof._pad_flat(dist0, W, np.inf)
+    grp, dist = fof.nearest_assign_sweep(
+        groups_s, dist_pad, pos_pad, fields_pad, own_start, own_cnt,
+        windows, grid, capacity, metric)
+    # keep existing DM assignments
+    grp = jnp.where(isb_s > 0, grp, groups_s)
+    return grp, dist

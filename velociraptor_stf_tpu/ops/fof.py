@@ -455,3 +455,79 @@ def fof3d(
     if return_order:
         return pfof, ngroups, order
     return pfof, ngroups
+
+
+def nearest_assign_sweep(
+    groups: jnp.ndarray,
+    dist_pad: jnp.ndarray,
+    pos_pad: jnp.ndarray,
+    fields_pad: Dict[str, jnp.ndarray],
+    own_start: jnp.ndarray,
+    own_cnt: jnp.ndarray,
+    windows,
+    grid: CellGrid,
+    capacity: int,
+    metric,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Assign each particle to the group of its nearest *tagged* neighbour.
+
+    ``metric(d2, own, nbr) -> (dist, eligible)``: generalised distance and a
+    bool gate per pair.  Returns (best_group, best_dist) per sorted
+    particle; untouched slots keep (0, +inf).  Used for the baryon
+    phase-space association (reference SearchBaryons, search.cxx:3201+)
+    where every baryon adopts the group of the phase-space-nearest tagged
+    DM particle.
+    """
+    n = groups.shape[0]
+    K = capacity
+    W = 3 * K
+    awin_s, awin_c, bwin_s, bwin_c = windows
+    groups_pad = _pad_flat(groups, W, 0)
+
+    karange = jnp.arange(K, dtype=jnp.int32)
+    own_pos = _slice_tile(pos_pad, own_start, K)
+    own_valid = karange[None, :] < own_cnt[:, None]
+    own_fields = {k: _slice_tile(v, own_start, K)
+                  for k, v in fields_pad.items()}
+    best_d = _slice_tile(dist_pad, own_start, K)
+    best_g = jnp.zeros_like(own_valid, jnp.int32)
+
+    def scan_window(carry, sw):
+        best_d, best_g = carry
+        s, cnt, width = sw
+        nbr_pos = _slice_tile(pos_pad, s, width)
+        nbr_grp = _slice_tile(groups_pad, s, width)
+        nbr_fields = {k: _slice_tile(v, s, width)
+                      for k, v in fields_pad.items()}
+
+        def body(w, carry):
+            best_d, best_g = carry
+            d2 = _pair_d2_bcast(own_pos, nbr_pos[:, w][:, None, :], grid)
+            nbr_w = {k: v[:, w][:, None] if v.ndim == 2
+                     else v[:, w][:, None, :] for k, v in nbr_fields.items()}
+            dist, elig = metric(d2, own_fields, nbr_w)
+            g_w = nbr_grp[:, w][:, None]
+            ok = elig & (g_w > 0) & own_valid & (w < cnt)[:, None] & \
+                (dist < best_d)
+            return (jnp.where(ok, dist, best_d),
+                    jnp.where(ok, g_w, best_g))
+
+        return jax.lax.fori_loop(0, width, body, (best_d, best_g)), None
+
+    for o in range(9):
+        (best_d, best_g), _ = scan_window((best_d, best_g),
+                                          (awin_s[o], awin_c[o], W))
+    if grid.periodic and grid.ncells[2] >= 3:
+        for o in range(9):
+            (best_d, best_g), _ = scan_window((best_d, best_g),
+                                              (bwin_s[o], bwin_c[o], K))
+
+    out_idx = jnp.where(own_valid, own_start[:, None] + karange[None, :], n)
+    dist_out = jnp.full((n,), jnp.inf, pos_pad.dtype).at[
+        out_idx.reshape(-1)].min(best_d.reshape(-1), mode="drop")
+    grp_out = jnp.zeros((n,), jnp.int32)
+    # scatter group of the min: use set (each particle written exactly once
+    # since it belongs to exactly one cell tile slot)
+    grp_out = grp_out.at[out_idx.reshape(-1)].set(best_g.reshape(-1),
+                                                  mode="drop")
+    return grp_out, dist_out
