@@ -448,8 +448,8 @@ def fof3d(
             fields[k] = jnp.asarray(v)[order]
     if predicate is None:
         predicate = Pred3D(float(linking_length) ** 2)
-    labels = fof_labels_sorted(pos_s, fields, binning, grid, predicate,
-                               capacity, tile_cells)
+    labels = fof_labels_hostloop(pos_s, fields, binning, grid, predicate,
+                                 capacity, tile_cells)
     pfof_sorted, ngroups = renumber_by_size(labels, min_size, orig_index=order)
     pfof = jnp.zeros(n, jnp.int32).at[order].set(pfof_sorted)
     if return_order:
@@ -531,3 +531,61 @@ def nearest_assign_sweep(
     grp_out = grp_out.at[out_idx.reshape(-1)].set(best_g.reshape(-1),
                                                   mode="drop")
     return grp_out, dist_out
+
+
+@partial(jax.jit, static_argnames=("grid", "predicate", "capacity",
+                                   "tile_cells", "nsweeps"))
+def _sweep_block(labels, pos_pad, fields_pad, own_start, own_cnt, windows,
+                 binning_unused, grid, predicate, capacity: int,
+                 tile_cells: int, nsweeps: int):
+    """Run up to ``nsweeps`` hook+compress sweeps; returns (labels, changed).
+
+    Bounded work per device dispatch: the axon TPU tunnel kills kernels
+    that run for minutes, so the FOF fixed point is chunked host-side
+    instead of a single unbounded ``lax.while_loop``.
+    """
+    def sweep(labels):
+        nmin = neighbor_min_sweep(labels, pos_pad, fields_pad, own_start,
+                                  own_cnt, windows, grid, predicate,
+                                  capacity)
+        hooked = labels.at[labels].min(nmin)
+        l = hooked
+        for _ in range(3):
+            l = l[l]
+        return l
+
+    def body(state):
+        labels, _, it = state
+        new = sweep(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < nsweeps)
+
+    labels2, changed, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
+    return labels2, changed
+
+
+def fof_labels_hostloop(pos_sorted, fields, binning, grid, predicate,
+                        capacity: int, tile_cells: int,
+                        sweeps_per_call: int = 4,
+                        max_calls: int = 64) -> jnp.ndarray:
+    """FOF fixed point with host-side chunking (production driver path)."""
+    n = pos_sorted.shape[0]
+    W = 3 * capacity
+    pos_pad = _pad_flat(pos_sorted, W, 0)
+    fields_pad = {k: _pad_flat(v, W, 0) for k, v in fields.items()}
+    own_start = binning.cell_start[:tile_cells]
+    own_cnt = jnp.where(binning.ucid[:tile_cells] == INT32_MAX, 0,
+                        binning.cell_count[:tile_cells])
+    windows = neighbor_windows(binning, grid, tile_cells)
+    labels = jnp.arange(n, dtype=jnp.int32)
+    for _ in range(max_calls):
+        labels, changed = _sweep_block(
+            labels, pos_pad, fields_pad, own_start, own_cnt, windows, None,
+            grid, predicate, capacity, tile_cells, sweeps_per_call)
+        if not bool(jax.device_get(changed)):
+            break
+    return _compress(labels)
