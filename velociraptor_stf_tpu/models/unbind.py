@@ -93,8 +93,14 @@ def compute_potential(pos, mass, pfof, num_groups: int, eps: float,
                                    "min_size", "max_iters"))
 def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
                  Eratio, maxunbindfrac, min_size: int,
-                 cmvelreftype: int, max_iters: int = 100):
-    """Iterative ejection; returns (bound mask, iterations)."""
+                 cmvelreftype: int, max_iters: int = 100,
+                 bound0=None):
+    """Iterative ejection; returns (bound mask, changed flag).
+
+    ``max_iters`` bounds the device-side while_loop so a single dispatch
+    stays short; the caller re-invokes until converged (the axon tunnel
+    kills long-running kernels).
+    """
     n = vel.shape[0]
     ng1 = num_groups + 1
     in_group = pfof > 0
@@ -136,10 +142,11 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         changed = jnp.any(bound2 != bound)
         return bound2, changed, it + 1
 
-    bound0 = in_group
-    bound, _, iters = jax.lax.while_loop(
+    if bound0 is None:
+        bound0 = in_group
+    bound, changed, iters = jax.lax.while_loop(
         cond_fn, body_fn, (bound0, jnp.bool_(True), jnp.int32(0)))
-    return bound, iters
+    return bound, changed
 
 
 @dataclass
@@ -187,10 +194,15 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
     else:
         potref_vel = jnp.zeros((ng1, 3), pos.dtype)
 
-    bound, _ = _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups,
-                            jnp.asarray(uinfo.Eratio, pos.dtype),
-                            jnp.asarray(uinfo.maxunbindfrac, pos.dtype),
-                            min_size, uinfo.cmvelreftype)
+    bound = None
+    for _ in range(32):  # host-chunked: <= 8 device iterations per dispatch
+        bound, changed = _unbind_loop(
+            vel, mass, pfof, W, potref_vel, num_groups,
+            jnp.asarray(uinfo.Eratio, pos.dtype),
+            jnp.asarray(uinfo.maxunbindfrac, pos.dtype),
+            min_size, uinfo.cmvelreftype, max_iters=8, bound0=bound)
+        if not bool(jax.device_get(changed)):
+            break
 
     mass1 = seg.segment_sum(jnp.where(bound, mass, 0.0), pfof, ng1)
     Efrac = mass1 / jnp.maximum(mass0, 1e-30)
