@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import fof
-from ..ops.cells import bin_particles, build_grid
 from ..utils import config as C
 
 
@@ -81,50 +80,27 @@ def search_baryons(opt: C.Options, pos_dm, vel_dm, pfof_dm,
                               jnp.zeros(nb, jnp.int32)])
     n = nd + nb
 
-    lo = np.asarray(jax.device_get(jnp.min(pos, 0)))
-    hi = np.asarray(jax.device_get(jnp.max(pos, 0)))
-    periodic = boxsize is not None and boxsize > 0
-    grid = build_grid(lo, hi, ellx, periodic=periodic,
-                      boxsize=boxsize or 0.0)
-    binning = bin_particles(pos, grid)
-    kmax, ncocc = jax.device_get((jnp.max(binning.cell_count),
-                                  binning.num_cells))
-    cap = fof._round_capacity(int(kmax))
-    tc = 16
-    while tc < int(ncocc):
-        tc *= 2
-    tc = min(tc, n)
-
-    order = binning.order
     metric = PhaseMetric(float(ellx * ellx), float(ellv2))
-    grp_sorted, _ = _assign(pos[order], vel[order], isb[order],
-                            groups[order], binning, grid, metric, cap, tc)
-    grp = jnp.zeros(n, jnp.int32).at[order].set(grp_sorted)
+    edges, _, grid = fof.build_edges(
+        pos, ellx, boxsize=boxsize,
+        fields={"vel": vel, "isb": isb}, predicate=_MetricElig(metric))
+    order = edges.order
+    groups_s = groups[order]
+    grp_s, _ = fof.nearest_assign_edges(groups_s, edges.pos_s,
+                                        edges.fields_s, edges.erow,
+                                        edges.ecol, grid, metric)
+    # keep existing DM assignments
+    grp_s = jnp.where(edges.fields_s["isb"] > 0, grp_s, groups_s)
+    grp = jnp.zeros(n, jnp.int32).at[order].set(grp_s)
     return grp[nd:]
 
 
-from functools import partial
+@dataclasses.dataclass(frozen=True)
+class _MetricElig:
+    """Adapt a (dist, eligible) metric into a bool pair predicate for the
+    edge build (only eligible pairs become edges)."""
 
+    metric: object
 
-@partial(jax.jit, static_argnames=("grid", "metric", "capacity",
-                                   "tile_cells"))
-def _assign(pos_s, vel_s, isb_s, groups_s, binning, grid, metric,
-            capacity: int, tile_cells: int):
-    W = 3 * capacity
-    pos_pad = fof._pad_flat(pos_s, W, 0)
-    fields_pad = {
-        "vel": fof._pad_flat(vel_s, W, 0),
-        "isb": fof._pad_flat(isb_s, W, 0),
-    }
-    own_start = binning.cell_start[:tile_cells]
-    own_cnt = jnp.where(binning.ucid[:tile_cells] == fof.INT32_MAX, 0,
-                        binning.cell_count[:tile_cells])
-    windows = fof.neighbor_windows(binning, grid, tile_cells)
-    dist0 = jnp.full(pos_s.shape[0], jnp.inf, pos_s.dtype)
-    dist_pad = fof._pad_flat(dist0, W, np.inf)
-    grp, dist = fof.nearest_assign_sweep(
-        groups_s, dist_pad, pos_pad, fields_pad, own_start, own_cnt,
-        windows, grid, capacity, metric)
-    # keep existing DM assignments
-    grp = jnp.where(isb_s > 0, grp, groups_s)
-    return grp, dist
+    def __call__(self, d2, own, nbr):
+        return self.metric(d2, own, nbr)[1]

@@ -80,6 +80,24 @@ def velocity_scale_per_group(vel, mass, pfof, num_segments: int,
     return vscale2 * ellhalo6dvfac ** 2
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Pred6DRefine:
+    """6DFOF criterion over an existing 3D edge list:
+    dx^2/ell6d^2 + dv^2/vscale2 <= 1 within the same nonzero parent group
+    (reference search.cxx:552-576; vscale2 is a per-particle field so both
+    the single-scale and adaptive variants share the kernel)."""
+
+    b2: float
+
+    def __call__(self, d2, own, nbr):
+        dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+        ok = d2 / self.b2 + dv2 / own["vscale2"] <= 1.0
+        return ok & (own["group"] == nbr["group"]) & (own["group"] > 0)
+
+
 def search_full_set(opt: C.Options, pos, vel, mass,
                     boxsize: Optional[float] = None) -> FieldSearchResult:
     """Find field halos.  Returns final labels in original particle order."""
@@ -90,11 +108,19 @@ def search_full_set(opt: C.Options, pos, vel, mass,
     minsize = opt.HaloMinSize if opt.HaloMinSize > 0 else opt.MinSize
 
     b3d = opt.ellphys * opt.ellxscale * opt.ellhalophysfac
-    pfof3, ng3 = fof.fof3d(pos, b3d, boxsize=boxsize, min_size=minsize)
+    run6d = opt.fofbgtype in (C.FOF6D, C.FOF6DADAPTIVE)
+    reuse_edges = run6d and opt.ellhalo6dxfac <= 1.0
+
+    fields = {"vel": vel} if reuse_edges else None
+    edges, binning, grid = fof.build_edges(pos, b3d, boxsize=boxsize,
+                                           fields=fields)
+    labels3 = fof.fof_labels_from_edges(edges.erow, edges.ecol, n)
+    pfof3_s, ng3 = fof.renumber_by_size(labels3, minsize,
+                                        orig_index=edges.order)
+    pfof3 = jnp.zeros(n, jnp.int32).at[edges.order].set(pfof3_s)
     ng3 = int(jax.device_get(ng3))
 
-    run6d = opt.fofbgtype in (C.FOF6D, C.FOF6DADAPTIVE) and ng3 > 0
-    if not run6d:
+    if not (run6d and ng3 > 0):
         return FieldSearchResult(pfof=pfof3, ngroups=ng3)
 
     ell6d = b3d * opt.ellhalo6dxfac
@@ -110,12 +136,28 @@ def search_full_set(opt: C.Options, pos, vel, mass,
                                     jnp.maximum(vs_group[jnp.clip(pfof3, 0, nseg - 1)], 1e-30),
                                     1.0)
 
-    spos = pos / ell6d
-    svel = vel / jnp.sqrt(vs_per_particle)[:, None]
-    sbox = boxsize / ell6d if boxsize else None
-    pfof6, ng6 = fof.fof3d(
-        spos, 1.0, boxsize=sbox, min_size=minsize, vel=svel,
-        extra_fields={"group": pfof3}, predicate=_pred_unit6d_samegroup)
+    if reuse_edges:
+        # 6D links are a subset of the 3D edges (ell6d <= ell3d): filter the
+        # existing edge list instead of rebuilding the candidate table.
+        fields6 = dict(edges.fields_s)
+        fields6["vscale2"] = vs_per_particle[edges.order]
+        fields6["group"] = pfof3_s
+        mask6 = fof.refine_edge_mask(edges.pos_s, fields6, edges.erow,
+                                     edges.ecol, grid,
+                                     Pred6DRefine(float(ell6d) ** 2))
+        erow6 = jnp.where(mask6, edges.erow, 0)
+        ecol6 = jnp.where(mask6, edges.ecol, 0)
+        labels6 = fof.fof_labels_from_edges(erow6, ecol6, n)
+        pfof6_s, ng6 = fof.renumber_by_size(labels6, minsize,
+                                            orig_index=edges.order)
+        pfof6 = jnp.zeros(n, jnp.int32).at[edges.order].set(pfof6_s)
+    else:
+        spos = pos / ell6d
+        svel = vel / jnp.sqrt(vs_per_particle)[:, None]
+        sbox = boxsize / ell6d if boxsize else None
+        pfof6, ng6 = fof.fof3d(
+            spos, 1.0, boxsize=sbox, min_size=minsize, vel=svel,
+            extra_fields={"group": pfof3}, predicate=_pred_unit6d_samegroup)
     ng6 = int(jax.device_get(ng6))
     return FieldSearchResult(pfof=pfof6, ngroups=ng6, pfof3d=pfof3,
                              ngroups3d=ng3, vscale2=vs_per_particle)

@@ -87,16 +87,6 @@ class StreamPredAttach:
         return ok & ((own["ell"] >= self.ellthr) | (nbr["ell"] >= self.ellthr))
 
 
-@dataclasses.dataclass(frozen=True)
-class _GroupAttach:
-    """Wrap a pair predicate to require the neighbour to be tagged."""
-
-    base: object
-
-    def __call__(self, d2, own, nbr):
-        return self.base(d2, own, nbr) & (nbr["__grp"] > 0)
-
-
 def significance_filter(ell, pfof, num_groups: int, ellthreshold: float,
                         siglevel: float, min_size: int):
     """Reference CheckSignificance (search.cxx:2947), vectorised.
@@ -200,62 +190,19 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
 def attach_expand(pos, vel, ell, pfof, linking_length, pred,
                   max_rounds: int = 16):
     """Expansion pass: untagged particles adopt the min group id among
-    linked tagged neighbours; iterate to exhaustion."""
-    from ..ops.cells import bin_particles, build_grid
+    linked tagged neighbours; iterate to exhaustion.
 
+    The geometric criterion is static, so the edge list is built once and
+    only the tagged/untagged gating iterates (fof.attach_rounds)."""
     pos = jnp.asarray(pos)
     n = pos.shape[0]
-    lo = np.asarray(jax.device_get(jnp.min(pos, 0)))
-    hi = np.asarray(jax.device_get(jnp.max(pos, 0)))
-    grid = build_grid(lo, hi, linking_length)
-    binning = bin_particles(pos, grid)
-    kmax, ncocc = jax.device_get(
-        (jnp.max(binning.cell_count), binning.num_cells))
-    capacity = fof._round_capacity(int(kmax))
-    tile_cells = 16
-    while tile_cells < int(ncocc):
-        tile_cells *= 2
-    tile_cells = min(tile_cells, n)
-    order = binning.order
-    fields = {"vel": jnp.asarray(vel)[order], "ell": jnp.asarray(ell)[order]}
-    labels0 = jnp.asarray(pfof)[order]
-    labels = _attach_fixed_point(pos[order], fields, binning, grid, pred,
-                                 capacity, tile_cells, labels0, max_rounds)
-    return jnp.zeros(n, jnp.int32).at[order].set(labels)
-
-
-@partial(jax.jit, static_argnames=("grid", "pred", "capacity", "tile_cells",
-                                   "max_rounds"))
-def _attach_fixed_point(pos_s, fields, binning, grid, pred, capacity: int,
-                        tile_cells: int, labels0, max_rounds: int):
-    W = 3 * capacity
-    pos_pad = fof._pad_flat(pos_s, W, 0)
-    fields_pad = {k: fof._pad_flat(v, W, 0) for k, v in fields.items()}
-    own_start = binning.cell_start[:tile_cells]
-    own_cnt = jnp.where(binning.ucid[:tile_cells] == fof.INT32_MAX, 0,
-                        binning.cell_count[:tile_cells])
-    windows = fof.neighbor_windows(binning, grid, tile_cells)
-    big = jnp.int32(np.iinfo(np.int32).max)
-    wrap = _GroupAttach(pred)
-
-    def body(state):
-        labels, changed, it = state
-        f2 = dict(fields_pad)
-        f2["__grp"] = fof._pad_flat(labels, W, 0)
-        nmin = fof.neighbor_min_sweep(
-            jnp.where(labels > 0, labels, big), pos_pad, f2,
-            own_start, own_cnt, windows, grid, wrap, capacity)
-        new = jnp.where((labels == 0) & (nmin > 0) & (nmin != big),
-                        nmin, labels)
-        return new, jnp.any(new != labels), it + 1
-
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < max_rounds)
-
-    labels, _, _ = jax.lax.while_loop(
-        cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
-    return labels
+    edges, _, _ = fof.build_edges(
+        pos, linking_length,
+        fields={"vel": jnp.asarray(vel), "ell": jnp.asarray(ell)},
+        predicate=pred)
+    labels0 = jnp.asarray(pfof)[edges.order]
+    labels = fof.attach_rounds(labels0, edges.erow, edges.ecol, max_rounds)
+    return jnp.zeros(n, jnp.int32).at[edges.order].set(labels)
 
 
 def _next_pow2(x: int, lo: int = 1024) -> int:

@@ -39,7 +39,7 @@ import numpy as np
 from ..ops import gravity, segments as seg
 from ..utils.config import CMVELREF, POTREF, UPART, USYSANDPART, UnbindInfo
 
-_DIRECT_CLASSES = (32, 128, 512, 2048, 8192, 32768)
+_DIRECT_CLASSES = (64, 256, 1024, 4096)
 
 
 def compute_potential(pos, mass, pfof, num_groups: int, eps: float,
@@ -78,12 +78,27 @@ def compute_potential(pos, mass, pfof, num_groups: int, eps: float,
         valid = karange[None, :] < cnt[:, None]
         w_s = w_s.at[jnp.where(valid, idx, n).reshape(-1)].add(
             wb.reshape(-1), mode="drop")
-    # very large groups: cell-monopole approximation, host loop (few groups)
-    for g in gids[(gids > 0) & (sizes > _DIRECT_CLASSES[-1])]:
-        s, c = int(starts[g]), int(sizes[g])
-        wg = gravity.grid_monopole_potential(pos_s[s:s + c], mass_s[s:s + c],
-                                             float(eps * eps), G)
-        w_s = jax.lax.dynamic_update_slice(w_s, wg.astype(w_s.dtype), (s,))
+    # very large groups: bucket-tree approximation, batched per pow2 size
+    # class (zero-mass padding) so the tree kernels run once per class
+    big = gids[(gids > 0) & (sizes > _DIRECT_CLASSES[-1])]
+    by_class: dict = {}
+    for g in big:
+        cpad = 1 << int(np.ceil(np.log2(sizes[g])))
+        by_class.setdefault(cpad, []).append(g)
+    for cpad, gs in sorted(by_class.items()):
+        st = jnp.asarray(starts[gs], jnp.int32)
+        cnt = jnp.asarray(sizes[gs], jnp.int32)
+        karange = jnp.arange(cpad, dtype=jnp.int32)
+        idx = jnp.minimum(st[:, None] + karange[None, :],
+                          (st + cnt - 1)[:, None])        # clamp inside group
+        valid = karange[None, :] < cnt[:, None]
+        pg = pos_s[idx]                                   # (B,cpad,3)
+        mg = jnp.where(valid, mass_s[idx], 0.0)
+        wg = gravity.bucket_tree_potential_batch(pg, mg, float(eps * eps), G)
+        out_idx = jnp.where(valid, idx, n)
+        w_s = w_s.at[out_idx.reshape(-1)].add(
+            jnp.where(valid, wg, 0.0).reshape(-1).astype(w_s.dtype),
+            mode="drop")
     # scale by particle mass: stored W is potential ENERGY (refs multiply in)
     w_s = w_s * mass_s
     return jnp.zeros(n, pos.dtype).at[perm].set(w_s)

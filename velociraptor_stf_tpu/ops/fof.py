@@ -1,4 +1,4 @@
-"""Friends-of-Friends as min-label propagation with union-find hooking.
+"""Friends-of-Friends as min-label propagation over a flat candidate list.
 
 TPU-native replacement for NBodylib's ``KDTree::FOF`` / ``FOFCriterion``
 engines (missing submodule; call sites at /root/reference/src/search.cxx:110,
@@ -7,20 +7,28 @@ bookkeeping (/root/reference/src/buildandsortarrays.cxx).
 
 Algorithm (cf. PAPERS.md: hybrid union-find FOF, jFoF):
   1. bin particles into cells with width >= linking radius (ops/cells.py);
-  2. repeat until fixed point (``lax.while_loop``):
-       a. neighbour-min sweep: for every particle, the min label among all
-          particles within the linking criterion, computed as dense K x K
-          tiles between each cell and its 27-cell stencil;
-       b. hook: ``labels[labels[i]] <- min(..., nbr_min[i])`` (scatter-min);
-       c. full path compression: ``labels <- labels[labels]`` to fixpoint.
-  3. renumber components 1..ngroups by decreasing size (reference
+  2. build a **flat CSR candidate list**: for every sorted particle, the
+     particles of its 27-cell stencil as one contiguous run of "flat slots"
+     (row = particle, col = candidate).  The per-cell windows are contiguous
+     slices of the cell-sorted array, so the whole table is built with
+     cumsums + searchsorted — no padding waste on a clustered distribution
+     (the dominant cost on TPU is gather bandwidth, which scales with the
+     number of *actual* candidate pairs, not paddedcell capacity);
+  3. evaluate the pair criterion once per flat slot -> edge mask, then
+     compact the surviving edges (optional second pass);
+  4. label fixed point over edges inside one jit (``lax.while_loop``):
+       a. ``nmin[i] = min(labels[i], min_{(i,j) in E} labels[j])``
+          (flat gather + scatter-min);
+       b. hook: ``labels[labels[i]] <- min(..., nmin[i])``;
+       c. bounded path compression ``labels <- labels[labels]``;
+  5. renumber components 1..ngroups by decreasing size (reference
      ``ReorderGroupIDs`` semantics, pfof=0 for below-min-size).
 
 The criterion is pluggable: 3DFOF is ``d2 <= b^2``; 6DFOF and the
-phase-space stream criteria (reference fofalgo.cxx) pass extra per-particle
-fields and a predicate over K x K tiles.  Everything is statically shaped;
-the per-cell particle capacity K is chosen host-side from the actual max
-cell occupancy.
+phase-space stream criteria (reference fofalgo.cxx) receive extra
+per-particle fields gathered per flat slot.  Everything is statically
+shaped; the only host decisions are the padded flat-slot / edge counts
+(single scalar fetches, rounded to powers of two to bound recompiles).
 """
 
 from __future__ import annotations
@@ -36,13 +44,10 @@ import numpy as np
 from .cells import Binning, CellGrid, INT32_MAX, bin_particles, build_grid, \
     pack_cells, unpack_cells
 
-# 27-cell stencil offsets, static
-_OFFSETS = np.stack(
-    np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"), -1
-).reshape(-1, 3).astype(np.int32)
-
 PairPredicate = Callable[[jnp.ndarray, Dict[str, jnp.ndarray],
                           Dict[str, jnp.ndarray]], jnp.ndarray]
+
+_SENTINEL = np.int32(np.iinfo(np.int32).max)
 
 
 def _pair_d2_bcast(own_pos, nbr_pos, grid: CellGrid):
@@ -127,86 +132,245 @@ def neighbor_windows(binning: Binning, grid: CellGrid, tile_cells: int):
             jnp.stack(b_starts), jnp.stack(b_cnts))
 
 
-def _slice_tile(flat, starts, width):
-    """(C, width, ...) contiguous-slice gather (DMA-friendly row fetches)."""
-    if flat.ndim == 1:
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(flat, (s,), (width,)))(starts)
-    return jax.vmap(
-        lambda s: jax.lax.dynamic_slice(
-            flat, (s, 0), (width, flat.shape[1])))(starts)
+# ---------------------------------------------------------------------------
+# Flat candidate table (particle-major CSR over the 27-cell stencil)
+# ---------------------------------------------------------------------------
+
+# Above this many grid cells the dense per-cell prefix table (int32 per
+# cell + 1) is too large; fall back to searchsorted over occupied cells.
+_DENSE_TABLE_MAX_CELLS = 1 << 28
 
 
-def _pad_flat(arr, width, fill):
-    pad_shape = (width,) + arr.shape[1:]
-    return jnp.concatenate([arr, jnp.full(pad_shape, fill, arr.dtype)])
+@partial(jax.jit, static_argnames=("grid",))
+def candidate_counts(binning: Binning, grid: CellGrid):
+    """Per-particle stencil windows + total candidate count.
 
+    Returns (pst, pcn, T): ``pst``/``pcn`` are (N, 18) int32 window starts /
+    counts per *sorted particle* (its cell's 9 column windows + 9 periodic
+    z-wrap cells); ``T`` is the scalar total number of candidate slots
+    (device value — fetch once to pick the static padded size).
 
-def neighbor_min_sweep(
-    labels: jnp.ndarray,
-    pos_pad: jnp.ndarray,
-    fields_pad: Dict[str, jnp.ndarray],
-    own_start: jnp.ndarray,
-    own_cnt: jnp.ndarray,
-    windows,
-    grid: CellGrid,
-    predicate: PairPredicate,
-    capacity: int,
-) -> jnp.ndarray:
-    """One sweep: per sorted particle, min label over linked neighbours.
-
-    Cell-tile formulation: per occupied cell, an own tile of K particles is
-    checked against 9 contiguous candidate windows of width 3K (plus the
-    periodic z-wrap cells).  All loads are contiguous-slice gathers; the
-    compare is a fori_loop of fused (C, K) vector ops.  Returns the (N,)
-    neighbour-min in sorted particle order.
+    Fast path: a dense per-cell particle-offset prefix table (histogram +
+    cumsum) turns every window lookup into two direct table reads —
+    searchsorted's 20+ binary-search rounds of gathers are ~10x slower on
+    TPU.
     """
-    n = labels.shape[0]
-    K = capacity
-    W = 3 * K
-    sentinel = jnp.int32(np.iinfo(np.int32).max)
-    awin_s, awin_c, bwin_s, bwin_c = windows
-    labels_pad = _pad_flat(labels, W, sentinel)
+    if grid.total_cells <= _DENSE_TABLE_MAX_CELLS:
+        return _candidate_counts_dense(binning, grid)
+    n = binning.order.shape[0]
+    a_s, a_c, b_s, b_c = neighbor_windows(binning, grid, n)
+    starts = jnp.concatenate([a_s, b_s], 0).T        # (C,18)
+    cnts = jnp.concatenate([a_c, b_c], 0).T
+    pst = starts[binning.pcell]                      # (N,18)
+    pcn = cnts[binning.pcell]
+    # int32 total: fine up to ~2^31 candidate slots (~256^3 particles at
+    # FOF densities); larger runs must chunk the build over the flat axis.
+    return pst, pcn, jnp.sum(pcn.sum(axis=1))
 
-    karange = jnp.arange(K, dtype=jnp.int32)
-    own_pos = _slice_tile(pos_pad, own_start, K)               # (C,K,3)
-    own_valid = karange[None, :] < own_cnt[:, None]
-    own_fields = {k: _slice_tile(v, own_start, K)
-                  for k, v in fields_pad.items()}
-    best = jnp.where(own_valid, _slice_tile(labels_pad, own_start, K),
-                     sentinel)
 
-    def scan_window(best, sw):
-        s, cnt, width = sw
+def _candidate_counts_dense(binning: Binning, grid: CellGrid):
+    """Window lookups via a dense global prefix table.
 
-        nbr_pos = _slice_tile(pos_pad, s, width)               # (C,W,3)
-        nbr_lab = _slice_tile(labels_pad, s, width)            # (C,W)
-        nbr_fields = {k: _slice_tile(v, s, width)
-                      for k, v in fields_pad.items()}
+    ``pstart[c]`` = index of the first sorted particle whose packed cell id
+    is >= c, so the particles of the contiguous cell-id run [lo, hi] are
+    exactly sorted indices [pstart[lo], pstart[hi+1]).
+    """
+    n = binning.order.shape[0]
+    nx, ny, nz = grid.ncells
+    total = grid.total_cells
+    cid_s = binning.cid_sorted
+    hist = jnp.zeros(total + 1, jnp.int32).at[cid_s + 1].add(1)
+    pstart = jnp.cumsum(hist)                        # (total+1,)
+    coords = unpack_cells(cid_s, grid)               # (N,3)
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    zero = jnp.zeros_like(x)
 
-        def body(w, best):
-            d2 = _pair_d2_bcast(own_pos, nbr_pos[:, w][:, None, :], grid)
-            nbr_w = {k: v[:, w][:, None] if v.ndim == 2
-                     else v[:, w][:, None, :] for k, v in nbr_fields.items()}
-            link = predicate(d2, own_fields, nbr_w)
-            link = link & own_valid & (w < cnt)[:, None]
-            cand = jnp.where(link, nbr_lab[:, w][:, None], sentinel)
-            return jnp.minimum(best, cand)
+    if grid.periodic and nz >= 3:
+        zlo = jnp.where(z == 0, 0, z - 1)
+        zhi = jnp.where(z == nz - 1, nz - 1, z + 1)
+        wrap = (z == 0) | (z == nz - 1)
+        zb = jnp.where(z == 0, nz - 1, zero)
+    elif grid.periodic:  # nz < 3: whole column
+        zlo, zhi = zero, jnp.full_like(z, nz - 1)
+        wrap = jnp.zeros_like(x, bool)
+        zb = zero
+    else:
+        zlo = jnp.maximum(z - 1, 0)
+        zhi = jnp.minimum(z + 1, nz - 1)
+        wrap = jnp.zeros_like(x, bool)
+        zb = zero
 
-        return jax.lax.fori_loop(0, width, body, best), None
+    psts, pcns = [], []
+    bsts, bcns = [], []
+    for dx, dy in _OFFSETS_XY:
+        if grid.periodic:
+            xq = jnp.mod(x + dx, nx)
+            yq = jnp.mod(y + dy, ny)
+            ok = None
+        else:
+            xq, yq = x + dx, y + dy
+            ok = (xq >= 0) & (xq < nx) & (yq >= 0) & (yq < ny)
+            xq = jnp.clip(xq, 0, nx - 1)
+            yq = jnp.clip(yq, 0, ny - 1)
+        base = (xq * ny + yq) * nz
+        s = pstart[base + zlo]
+        e = pstart[base + zhi + 1]
+        cnt = e - s
+        if ok is not None:
+            cnt = jnp.where(ok, cnt, 0)
+        psts.append(s)
+        pcns.append(cnt)
+        idb = base + zb
+        sb = pstart[idb]
+        cb = pstart[idb + 1] - sb
+        cb = jnp.where(wrap, cb, 0)
+        if ok is not None:
+            cb = jnp.where(ok, cb, 0)
+        bsts.append(sb)
+        bcns.append(cb)
+    pst = jnp.stack(psts + bsts, axis=1)             # (N,18)
+    pcn = jnp.stack(pcns + bcns, axis=1)
+    return pst, pcn, jnp.sum(pcn.sum(axis=1))
 
-    for o in range(9):
-        best, _ = scan_window(best, (awin_s[o], awin_c[o], W))
-    if grid.periodic and grid.ncells[2] >= 3:
-        for o in range(9):
-            best, _ = scan_window(best, (bwin_s[o], bwin_c[o], K))
 
-    # scatter tile results back to flat sorted order
-    out_idx = jnp.where(own_valid,
-                        own_start[:, None] + karange[None, :], n)
-    nmin = jnp.full((n,), sentinel, labels.dtype)
-    nmin = nmin.at[out_idx.reshape(-1)].min(best.reshape(-1), mode="drop")
-    return jnp.where(nmin == sentinel, labels, nmin)
+@partial(jax.jit, static_argnames=("grid", "radius"))
+def candidate_counts_radius(binning: Binning, grid: CellGrid, radius: int):
+    """Non-periodic stencil windows of radius r ((2r+1)^3 cells) per sorted
+    particle, via the dense prefix table.  Used by the gravity near-field
+    (reference tree-walk acceptance analog, unbind.cxx:24-45).
+
+    Returns (pst, pcn, T) with (N, (2r+1)^2) window columns.
+    """
+    nx, ny, nz = grid.ncells
+    total = grid.total_cells
+    cid_s = binning.cid_sorted
+    hist = jnp.zeros(total + 1, jnp.int32).at[cid_s + 1].add(1)
+    pstart = jnp.cumsum(hist)
+    coords = unpack_cells(cid_s, grid)
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    zlo = jnp.maximum(z - radius, 0)
+    zhi = jnp.minimum(z + radius, nz - 1)
+    psts, pcns = [], []
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            xq, yq = x + dx, y + dy
+            ok = (xq >= 0) & (xq < nx) & (yq >= 0) & (yq < ny)
+            xq = jnp.clip(xq, 0, nx - 1)
+            yq = jnp.clip(yq, 0, ny - 1)
+            base = (xq * ny + yq) * nz
+            s = pstart[base + zlo]
+            e = pstart[base + zhi + 1]
+            psts.append(s)
+            pcns.append(jnp.where(ok, e - s, 0))
+    pst = jnp.stack(psts, axis=1)
+    pcn = jnp.stack(pcns, axis=1)
+    return pst, pcn, jnp.sum(pcn.sum(axis=1))
+
+
+@partial(jax.jit, static_argnames=("t_pad",))
+def flat_candidates(pst: jnp.ndarray, pcn: jnp.ndarray, t_pad: int):
+    """Expand per-particle windows into flat (row, col) candidate slots.
+
+    Returns (row, col, valid), each (t_pad,): ``row`` is the sorted-particle
+    index owning the slot, ``col`` the candidate's sorted index.  Slots
+    beyond the true total are invalid (row/col clipped, valid=False).
+
+    Built with the marks + cumsum segment-expansion trick (one scatter-add
+    of segment starts, one cumsum over flat slots, two flat gathers) —
+    gathers and searchsorted are ~10x slower per element than cumsum on
+    TPU, so this formulation is gather-minimal.
+    """
+    n = pst.shape[0]
+    nwin = pst.shape[1]
+    seg_start = pst.reshape(-1)                       # (nwin*N,) window starts
+    seg_len = pcn.reshape(-1)                         # (nwin*N,) window counts
+    csum = jnp.cumsum(seg_len)
+    total = csum[-1]
+    seg_off = csum - seg_len                          # flat offset per segment
+    nseg = seg_len.shape[0]
+    segidx1 = jnp.where(seg_len > 0,
+                        jnp.arange(1, nseg + 1, dtype=jnp.int32), 0)
+    marks = jnp.zeros(t_pad, jnp.int32).at[seg_off].max(segidx1, mode="drop")
+    seg = jax.lax.cummax(marks) - 1                   # (t_pad,) segment index
+    segc = jnp.clip(seg, 0, nseg - 1)
+    t = jnp.arange(t_pad, dtype=jnp.int32)
+    col = seg_start[segc] + (t - seg_off[segc])
+    row = segc // nwin
+    valid = t < total
+    return row.astype(jnp.int32), jnp.clip(col, 0, n - 1), valid
+
+
+# Below this source-table size, gather 2D arrays component-wise: XLA's TPU
+# gather of (T, 3) rows from a small table can pick a (8, 128)-tiled result
+# layout that pads the minor dim 3 -> 128 (~42x memory blowup -> OOM).
+# Component gathers are ~4x slower per element but layout-safe; large tables
+# get the fast row-gather layout.
+_COLS_GATHER_MAX = 1 << 18
+
+
+def _gather2(v: jnp.ndarray, idx: jnp.ndarray):
+    if v.ndim == 2 and v.shape[0] < _COLS_GATHER_MAX:
+        return jnp.stack([v[:, j][idx] for j in range(v.shape[1])], axis=-1)
+    return v[idx]
+
+
+def _gather_fields(fields: Dict[str, jnp.ndarray], idx: jnp.ndarray):
+    return {k: _gather2(v, idx) for k, v in fields.items()}
+
+
+@partial(jax.jit, static_argnames=("grid", "predicate"))
+def flat_links(pos_s, fields_s, row, col, valid, grid: CellGrid,
+               predicate: PairPredicate):
+    """Evaluate the pair criterion once per flat slot -> edge mask (t_pad,).
+
+    Criteria are static (positions + per-particle fields only), so the mask
+    is computed once per FOF invocation; label sweeps then only gather
+    labels.  Self-pairs are kept (they are no-ops for min propagation).
+    """
+    d2 = _pair_d2_bcast(_gather2(pos_s, row), _gather2(pos_s, col), grid)
+    own = _gather_fields(fields_s, row)
+    nbr = _gather_fields(fields_s, col)
+    return predicate(d2, own, nbr) & valid
+
+
+@partial(jax.jit, static_argnames=("e_pad",))
+def compact_edges(row, col, mask, e_pad: int):
+    """Compact masked flat slots into dense (e_pad,) edge arrays.
+
+    Padded edge slots become (0, 0) self-edges — harmless for min
+    propagation.  Returns (erow, ecol, nedges).
+    """
+    dest = jnp.cumsum(mask) - 1
+    dest = jnp.where(mask, dest, e_pad)
+    erow = jnp.zeros(e_pad, jnp.int32).at[dest].set(row, mode="drop")
+    ecol = jnp.zeros(e_pad, jnp.int32).at[dest].set(col, mode="drop")
+    return erow, ecol, jnp.sum(mask)
+
+
+@partial(jax.jit, static_argnames=("n", "nsweeps"))
+def _fof_sweeps(labels, erow, ecol, n: int, nsweeps: int):
+    """Up to nsweeps hook+compress rounds; returns (labels, changed)."""
+
+    def sweep(l):
+        nmin = l.at[erow].min(l[ecol])
+        hooked = l.at[l].min(nmin)
+        x = hooked
+        for _ in range(4):
+            x = x[x]
+        return x
+
+    def body(state):
+        l, _, it = state
+        new = sweep(l)
+        return new, jnp.any(new != l), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < nsweeps)
+
+    labels, changed, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
+    return labels, changed
 
 
 def _compress(labels: jnp.ndarray) -> jnp.ndarray:
@@ -221,57 +385,38 @@ def _compress(labels: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.while_loop(cond, body, labels)
 
 
-@partial(jax.jit, static_argnames=("grid", "predicate", "capacity",
-                                   "tile_cells", "max_sweeps"))
-def fof_labels_sorted(
-    pos_sorted: jnp.ndarray,
-    fields: Dict[str, jnp.ndarray],
-    binning: Binning,
-    grid: CellGrid,
-    predicate: PairPredicate,
-    capacity: int,
-    tile_cells: int,
-    max_sweeps: int = 64,
-) -> jnp.ndarray:
-    """Run the FOF fixed point; returns per-sorted-particle root labels.
+def fof_labels_from_edges(erow, ecol, n: int, max_sweeps: int = 64,
+                          sweeps_per_call: int = 16) -> jnp.ndarray:
+    """Label fixed point over an edge list; chunked host-side so a single
+    device dispatch stays bounded (the axon TPU tunnel kills long-running
+    programs)."""
+    labels = jnp.arange(n, dtype=jnp.int32)
+    for _ in range(max(1, max_sweeps // sweeps_per_call)):
+        labels, changed = _fof_sweeps(labels, erow, ecol, n, sweeps_per_call)
+        if not bool(jax.device_get(changed)):
+            break
+    return _compress(labels)
 
-    ``capacity``: max particles per cell (static, host-measured).
-    ``tile_cells``: static padded count of occupied cells (>= the true
-    number of occupied cells).
+
+@partial(jax.jit, static_argnames=("grid", "predicate", "t_pad",
+                                   "max_sweeps"))
+def fof_labels_flat(pos_sorted, fields, binning, grid: CellGrid,
+                    predicate: PairPredicate, t_pad: int,
+                    max_sweeps: int = 64) -> jnp.ndarray:
+    """Single-dispatch FOF: candidate build + links + label fixed point.
+
+    Pure jittable path (used by the driver entry / multichip dryrun and by
+    small per-structure searches).  ``t_pad`` must be >= the true total
+    candidate count (overestimate freely; invalid slots are masked).
     """
+    pst, pcn, _ = candidate_counts(binning, grid)
+    row, col, valid = flat_candidates(pst, pcn, t_pad)
+    mask = flat_links(pos_sorted, fields, row, col, valid, grid, predicate)
     n = pos_sorted.shape[0]
-    C = tile_cells
-    W = 3 * capacity
-    labels0 = jnp.arange(n, dtype=jnp.int32)
-
-    pos_pad = _pad_flat(pos_sorted, W, 0)
-    fields_pad = {k: _pad_flat(v, W, 0) for k, v in fields.items()}
-    own_start = binning.cell_start[:C]
-    own_cnt = jnp.where(binning.ucid[:C] == INT32_MAX, 0,
-                        binning.cell_count[:C])
-    windows = neighbor_windows(binning, grid, C)
-
-    def sweep(labels):
-        nmin = neighbor_min_sweep(labels, pos_pad, fields_pad, own_start,
-                                  own_cnt, windows, grid, predicate,
-                                  capacity)
-        hooked = labels.at[labels].min(nmin)
-        l = hooked
-        for _ in range(3):  # bounded path compression per sweep
-            l = l[l]
-        return l
-
-    def cond(state):
-        labels, prev_changed, it = state
-        return prev_changed & (it < max_sweeps)
-
-    def body(state):
-        labels, _, it = state
-        new = sweep(labels)
-        return new, jnp.any(new != labels), it + 1
-
-    labels, _, _ = jax.lax.while_loop(
-        cond, body, (sweep(labels0), jnp.bool_(True), jnp.int32(1)))
+    erow = jnp.where(mask, row, 0)
+    ecol = jnp.where(mask, col, 0)
+    labels, _ = _fof_sweeps(jnp.arange(n, dtype=jnp.int32), erow, ecol, n,
+                            max_sweeps)
     return _compress(labels)
 
 
@@ -394,13 +539,78 @@ def make_pred_6d_scaled(same_group: bool = True) -> PairPredicate:
 # High-level drivers
 # ---------------------------------------------------------------------------
 
-def _round_capacity(kmax: int) -> int:
-    """Round max occupancy up to a tame set of static capacities to bound
-    recompilation count."""
-    for k in (8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024):
-        if kmax <= k:
-            return k
-    return int(2 ** math.ceil(math.log2(max(kmax, 1))))
+def _pad_pow2(x: int, lo: int = 1024) -> int:
+    k = lo
+    while k < x:
+        k *= 2
+    return k
+
+
+class FlatEdges:
+    """Edge list between sorted particles under a static pair criterion.
+
+    Built once per search; reused by label fixed points, attach/expansion
+    passes and nearest-assignment sweeps (the varying per-iteration state
+    only ever gathers along the fixed edges).
+    """
+
+    def __init__(self, erow, ecol, n: int, order, pos_s=None, fields_s=None):
+        self.erow = erow          # (E_pad,) sorted-particle index
+        self.ecol = ecol          # (E_pad,)
+        self.n = n                # particle count
+        self.order = order        # sorted -> original index map
+        self.pos_s = pos_s        # (N,3) sorted positions
+        self.fields_s = fields_s  # sorted per-particle fields
+
+
+def build_edges(pos, linking_length: float,
+                boxsize: Optional[float] = None,
+                fields: Optional[Dict[str, jnp.ndarray]] = None,
+                predicate: Optional[PairPredicate] = None,
+                bounds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                target_cells_per_dim: Optional[int] = None,
+                compact: Optional[bool] = None) -> Tuple[FlatEdges, Binning,
+                                                         CellGrid]:
+    """Bin + candidate table + criterion pass -> compacted edge list.
+
+    Host syncs: bounds (unless periodic or given), the total candidate
+    count, and (when compacting) the edge count — each a single scalar
+    fetch.
+    """
+    pos = jnp.asarray(pos)
+    n = pos.shape[0]
+    periodic = boxsize is not None and boxsize > 0
+    if periodic:
+        lo = np.zeros(3)
+        hi = np.full(3, boxsize)
+    elif bounds is not None:
+        lo, hi = bounds
+    else:
+        lo, hi = jax.device_get((jnp.min(pos, 0), jnp.max(pos, 0)))
+    grid = build_grid(np.asarray(lo), np.asarray(hi), linking_length,
+                      periodic=periodic, boxsize=boxsize or 0.0,
+                      target_cells_per_dim=target_cells_per_dim)
+    binning = bin_particles(pos, grid)
+    pst, pcn, T = candidate_counts(binning, grid)
+    T = int(jax.device_get(T))
+    t_pad = _pad_pow2(max(T, 1))
+    row, col, valid = flat_candidates(pst, pcn, t_pad)
+    order = binning.order
+    pos_s = pos[order]
+    fields_s = {k: jnp.asarray(v)[order] for k, v in (fields or {}).items()}
+    if predicate is None:
+        predicate = Pred3D(float(linking_length) ** 2)
+    mask = flat_links(pos_s, fields_s, row, col, valid, grid, predicate)
+    if compact is None:
+        compact = T > (1 << 22)
+    if compact:
+        erow, ecol, ne = compact_edges(row, col, mask, t_pad)
+        e_pad = _pad_pow2(max(int(jax.device_get(ne)), 1))
+        erow, ecol = erow[:e_pad], ecol[:e_pad]
+    else:
+        erow = jnp.where(mask, row, 0)
+        ecol = jnp.where(mask, col, 0)
+    return FlatEdges(erow, ecol, n, order, pos_s, fields_s), binning, grid
 
 
 def fof3d(
@@ -411,7 +621,7 @@ def fof3d(
     vel=None,
     extra_fields: Optional[Dict[str, jnp.ndarray]] = None,
     predicate: Optional[PairPredicate] = None,
-    capacity: Optional[int] = None,
+    capacity: Optional[int] = None,           # legacy, ignored
     target_cells_per_dim: Optional[int] = None,
     return_order: bool = False,
 ):
@@ -423,169 +633,97 @@ def fof3d(
     """
     pos = jnp.asarray(pos)
     n = pos.shape[0]
-    lo = np.asarray(jax.device_get(jnp.min(pos, axis=0)))
-    hi = np.asarray(jax.device_get(jnp.max(pos, axis=0)))
-    periodic = boxsize is not None and boxsize > 0
-    grid = build_grid(lo, hi, linking_length, periodic=periodic,
-                      boxsize=boxsize or 0.0,
-                      target_cells_per_dim=target_cells_per_dim)
-    binning = bin_particles(pos, grid)
-    kmax, ncocc = jax.device_get(
-        (jnp.max(binning.cell_count), binning.num_cells))
-    if capacity is None:
-        capacity = _round_capacity(int(kmax))
-    tile_cells = 16
-    while tile_cells < int(ncocc):
-        tile_cells *= 2
-    tile_cells = min(tile_cells, n)
-    order = binning.order
-    pos_s = pos[order]
     fields = {}
     if vel is not None:
-        fields["vel"] = jnp.asarray(vel)[order]
+        fields["vel"] = jnp.asarray(vel)
     if extra_fields:
         for k, v in extra_fields.items():
-            fields[k] = jnp.asarray(v)[order]
-    if predicate is None:
-        predicate = Pred3D(float(linking_length) ** 2)
-    labels = fof_labels_hostloop(pos_s, fields, binning, grid, predicate,
-                                 capacity, tile_cells)
-    pfof_sorted, ngroups = renumber_by_size(labels, min_size, orig_index=order)
+            fields[k] = jnp.asarray(v)
+    edges, binning, grid = build_edges(
+        pos, linking_length, boxsize=boxsize, fields=fields,
+        predicate=predicate, target_cells_per_dim=target_cells_per_dim)
+    labels = fof_labels_from_edges(edges.erow, edges.ecol, n)
+    order = edges.order
+    pfof_sorted, ngroups = renumber_by_size(labels, min_size,
+                                            orig_index=order)
     pfof = jnp.zeros(n, jnp.int32).at[order].set(pfof_sorted)
     if return_order:
         return pfof, ngroups, order
     return pfof, ngroups
 
 
-def nearest_assign_sweep(
-    groups: jnp.ndarray,
-    dist_pad: jnp.ndarray,
-    pos_pad: jnp.ndarray,
-    fields_pad: Dict[str, jnp.ndarray],
-    own_start: jnp.ndarray,
-    own_cnt: jnp.ndarray,
-    windows,
-    grid: CellGrid,
-    capacity: int,
-    metric,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Assign each particle to the group of its nearest *tagged* neighbour.
+# ---------------------------------------------------------------------------
+# Edge-based auxiliary sweeps (attach / nearest-assign)
+# ---------------------------------------------------------------------------
 
-    ``metric(d2, own, nbr) -> (dist, eligible)``: generalised distance and a
-    bool gate per pair.  Returns (best_group, best_dist) per sorted
-    particle; untouched slots keep (0, +inf).  Used for the baryon
-    phase-space association (reference SearchBaryons, search.cxx:3201+)
-    where every baryon adopts the group of the phase-space-nearest tagged
-    DM particle.
+@partial(jax.jit, static_argnames=("nrounds",))
+def attach_rounds(labels, erow, ecol, nrounds: int):
+    """Untagged particles adopt the min group id among linked tagged
+    neighbours; repeated until exhaustion (or nrounds).
+
+    ``labels``: group ids in sorted order (0 = untagged).  Used for the
+    iterative-search expansion (reference FOFStreamwithprobIterative,
+    fofalgo.cxx:36-50) — the edges already encode the static geometric
+    criterion; the tagged/untagged gating varies per round.
     """
-    n = groups.shape[0]
-    K = capacity
-    W = 3 * K
-    awin_s, awin_c, bwin_s, bwin_c = windows
-    groups_pad = _pad_flat(groups, W, 0)
-
-    karange = jnp.arange(K, dtype=jnp.int32)
-    own_pos = _slice_tile(pos_pad, own_start, K)
-    own_valid = karange[None, :] < own_cnt[:, None]
-    own_fields = {k: _slice_tile(v, own_start, K)
-                  for k, v in fields_pad.items()}
-    best_d = _slice_tile(dist_pad, own_start, K)
-    best_g = jnp.zeros_like(own_valid, jnp.int32)
-
-    def scan_window(carry, sw):
-        best_d, best_g = carry
-        s, cnt, width = sw
-        nbr_pos = _slice_tile(pos_pad, s, width)
-        nbr_grp = _slice_tile(groups_pad, s, width)
-        nbr_fields = {k: _slice_tile(v, s, width)
-                      for k, v in fields_pad.items()}
-
-        def body(w, carry):
-            best_d, best_g = carry
-            d2 = _pair_d2_bcast(own_pos, nbr_pos[:, w][:, None, :], grid)
-            nbr_w = {k: v[:, w][:, None] if v.ndim == 2
-                     else v[:, w][:, None, :] for k, v in nbr_fields.items()}
-            dist, elig = metric(d2, own_fields, nbr_w)
-            g_w = nbr_grp[:, w][:, None]
-            ok = elig & (g_w > 0) & own_valid & (w < cnt)[:, None] & \
-                (dist < best_d)
-            return (jnp.where(ok, dist, best_d),
-                    jnp.where(ok, g_w, best_g))
-
-        return jax.lax.fori_loop(0, width, body, (best_d, best_g)), None
-
-    for o in range(9):
-        (best_d, best_g), _ = scan_window((best_d, best_g),
-                                          (awin_s[o], awin_c[o], W))
-    if grid.periodic and grid.ncells[2] >= 3:
-        for o in range(9):
-            (best_d, best_g), _ = scan_window((best_d, best_g),
-                                              (bwin_s[o], bwin_c[o], K))
-
-    out_idx = jnp.where(own_valid, own_start[:, None] + karange[None, :], n)
-    dist_out = jnp.full((n,), jnp.inf, pos_pad.dtype).at[
-        out_idx.reshape(-1)].min(best_d.reshape(-1), mode="drop")
-    grp_out = jnp.zeros((n,), jnp.int32)
-    # scatter group of the min: use set (each particle written exactly once
-    # since it belongs to exactly one cell tile slot)
-    grp_out = grp_out.at[out_idx.reshape(-1)].set(best_g.reshape(-1),
-                                                  mode="drop")
-    return grp_out, dist_out
-
-
-@partial(jax.jit, static_argnames=("grid", "predicate", "capacity",
-                                   "tile_cells", "nsweeps"))
-def _sweep_block(labels, pos_pad, fields_pad, own_start, own_cnt, windows,
-                 binning_unused, grid, predicate, capacity: int,
-                 tile_cells: int, nsweeps: int):
-    """Run up to ``nsweeps`` hook+compress sweeps; returns (labels, changed).
-
-    Bounded work per device dispatch: the axon TPU tunnel kills kernels
-    that run for minutes, so the FOF fixed point is chunked host-side
-    instead of a single unbounded ``lax.while_loop``.
-    """
-    def sweep(labels):
-        nmin = neighbor_min_sweep(labels, pos_pad, fields_pad, own_start,
-                                  own_cnt, windows, grid, predicate,
-                                  capacity)
-        hooked = labels.at[labels].min(nmin)
-        l = hooked
-        for _ in range(3):
-            l = l[l]
-        return l
+    big = jnp.int32(np.iinfo(np.int32).max)
+    n = labels.shape[0]
 
     def body(state):
-        labels, _, it = state
-        new = sweep(labels)
-        return new, jnp.any(new != labels), it + 1
+        l, _, it = state
+        lc = l[ecol]
+        cand = jnp.where(lc > 0, lc, big)
+        nmin = jnp.full(n, big, jnp.int32).at[erow].min(cand)
+        new = jnp.where((l == 0) & (nmin != big), nmin, l)
+        return new, jnp.any(new != l), it + 1
 
     def cond(state):
         _, changed, it = state
-        return changed & (it < nsweeps)
+        return changed & (it < nrounds)
 
-    labels2, changed, _ = jax.lax.while_loop(
+    labels, _, _ = jax.lax.while_loop(
         cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
-    return labels2, changed
+    return labels
 
 
-def fof_labels_hostloop(pos_sorted, fields, binning, grid, predicate,
-                        capacity: int, tile_cells: int,
-                        sweeps_per_call: int = 4,
-                        max_calls: int = 64) -> jnp.ndarray:
-    """FOF fixed point with host-side chunking (production driver path)."""
-    n = pos_sorted.shape[0]
-    W = 3 * capacity
-    pos_pad = _pad_flat(pos_sorted, W, 0)
-    fields_pad = {k: _pad_flat(v, W, 0) for k, v in fields.items()}
-    own_start = binning.cell_start[:tile_cells]
-    own_cnt = jnp.where(binning.ucid[:tile_cells] == INT32_MAX, 0,
-                        binning.cell_count[:tile_cells])
-    windows = neighbor_windows(binning, grid, tile_cells)
-    labels = jnp.arange(n, dtype=jnp.int32)
-    for _ in range(max_calls):
-        labels, changed = _sweep_block(
-            labels, pos_pad, fields_pad, own_start, own_cnt, windows, None,
-            grid, predicate, capacity, tile_cells, sweeps_per_call)
-        if not bool(jax.device_get(changed)):
-            break
-    return _compress(labels)
+@partial(jax.jit, static_argnames=("grid", "predicate"))
+def refine_edge_mask(pos_s, fields_s, erow, ecol, grid: CellGrid,
+                     predicate: PairPredicate):
+    """Re-evaluate a (tighter) pair criterion along an existing edge list.
+
+    Valid when the new criterion implies the old one spatially (e.g. 6DFOF
+    with ``ell6d <= ell3d``: every 6D-linked pair is already a 3D edge,
+    reference search.cxx:552-576) — the expensive candidate build is reused.
+    """
+    d2 = _pair_d2_bcast(_gather2(pos_s, erow), _gather2(pos_s, ecol), grid)
+    own = _gather_fields(fields_s, erow)
+    nbr = _gather_fields(fields_s, ecol)
+    return predicate(d2, own, nbr)
+
+
+@partial(jax.jit, static_argnames=("metric", "grid"))
+def nearest_assign_edges(groups_s, pos_s, fields_s, erow, ecol,
+                         grid: CellGrid, metric):
+    """Assign each untagged particle the group of its generalized-nearest
+    tagged neighbour along the edge list.
+
+    ``metric(d2, own, nbr) -> (dist, eligible)`` per edge.  Returns
+    (best_group, best_dist) per sorted particle, (0, +inf) where no
+    eligible neighbour.  Reference: SearchBaryons phase-space association
+    (search.cxx:3201+).
+    """
+    n = groups_s.shape[0]
+    d2 = _pair_d2_bcast(_gather2(pos_s, erow), _gather2(pos_s, ecol), grid)
+    own = _gather_fields(fields_s, erow)
+    nbr = _gather_fields(fields_s, ecol)
+    dist, elig = metric(d2, own, nbr)
+    g = groups_s[ecol]
+    ok = elig & (g > 0) & (erow != ecol)
+    dist = jnp.where(ok, dist, jnp.inf)
+    dmin = jnp.full(n, jnp.inf, dist.dtype).at[erow].min(dist)
+    winner = jnp.isfinite(dist) & (dist <= dmin[erow])
+    big = jnp.int32(np.iinfo(np.int32).max)
+    gmin = jnp.full(n, big, jnp.int32).at[erow].min(
+        jnp.where(winner, g, big))
+    grp = jnp.where(gmin == big, 0, gmin)
+    return grp, dmin

@@ -83,128 +83,175 @@ def potential_class(pos_s, mass_s, starts, counts, capacity: int, eps2, G,
     return jax.lax.map(one_group, (starts, counts))
 
 
-@partial(jax.jit, static_argnames=("row_chunk",))
-def _monopole_far_potential(pos, cell_of_particle, cell_coords, cell_cm,
-                            cell_mass, eps2, G, row_chunk: int = 1024):
-    """Far-field: sum of -G M_c / |x - cm_c| over all cells outside the
-    particle's 27-cell neighbourhood, masked elementwise via integer cell
-    coordinates (Chebyshev distance > 1) -- the exact complement of the
-    near-field direct sum, with no cancellation."""
-    k = pos.shape[0]
-    nchunk = -(-k // row_chunk)
+@partial(jax.jit, static_argnames=("q", "theta"))
+def _bucket_structure(pos, mass, q: int, theta: float):
+    """Morton-sort particles into C = Npad/q equal-count buckets.
+
+    Equal-count buckets adapt to any density profile (the TPU analog of the
+    reference's KD-tree leaves) and, being contiguous slices of the sorted
+    array, are pure reshapes — no gathers.  Returns the sort order, padded
+    sorted pos/mass, per-bucket (cm, mass, bounding radius) and the (C, C)
+    bucket-pair direct/monopole acceptance matrix (Barnes-Hut criterion
+    |cm_A - cm_B| * theta > R_A + R_B, cf. reference MarkCell,
+    unbind.cxx:24-45).
+    """
+    n = pos.shape[0]
+    npad = -(-n // q) * q
+    cbk = npad // q
+    lo = jnp.min(pos, axis=0)
+    hi = jnp.max(pos, axis=0)
+    keys = C.morton_keys(pos, lo, hi)
+    order = jnp.argsort(keys).astype(jnp.int32)
+    # pad with copies of the last particle at zero mass (keeps bboxes tight)
+    pad_idx = jnp.concatenate([order, jnp.full(npad - n, order[-1],
+                                               jnp.int32)])
+    pos_s = pos[pad_idx]
+    mass_s = jnp.where(jnp.arange(npad) < n, mass[pad_idx], 0.0)
+    posr = pos_s.reshape(cbk, q, 3)
+    massr = mass_s.reshape(cbk, q)
+    bmass = jnp.sum(massr, axis=1)                        # (C,)
+    bcm = jnp.sum(posr * massr[..., None], axis=1) / \
+        jnp.maximum(bmass, 1e-30)[:, None]                # (C,3)
+    bmin = jnp.min(posr, axis=1)
+    bmax = jnp.max(posr, axis=1)
+    brad = 0.5 * jnp.linalg.norm(bmax - bmin, axis=1)     # bounding radius
+    dcm = jnp.linalg.norm(bcm[:, None, :] - bcm[None, :, :], axis=-1)
+    direct = dcm * theta <= (brad[:, None] + brad[None, :])
+    direct = direct | jnp.eye(cbk, dtype=bool)
+    return pad_idx, pos_s, mass_s, bcm, bmass, direct
+
+
+@partial(jax.jit, static_argnames=("p_pad", "q"))
+def _bucket_direct_pass(pos_s, mass_s, direct, p_pad: int, q: int, eps2, G):
+    """Direct particle-particle sums over accepted-direct bucket pairs.
+
+    The (C, C) acceptance matrix is compacted into a (p_pad,) pair list;
+    each pair contributes a dense (q, q) tile (contiguous bucket slices).
+    """
+    npad = pos_s.shape[0]
+    cbk = npad // q
+    posr = pos_s.reshape(cbk, q, 3)
+    massr = mass_s.reshape(cbk, q)
+    flat = direct.reshape(-1)
+    dest = jnp.cumsum(flat) - 1
+    dest = jnp.where(flat, dest, p_pad)
+    pair_id = jnp.arange(cbk * cbk, dtype=jnp.int32)
+    pa = jnp.zeros(p_pad, jnp.int32).at[dest].set(pair_id // cbk,
+                                                  mode="drop")
+    pb = jnp.zeros(p_pad, jnp.int32).at[dest].set(pair_id % cbk,
+                                                  mode="drop")
+    pvalid = jnp.arange(p_pad) < jnp.sum(flat)
+
+    # process pairs in chunks to bound the (chunk, q, q) tile memory
+    chunk = max(1, (1 << 22) // (q * q))
+    nchunk = -(-p_pad // chunk)
+    pidx = jnp.arange(nchunk * chunk, dtype=jnp.int32).reshape(nchunk, chunk)
+    qarange = jnp.arange(q, dtype=jnp.int32)
+
+    def do_chunk(ci):
+        cc = jnp.minimum(ci, p_pad - 1)
+        a, b = pa[cc], pb[cc]
+        ok = pvalid[cc]
+        pa_pos = posr[a]                                  # (R,q,3)
+        pb_pos = posr[b]
+        pb_m = massr[b]
+        d = pa_pos[:, :, None, :] - pb_pos[:, None, :, :]
+        d2 = jnp.sum(d * d, axis=-1) + eps2
+        inv = jax.lax.rsqrt(d2)
+        gidx_a = a[:, None] * q + qarange[None, :]        # (R,q)
+        gidx_b = b[:, None] * q + qarange[None, :]
+        notself = gidx_a[:, :, None] != gidx_b[:, None, :]
+        w = jnp.where(notself & ok[:, None, None],
+                      pb_m[:, None, :] * inv, 0.0)
+        phi = -G * jnp.sum(w, axis=2)                     # (R,q)
+        out_idx = jnp.where(ok[:, None], gidx_a, npad)
+        return out_idx.reshape(-1), phi.reshape(-1)
+
+    idxs, vals = jax.lax.map(do_chunk, pidx)
+    return jnp.zeros(npad, pos_s.dtype).at[idxs.reshape(-1)].add(
+        vals.reshape(-1), mode="drop")
+
+
+@partial(jax.jit, static_argnames=("q", "row_chunk"))
+def _bucket_far_pass(pos_s, bcm, bmass, direct, q: int, eps2, G,
+                     row_chunk: int = 4096):
+    """Per-particle monopoles of all non-direct buckets."""
+    npad = pos_s.shape[0]
+    cbk = npad // q
+    nchunk = -(-npad // row_chunk)
     idxs = jnp.arange(nchunk * row_chunk, dtype=jnp.int32).reshape(
         nchunk, row_chunk)
 
     def do_rows(ridx):
-        r = jnp.minimum(ridx, k - 1)
-        p = pos[r]
-        own = cell_coords[cell_of_particle[r]]             # (R,3)
-        dcell = jnp.abs(own[:, None, :] - cell_coords[None, :, :])
-        far = jnp.max(dcell, axis=-1) > 1                  # (R,C)
-        d = p[:, None, :] - cell_cm[None, :, :]
+        r = jnp.minimum(ridx, npad - 1)
+        p = pos_s[r]
+        mybk = r // q
+        far = ~direct[mybk]                               # (R,C)
+        d = p[:, None, :] - bcm[None, :, :]
         d2 = jnp.sum(d * d, axis=-1) + eps2
         inv = jax.lax.rsqrt(d2)
-        w = jnp.where(far & (cell_mass[None, :] > 0),
-                      cell_mass[None, :] * inv, 0.0)
+        w = jnp.where(far & (bmass[None, :] > 0), bmass[None, :] * inv, 0.0)
         return -G * jnp.sum(w, axis=1)
 
-    return jax.lax.map(do_rows, idxs).reshape(-1)[:k]
+    return jax.lax.map(do_rows, idxs).reshape(-1)[:npad]
+
+
+def bucket_tree_potential_batch(posb, massb, eps2, G, q: int = 64,
+                                theta: float = 0.4) -> jnp.ndarray:
+    """Batched bucket-tree potential: (B, K, 3)/(B, K) -> (B, K).
+
+    One vmapped program per (B, K) shape class instead of one call per
+    group — large-group potentials for a whole size class in three
+    dispatches + one scalar sync.
+    """
+    posb = jnp.asarray(posb)
+    massb = jnp.asarray(massb)
+    B, K, _ = posb.shape
+    eps2 = jnp.asarray(eps2, posb.dtype)
+    pad_idx, pos_s, mass_s, bcm, bmass, direct = jax.vmap(
+        lambda p, m: _bucket_structure(p, m, q, theta))(posb, massb)
+    ndmax = int(jax.device_get(jnp.max(
+        jax.vmap(lambda d: jnp.sum(d))(direct))))
+    p_pad = 1
+    while p_pad < ndmax:
+        p_pad *= 2
+    w_near = jax.vmap(lambda ps, ms, d: _bucket_direct_pass(
+        ps, ms, d, p_pad, q, eps2, G))(pos_s, mass_s, direct)
+    w_far = jax.vmap(lambda ps, bc, bm, d: _bucket_far_pass(
+        ps, bc, bm, d, q, eps2, G))(pos_s, bcm, bmass, direct)
+    w = w_near + w_far
+    out = jax.vmap(lambda pi, wi: jnp.zeros(K, posb.dtype)
+                   .at[pi[:K]].set(wi[:K]))(pad_idx, w)
+    return out
 
 
 def grid_monopole_potential(pos: np.ndarray, mass: np.ndarray, eps2: float,
-                            G: float, target_occupancy: int = 512
+                            G: float, q: int = 64, theta: float = 0.4
                             ) -> jnp.ndarray:
-    """Potential for one large group via near-direct + far-monopole.
+    """Potential for one large group: equal-count Morton-bucket tree.
 
-    Host-orchestrated: picks a grid so max cell occupancy is bounded, then
-    runs jitted near/far passes.  Used for groups too large for the direct
-    O(K^2) classes.
+    Near field: dense (q, q) tiles over Barnes-Hut-accepted-direct bucket
+    pairs (adaptive: core buckets are physically tiny, so concentrated
+    profiles cost the same as uniform ones).  Far field: per-particle
+    monopoles of all non-direct buckets.  One host sync (direct-pair
+    count).  Replaces the reference KD-tree monopole walk
+    (unbind.cxx:1480, MarkCell acceptance :24-45).
     """
     pos = jnp.asarray(pos)
     mass = jnp.asarray(mass)
     npart = pos.shape[0]
-    lo = np.asarray(jax.device_get(jnp.min(pos, 0)))
-    hi = np.asarray(jax.device_get(jnp.max(pos, 0)))
-    extent = float(np.max(hi - lo))
-    # start with ~cube-root cells and refine until occupancy bounded
-    ncdim = max(4, int(math.ceil((npart / target_occupancy) ** (1 / 3))))
-    for _ in range(6):
-        grid = C.build_grid(lo, hi, extent / ncdim)
-        binning = C.bin_particles(pos, grid)
-        kmax = int(jax.device_get(jnp.max(binning.cell_count)))
-        if kmax <= 4 * target_occupancy:
-            break
-        ncdim *= 2
-    cap = 1
-    while cap < kmax:
-        cap *= 2
-
-    order = binning.order
-    pos_s, mass_s = pos[order], mass[order]
-    # compact occupied cells to a host-known (padded) count: unique cell ids
-    # sort ascending so all real cells precede the INT32_MAX padding
-    ncocc = int(jax.device_get(binning.num_cells))
-    csize = 1
-    while csize < max(ncocc, 2):
-        csize *= 2
-    csize = min(csize, npart)
-    # per-cell monopoles over compacted cells
-    csum = jax.ops.segment_sum(mass_s, binning.pcell, num_segments=csize)
-    ccm = jax.ops.segment_sum(pos_s * mass_s[:, None], binning.pcell,
-                              num_segments=csize)
-    ccm = ccm / jnp.maximum(csum, 1e-30)[:, None]
-    nbr_table = C.neighbor_cell_table(binning, grid)[:csize]
-    cell_coords = C.unpack_cells(binning.ucid[:csize], grid)
-
-    # near field: particles in own + neighbour cells, direct
-    w_near = _near_field_potential(
-        pos_s, mass_s, binning.ucid[:csize], binning.cell_start[:csize],
-        binning.cell_count[:csize], nbr_table, cap, eps2, G)
-    w_far = _monopole_far_potential(pos_s, binning.pcell, cell_coords,
-                                    ccm, csum, eps2, G)
-    w_sorted = w_near + w_far
-    out = jnp.zeros(npart, pos.dtype).at[order].set(w_sorted)
+    eps2 = jnp.asarray(eps2, pos.dtype)
+    pad_idx, pos_s, mass_s, bcm, bmass, direct = _bucket_structure(
+        pos, mass, q, theta)
+    np_direct = int(jax.device_get(jnp.sum(direct)))
+    p_pad = 1
+    while p_pad < np_direct:
+        p_pad *= 2
+    w_near = _bucket_direct_pass(pos_s, mass_s, direct, p_pad, q, eps2, G)
+    w_far = _bucket_far_pass(pos_s, bcm, bmass, direct, q, eps2, G)
+    w = w_near + w_far
+    # only the first npart sorted slots are real particles (padding is
+    # appended after the sort); padded slots hold garbage (zero-mass copies
+    # sitting on top of the last particle) and must not scatter back
+    out = jnp.zeros(npart, pos.dtype).at[pad_idx[:npart]].set(w[:npart])
     return out
-
-
-@partial(jax.jit, static_argnames=("capacity",))
-def _near_field_potential(pos_s, mass_s, ucid, start, count, nbr_table,
-                          capacity: int, eps2, G):
-    """Direct potential from own + 26 neighbour cells, batched over cells."""
-    n = pos_s.shape[0]
-    ncell = ucid.shape[0]
-    karange = jnp.arange(capacity, dtype=jnp.int32)
-    batch = max(1, (1 << 18) // (capacity * capacity))
-    nbatch = -(-ncell // batch)
-    cell_idx = jnp.arange(nbatch * batch, dtype=jnp.int32).reshape(
-        nbatch, batch)
-
-    def do_batch(cbatch):
-        c = jnp.minimum(cbatch, ncell - 1)
-        ok = (cbatch < ncell) & (ucid[c] != C.INT32_MAX)
-        s, cnt = start[c], jnp.where(ok, count[c], 0)
-        oidx = jnp.minimum(s[:, None] + karange[None, :], n - 1)
-        ovalid = karange[None, :] < cnt[:, None]
-        opos = pos_s[oidx]
-        acc = jnp.zeros((c.shape[0], capacity), pos_s.dtype)
-        for o in range(27):
-            j = nbr_table[c, o]
-            jok = j >= 0
-            jc = jnp.maximum(j, 0)
-            ns, ncnt = start[jc], jnp.where(jok, count[jc], 0)
-            nidx = jnp.minimum(ns[:, None] + karange[None, :], n - 1)
-            nvalid = karange[None, :] < ncnt[:, None]
-            npos = pos_s[nidx]
-            nmass = jnp.where(nvalid, mass_s[nidx], 0.0)
-            d = opos[:, :, None, :] - npos[:, None, :, :]
-            d2 = jnp.sum(d * d, -1) + eps2
-            inv = jax.lax.rsqrt(d2)
-            notself = oidx[:, :, None] != nidx[:, None, :]
-            acc = acc - G * jnp.sum(
-                jnp.where(notself, nmass[:, None, :] * inv, 0.0), axis=2)
-        out_idx = jnp.where(ovalid, oidx, n)
-        return out_idx.reshape(-1), jnp.where(ovalid, acc, 0.0).reshape(-1)
-
-    idxs, vals = jax.lax.map(do_batch, cell_idx)
-    return jnp.zeros(n, pos_s.dtype).at[idxs.reshape(-1)].add(
-        vals.reshape(-1), mode="drop")
