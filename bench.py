@@ -29,7 +29,7 @@ def main():
     from velociraptor_stf_tpu.utils import config as C
 
     n = int(os.environ.get("VR_BENCH_N", 128 ** 3))
-    reps = int(os.environ.get("VR_BENCH_REPS", 3))
+    reps = int(os.environ.get("VR_BENCH_REPS", 1 if n >= 1 << 20 else 3))
     boxsize = 100.0
     pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=max(
         64, n // 16384), seed=7)
@@ -44,6 +44,9 @@ def main():
     opt.uinfo.Eratio = 1.0
     opt.G = 43.0211349
     opt.Omega_m, opt.Omega_Lambda = 0.3, 0.7
+    # the BASELINE.json metric is FOF + 6DFOF + unbind; the substructure
+    # recursion is benchmarked separately (it is not part of the target)
+    opt.iSubSearch = 0
     C.config_check(opt)
 
     # warmup (compile)
