@@ -147,6 +147,12 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
             opt, opt.outname,
             res.parent if res.parent is not None
             else np.zeros(ng + 1, np.int64), ng)
+        if opt.iprofilecalc:
+            writers.write_profiles(opt, opt.outname, res.props, ng,
+                                   hostid=res.hostid)
+        if res.so_offsets is not None:
+            writers.write_so_catalog(opt, opt.outname, res.so_offsets,
+                                     res.so_indices, pids, ng, ptype=ptype)
         writers.write_config_info(opt, opt.outname)
         writers.write_sim_info(opt, opt.outname)
         writers.write_unit_info(opt, opt.outname)

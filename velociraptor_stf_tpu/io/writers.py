@@ -163,6 +163,16 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
             tag = f"{thr:g}_rhocrit"
             cols[f"SO_Mass_{tag}"] = np.asarray(props["SO_mass"])[g][:, i]
             cols[f"SO_R_{tag}"] = np.asarray(props["SO_radius"])[g][:, i]
+    # exclusive (member-only) masses when inclusive masses are active
+    # (reference Mass_200crit_excl etc., io.cxx/allvars.h PropDataHeader)
+    if opt.iInclusiveHalo > 0 and "gM200c_excl" in props:
+        for src, dst in (("gM200m_excl", "Mass_200mean_excl"),
+                         ("gM200c_excl", "Mass_200crit_excl"),
+                         ("gMBN98_excl", "Mass_BN98_excl"),
+                         ("gR200m_excl", "R_200mean_excl"),
+                         ("gR200c_excl", "R_200crit_excl"),
+                         ("gRBN98_excl", "R_BN98_excl")):
+            cols[dst] = np.asarray(props[src])[g]
     return cols
 
 
@@ -318,6 +328,78 @@ def write_hierarchy(opt: C.Options, outname: str, parent: np.ndarray,
             f.write("0 1\n")
             f.write(f"{ngroups} {ngroups}\n")
             np.savetxt(f, np.column_stack([nsubs[1:], parent_out]), fmt="%d")
+
+
+def write_so_catalog(opt: C.Options, outname: str, so_offsets: np.ndarray,
+                     so_indices: np.ndarray, pids: np.ndarray, ngroups: int,
+                     ptype: Optional[np.ndarray] = None):
+    """.catalog_SOlist (reference WriteSOCatalog, io.cxx:1157): particle IDs
+    within each halo's largest SO sphere, CSR (Offset + SO_Size + IDs)."""
+    sizes = np.diff(so_offsets).astype(np.uint32)
+    spids = pids[so_indices]
+    if opt.ibinaryout in (C.OUTHDF, C.OUTBINARY):
+        import h5py
+
+        with h5py.File(f"{outname}.catalog_SOlist", "w") as f:
+            for k, v in _file_header_attrs(opt, ngroups).items():
+                f.create_dataset(k, data=v)
+            f.create_dataset("Num_of_particles_in_SO_regions",
+                             data=np.uint64(len(spids)))
+            f.create_dataset("Total_num_of_particles_in_SO_regions",
+                             data=np.uint64(len(spids)))
+            f.create_dataset("SO_size", data=sizes)
+            f.create_dataset("Offset",
+                             data=so_offsets[:-1].astype(np.uint64))
+            f.create_dataset("Particle_IDs", data=spids.astype(np.int64))
+            if ptype is not None:
+                f.create_dataset("Particle_types",
+                                 data=ptype[so_indices].astype(np.uint16))
+    else:
+        with open(f"{outname}.catalog_SOlist", "w") as f:
+            f.write("0 1\n")
+            f.write(f"{ngroups} {ngroups}\n")
+            f.write(f"{len(spids)} {len(spids)}\n")
+            np.savetxt(f, sizes, fmt="%d")
+            np.savetxt(f, so_offsets[:-1], fmt="%d")
+            np.savetxt(f, spids, fmt="%d")
+
+
+def write_profiles(opt: C.Options, outname: str, props: Dict[str, np.ndarray],
+                   ngroups: int, hostid: Optional[np.ndarray] = None):
+    """.profiles (reference WriteProfiles, io.cxx:2756): radial mass /
+    particle-count profiles per group plus the bin edges."""
+    if "Mass_profile" not in props:
+        return
+    g = slice(1, ngroups + 1)
+    mprof = np.asarray(props["Mass_profile"])[g]
+    nprof = np.asarray(props["Npart_profile"])[g]
+    edges = np.asarray(opt.profile_bin_edges, np.float64)
+    hostid_out = (hostid[g].astype(np.int64) if hostid is not None
+                  else np.full(ngroups, -1, np.int64))
+    if opt.ibinaryout in (C.OUTHDF, C.OUTBINARY):
+        import h5py
+
+        with h5py.File(f"{outname}.profiles", "w") as f:
+            for k, v in _file_header_attrs(opt, ngroups).items():
+                f.create_dataset(k, data=v)
+            f.create_dataset("Radial_norm",
+                             data=np.int32(opt.iprofilenorm))
+            f.create_dataset("Num_of_bin_edges",
+                             data=np.int32(len(edges)))
+            f.create_dataset("Radial_bin_edges", data=edges)
+            f.create_dataset("ID", data=_halo_ids(ngroups,
+                                                  opt.snapshotvalue))
+            f.create_dataset("hostHaloID", data=hostid_out)
+            f.create_dataset("Mass_profile", data=mprof)
+            f.create_dataset("Npart_profile",
+                             data=nprof.astype(np.uint32))
+    else:
+        with open(f"{outname}.profiles", "w") as f:
+            f.write("0 1\n")
+            f.write(f"{ngroups} {ngroups}\n")
+            f.write(" ".join(f"{e:g}" for e in edges) + "\n")
+            for i in range(ngroups):
+                f.write(" ".join(f"{x:.10g}" for x in mprof[i]) + "\n")
 
 
 def write_fof_grp(outname: str, pfof: np.ndarray):

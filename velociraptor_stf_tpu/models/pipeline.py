@@ -45,6 +45,10 @@ class CatalogResult:
     hostid: Optional[np.ndarray] = None  # top host per group (-1 = field)
     parent: Optional[np.ndarray] = None  # direct parent gid (0 = field)
     hierarchy_level: Optional[np.ndarray] = None
+    # SO particle lists (filled when iSphericalOverdensityPartList):
+    # CSR over groups 1..ngroups of original particle indices in SO spheres
+    so_offsets: Optional[np.ndarray] = None
+    so_indices: Optional[np.ndarray] = None
 
 
 def find_structures(opt: C.Options, pos, vel, mass,
@@ -59,6 +63,11 @@ def find_structures(opt: C.Options, pos, vel, mass,
     jax.block_until_ready(pfof)
     timings["fof"] = time.time() - t0
 
+    # keep pre-unbinding FOF labels for inclusive halo masses
+    # (reference GetInclusiveMasses, substructureproperties.cxx:1946)
+    pfof_fof, ng_fof = (pfof, ng) if opt.iInclusiveHalo in (1, 2) else (None, 0)
+    gid_map = None
+
     W = None
     if opt.uinfo.unbindflag and ng > 0:
         t0 = time.time()
@@ -67,6 +76,7 @@ def find_structures(opt: C.Options, pos, vel, mass,
             pos, vel, mass, pfof, _pad_pow2(ng), opt.uinfo, opt.G,
             boxsize=boxsize, min_size=minsize)
         pfof, ng, W = ures.pfof, ures.ngroups, ures.W
+        gid_map = ures.gid_map
         jax.block_until_ready(pfof)
         timings["unbind"] = time.time() - t0
 
@@ -121,9 +131,131 @@ def find_structures(opt: C.Options, pos, vel, mass,
     timings["properties"] = time.time() - t0
 
     props_np = {k: np.asarray(v)[: ng + 1] for k, v in pr.items()}
+
+    so_offsets = so_indices = None
+    if opt.iInclusiveHalo > 0 and ng > 0:
+        t0 = time.time()
+        so_offsets, so_indices = _so_stage(
+            opt, pos, vel, mass, props_np, ng, hostid, boxsize,
+            pfof_fof=pfof_fof, ng_fof=ng_fof, gid_map=gid_map, W=W,
+            pfof=pfof)
+        timings["so"] = time.time() - t0
+
     return CatalogResult(
         pfof=np.asarray(pfof), ngroups=ng, props=props_np,
         W=None if W is None else np.asarray(W),
         pfof3d=None if fres.pfof3d is None else np.asarray(fres.pfof3d),
         timings=timings, hostid=hostid,
-        hierarchy_level=level, parent=parent)
+        hierarchy_level=level, parent=parent,
+        so_offsets=so_offsets, so_indices=so_indices)
+
+
+_SO_KEYS = ("gMvir", "gRvir", "gM200c", "gR200c", "gM200m", "gR200m",
+            "gM500c", "gR500c", "gMBN98", "gRBN98")
+
+
+def _so_stage(opt: C.Options, pos, vel, mass, props_np, ng: int,
+              hostid, boxsize, *, pfof_fof=None, ng_fof=0, gid_map=None,
+              W=None, pfof=None):
+    """Inclusive / all-particle spherical-overdensity masses for field halos.
+
+    ``Inclusive_halo_masses`` semantics (reference allvars.h:520 + main.cxx
+    318/4323):
+      1/2 -> SO masses from the halo's own pre-unbinding FOF particles
+             (GetInclusiveMasses, substructureproperties.cxx:1946);
+      3   -> SO masses from ALL particles within the search sphere
+             (GetSOMasses, substructureproperties.cxx:2731).
+    Member-only values are preserved as ``*_excl`` (reference
+    Mass_200crit_excl etc.).  Returns (so_offsets, so_indices) CSR particle
+    lists when ``Spherical_overdensity_halo_particle_list_output`` is set.
+    """
+    import math as _math
+
+    from ..ops import so as so_ops
+
+    # exclusive copies before overwriting (np.asarray over device arrays is
+    # read-only -> the working copy must be writable)
+    for k in _SO_KEYS + ("SO_mass", "SO_radius"):
+        if k in props_np:
+            props_np[k + "_excl"] = props_np[k]
+            props_np[k] = np.array(props_np[k])
+
+    field_sel = np.arange(1, ng + 1)
+    if hostid is not None:
+        field_sel = field_sel[np.asarray(hostid[1:ng + 1]) == -1]
+    if len(field_sel) == 0:
+        return None, None
+
+    so_offsets = so_indices = None
+    lnthr = [
+        _math.log(max(opt.virlevel * opt.rhobg, 1e-30)),
+        _math.log(opt.rhocrit * 200.0),
+        _math.log(opt.rhobg * 200.0),
+        _math.log(opt.rhocrit * 500.0),
+        _math.log(opt.virBN98 * opt.rhocrit),
+    ] + [_math.log(opt.rhocrit * t) for t in opt.SOthresholds_values_crit]
+    key_of = list(zip(_SO_KEYS[::2], _SO_KEYS[1::2]))  # (M,R) name pairs
+
+    if opt.iInclusiveHalo == 3:
+        gmass = props_np["gmass"][field_sel]
+        gsize = props_np["gsize"][field_sel]
+        num = props_np["num"][field_sel]
+        centers = props_np["gcm"][field_sel]
+        rsearch = so_ops.so_search_radii(
+            gmass, gsize, min(lnthr) - _math.log(2.0),
+            opt.SphericalOverdensitySeachFac)
+        minsize = opt.HaloMinSize if opt.HaloMinSize > 0 else opt.MinSize
+        minnum = np.maximum(
+            (opt.SphericalOverdensityMinHaloFac * num + 1).astype(np.int32),
+            int(minsize * opt.SphericalOverdensityMinHaloFac + 1))
+        mmin = float(jax.device_get(jnp.min(jnp.asarray(mass))))
+        M, R = so_ops.so_masses_all_particles(
+            pos, mass, centers, rsearch, lnthr, boxsize=boxsize,
+            minnum=minnum, first_mass=np.full(len(field_sel), mmin))
+        for i, (mk, rk) in enumerate(key_of):
+            props_np[mk][field_sel] = M[:, i]
+            props_np[rk][field_sel] = R[:, i]
+        nso = len(opt.SOthresholds_values_crit)
+        for i in range(nso):
+            props_np["SO_mass"][field_sel, i] = M[:, 5 + i]
+            props_np["SO_radius"][field_sel, i] = R[:, 5 + i]
+        if opt.iSphericalOverdensityPartList:
+            rmax_fields = np.maximum(R.max(axis=1), 1e-10)
+            offs_f, idx = so_ops.so_particle_list(pos, centers, rmax_fields,
+                                                  boxsize=boxsize)
+            # scatter the field-halo CSR into a full 1..ng CSR:
+            # group g occupies so_indices[so_offsets[g-1]:so_offsets[g]]
+            counts = np.zeros(ng + 1, np.int64)
+            counts[field_sel] = np.diff(offs_f)
+            so_offsets = np.concatenate([[0], np.cumsum(counts[1:])])
+            so_indices = np.empty(int(counts.sum()), np.int64)
+            for j, g in enumerate(field_sel):
+                s = so_offsets[g - 1]
+                so_indices[s:s + offs_f[j + 1] - offs_f[j]] = \
+                    idx[offs_f[j]:offs_f[j + 1]]
+    elif pfof_fof is not None and ng_fof > 0:
+        # inclusive FOF masses: member-only SO on the pre-unbinding labels
+        ngpad = _pad_pow2(max(ng_fof, 1))
+        pr_fof = props_mod.compute_properties(
+            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+            jnp.asarray(pfof_fof), ngpad, G=opt.G, boxsize=boxsize,
+            rhocrit=opt.rhocrit, rhobg=opt.rhobg,
+            virlevel=opt.virlevel if opt.virlevel > 0 else 200.0,
+            virBN98=opt.virBN98,
+            so_thresholds=tuple(opt.SOthresholds_values_crit),
+            min_size=opt.MinSize, calc_shape=False)
+        gm = np.asarray(gid_map)[:ng_fof + 1] if gid_map is not None \
+            else np.arange(ng_fof + 1)
+        # old fof gid -> final gid; keep only surviving field halos
+        fieldmask = np.zeros(ng + 1, bool)
+        fieldmask[field_sel] = True
+        old = np.arange(1, ng_fof + 1)
+        new = gm[1:ng_fof + 1]
+        sel = (new > 0) & (new <= ng) & fieldmask[np.clip(new, 0, ng)]
+        old, new = old[sel], new[sel]
+        for k in _SO_KEYS:
+            props_np[k][new] = np.asarray(pr_fof[k])[old]
+        if "SO_mass" in props_np and props_np["SO_mass"].shape[-1] > 0:
+            props_np["SO_mass"][new] = np.asarray(pr_fof["SO_mass"])[old]
+            props_np["SO_radius"][new] = np.asarray(pr_fof["SO_radius"])[old]
+    return so_offsets, so_indices

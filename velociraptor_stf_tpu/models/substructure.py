@@ -157,6 +157,12 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
                                              opt.thetafac),
                                     opt.ellthreshold)
         pfof = attach_expand(pos, vel, ell, pfof, b, pred_att)
+        # intergroup-link merging (reference MergeGroups / fmerge,
+        # search.cxx:1200-1224): sizes before further expansion
+        sizes_old = np.bincount(np.asarray(jax.device_get(pfof)),
+                                minlength=ng + 1)
+        pfof, ng = merge_linked_groups(pos, vel, ell, pfof, ng, opt,
+                                       sizes_old=sizes_old)
         # relaxed second expansion with larger linking length (ellxfac)
         ellx2b = ellx2 * opt.ellxfac ** 2
         pred_att2 = StreamPredAttach(
@@ -185,6 +191,172 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
         jnp.where(ranks < ngnew, ranks + 1, 0))
     pfof = gid_map[jnp.clip(pfof, 0, ngpad)]
     return pfof, int(jax.device_get(ngnew))
+
+
+def merge_linked_groups(pos, vel, ell, pfof, ng: int, opt: C.Options,
+                        sizes_old: Optional[np.ndarray] = None
+                        ) -> Tuple[jnp.ndarray, int]:
+    """Merge groups connected by enough relaxed-criterion links.
+
+    Reference iterative-search merge stage (search.cxx:1200-1224 +
+    MergeGroups:3894): group j joins group i when the number of cross links
+    between them exceeds ``fmerge x (size of j before expansion)``.  Links
+    use the FOFStreamwithprob criterion with the expanded thresholds
+    (Vratio*vfac, thetaopen*thetafac, ellthreshold*ellfac).
+
+    Returns (pfof, ng) with merged groups relabelled to the absorbing
+    group's id (ids NOT renumbered — caller renumbers by size afterwards).
+    """
+    pfof_np = np.asarray(jax.device_get(pfof))
+    if ng <= 1:
+        return jnp.asarray(pfof_np), ng
+    if sizes_old is None:
+        sizes_old = np.bincount(pfof_np, minlength=ng + 1)
+    ellx2 = (opt.ellxscale * opt.ellphys) ** 2
+    pred = StreamPred(ellx2, opt.Vratio * opt.vfac,
+                      math.cos(opt.thetaopen * math.pi * opt.thetafac),
+                      opt.ellthreshold * opt.ellfac)
+    edges, _, _ = fof.build_edges(
+        pos, math.sqrt(ellx2),
+        fields={"vel": jnp.asarray(vel), "ell": jnp.asarray(ell)},
+        predicate=pred)
+    gs = jnp.asarray(pfof_np)[edges.order]
+    gi = gs[edges.erow]
+    gj = gs[edges.ecol]
+    mask = (gi > 0) & (gj > 0) & (gi != gj)
+    # int32 pair key is safe: substructure searches have ng << 46341
+    key = jnp.where(mask, gi * (ng + 1) + gj, 0)
+    counts = np.asarray(jax.device_get(
+        jnp.zeros((ng + 1) * (ng + 1), jnp.int32).at[key].add(
+            mask.astype(jnp.int32)))).reshape(ng + 1, ng + 1)
+    # sequential host merge mirroring MergeGroups' i-loop ordering
+    absorbed = np.zeros(ng + 1, bool)
+    target = np.arange(ng + 1)
+    merged_any = False
+    for i in range(1, ng + 1):
+        if absorbed[i]:
+            continue
+        for j in range(1, ng + 1):
+            if j == i or absorbed[j]:
+                continue
+            if counts[i, j] > opt.fmerge * sizes_old[j]:
+                absorbed[j] = True
+                target[target == j] = i
+                merged_any = True
+    if not merged_any:
+        return jnp.asarray(pfof_np), ng
+    pfof_np = target[pfof_np]
+    return jnp.asarray(pfof_np.astype(np.int32)), ng
+
+
+def _group_phase_stats(pos, vel, mass, pfof_np, ng: int):
+    """Per-group mass-weighted phase centres and scalar dispersions
+    (reference MergeSubstructures* preamble, search.cxx:2171-2235)."""
+    m = np.asarray(mass, np.float64)
+    w = np.where(pfof_np > 0, m, 0.0)
+    msum = np.zeros(ng + 1)
+    np.add.at(msum, pfof_np, w)
+    msum = np.maximum(msum, 1e-30)
+    mu_x = np.zeros((ng + 1, 3))
+    mu_v = np.zeros((ng + 1, 3))
+    np.add.at(mu_x, pfof_np, np.asarray(pos, np.float64) * w[:, None])
+    np.add.at(mu_v, pfof_np, np.asarray(vel, np.float64) * w[:, None])
+    mu_x /= msum[:, None]
+    mu_v /= msum[:, None]
+    sigX = np.zeros(ng + 1)
+    sigV = np.zeros(ng + 1)
+    np.add.at(sigX, pfof_np,
+              np.sum((pos - mu_x[pfof_np]) ** 2, axis=1) * w)
+    np.add.at(sigV, pfof_np,
+              np.sum((vel - mu_v[pfof_np]) ** 2, axis=1) * w)
+    sigX = np.maximum(sigX / msum, 1e-30)
+    sigV = np.maximum(sigV / msum, 1e-30)
+    return mu_x, mu_v, sigX, sigV
+
+
+def merge_substructures_cores_phase(pos, vel, mass, pfof, numsubs: int,
+                                    numcores: int, fdist: float
+                                    ) -> Tuple[np.ndarray, int]:
+    """Merge 6DFOF cores into phase-overlapping substructures.
+
+    Reference MergeSubstructuresCoresPhase (search.cxx:2146-2289): group ids
+    1..numsubs are substructures, numsubs+1..numsubs+numcores are cores; a
+    core merges into the phase-nearest substructure when the normalized
+    phase distance (dx^2/sigX_core + dv^2/sigV_core) < fdist^2.  Returns
+    (pfof, new_numcores) with surviving cores renumbered to stay contiguous
+    after the substructures.
+    """
+    pfof_np = np.asarray(pfof).copy()
+    ng = numsubs + numcores
+    if numsubs == 0 or numcores == 0 or fdist <= 0:
+        return pfof_np, numcores
+    mu_x, mu_v, sigX, sigV = _group_phase_stats(pos, vel, mass, pfof_np, ng)
+    f2 = fdist * fdist
+    newid = np.arange(ng + 1)
+    kept = []
+    for c in range(numsubs + 1, ng + 1):
+        dx2 = np.sum((mu_x[1:numsubs + 1] - mu_x[c]) ** 2, axis=1)
+        dv2 = np.sum((mu_v[1:numsubs + 1] - mu_v[c]) ** 2, axis=1)
+        d2 = dx2 / sigX[c] + dv2 / sigV[c]
+        j = int(np.argmin(d2))
+        if d2[j] < f2 and dx2[j] < sigX[c] * f2:
+            newid[c] = j + 1
+        else:
+            kept.append(c)
+    for rank, c in enumerate(kept):
+        newid[c] = numsubs + 1 + rank
+    return newid[pfof_np].astype(np.int32), len(kept)
+
+
+def merge_substructures_phase(pos, vel, mass, pfof, numsubs: int,
+                              numcores: int, fdist: float
+                              ) -> Tuple[np.ndarray, int, int]:
+    """Merge phase-overlapping substructures with each other.
+
+    Reference MergeSubstructuresPhase (search.cxx:2289-2480): substructure j
+    merges into i when their mutual normalized phase distances (each
+    normalized by its own dispersions) are both < fdist^2.  Cores (ids >
+    numsubs) are never absorbed into by substructures but may absorb.
+    Returns (pfof, numsubs, numcores) with ids compacted.
+    """
+    pfof_np = np.asarray(pfof).copy()
+    ng = numsubs + numcores
+    if ng <= 1 or fdist <= 0:
+        return pfof_np, numsubs, numcores
+    mu_x, mu_v, sigX, sigV = _group_phase_stats(pos, vel, mass, pfof_np, ng)
+    f2 = fdist * fdist
+    absorbed = np.zeros(ng + 1, bool)
+    target = np.arange(ng + 1)
+    for i in range(1, ng + 1):
+        if absorbed[i] or i > numsubs:   # subs iterate; cores don't absorb
+            continue
+        best, bestd = -1, np.inf
+        for j in range(1, ng + 1):
+            if j == i or absorbed[j]:
+                continue
+            dx2 = np.sum((mu_x[j] - mu_x[i]) ** 2)
+            dv2 = np.sum((mu_v[j] - mu_v[i]) ** 2)
+            d1 = dx2 / sigX[i] + dv2 / sigV[i]
+            d2 = dx2 / sigX[j] + dv2 / sigV[j]
+            if d1 < f2 and d2 < f2:
+                d = 0.5 * (d1 + d2)
+                if d < bestd:
+                    best, bestd = j, d
+        if best >= 0:
+            absorbed[best] = True
+            target[target == best] = i
+    if not absorbed.any():
+        return pfof_np, numsubs, numcores
+    # compact ids: surviving subs first, then surviving cores
+    surv = [g for g in range(1, ng + 1) if not absorbed[g]]
+    remap = np.zeros(ng + 1, np.int64)
+    nsub_new = 0
+    for rank, g in enumerate(surv):
+        remap[g] = rank + 1
+        if g <= numsubs:
+            nsub_new += 1
+    pfof_np = remap[target[pfof_np]].astype(np.int32)
+    return pfof_np, nsub_new, len(surv) - nsub_new
 
 
 def attach_expand(pos, vel, ell, pfof, linking_length, pred,
@@ -315,10 +487,27 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                     core_np = np.asarray(core)
                     sub_np0 = np.asarray(sub_pfof)
                     extra = (core_np > 1) & (sub_np0 == 0)
-                    sub_pfof = jnp.asarray(
-                        np.where(extra, core_np - 1 + ng_sub, sub_np0)
-                    ).astype(jnp.int32)
-                    ng_sub += ncores - 1
+                    sub_np0 = np.where(extra, core_np - 1 + ng_sub,
+                                       sub_np0).astype(np.int32)
+                    ncore_extra = ncores - 1
+                    if opt.coresubmergemindist > 0 and ng_sub > 0:
+                        # phase-overlap merge of promoted cores into subs
+                        # (reference MergeSubstructuresCoresPhase,
+                        # search.cxx:2146)
+                        sub_np0, ncore_extra = \
+                            merge_substructures_cores_phase(
+                                ppos, pvel, pmass, sub_np0, ng_sub,
+                                ncore_extra, opt.coresubmergemindist)
+                    sub_pfof = jnp.asarray(sub_np0)
+                    ng_sub += ncore_extra
+            if opt.coresubmergemindist > 0 and ng_sub > 1:
+                # substructure-substructure phase merge (reference
+                # MergeSubstructuresPhase, search.cxx:1701,2289)
+                sub_np0, ns_new, nc_new = merge_substructures_phase(
+                    ppos, pvel, pmass, np.asarray(sub_pfof), ng_sub, 0,
+                    opt.coresubmergemindist)
+                sub_pfof = jnp.asarray(sub_np0)
+                ng_sub = ns_new + nc_new
             if ng_sub > 0 and opt.uinfo.unbindflag:
                 ures = unbind_mod.check_unbound_groups(
                     ppos, pvel, pmass, sub_pfof, _next_pow2(ng_sub, 16),

@@ -171,6 +171,7 @@ class UnbindResult:
     W: jnp.ndarray             # potential energy per particle
     Efrac: jnp.ndarray         # bound mass fraction per (old) group id
     bound: jnp.ndarray         # bool mask of particles kept in groups
+    gid_map: Optional[jnp.ndarray] = None  # old gid -> new gid (0 dissolved)
 
 
 def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
@@ -237,7 +238,7 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
     pfof_new = gid_map[new_raw]
     ng_new = int(jax.device_get(ng_new))
     return UnbindResult(pfof=pfof_new, ngroups=ng_new, W=W, Efrac=Efrac,
-                        bound=bound)
+                        bound=bound, gid_map=gid_map)
 
 
 def sort_by_binding_energy(vel, mass, pfof, W, num_groups: int,

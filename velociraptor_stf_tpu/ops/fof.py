@@ -267,12 +267,15 @@ def candidate_counts_radius(binning: Binning, grid: CellGrid, radius: int):
     return pst, pcn, jnp.sum(pcn.sum(axis=1))
 
 
-@partial(jax.jit, static_argnames=("t_pad",))
-def flat_candidates(pst: jnp.ndarray, pcn: jnp.ndarray, t_pad: int):
-    """Expand per-particle windows into flat (row, col) candidate slots.
+@partial(jax.jit, static_argnames=("t_pad", "ncols"))
+def flat_candidates(pst: jnp.ndarray, pcn: jnp.ndarray, t_pad: int,
+                    ncols: Optional[int] = None):
+    """Expand per-row windows into flat (row, col) candidate slots.
 
-    Returns (row, col, valid), each (t_pad,): ``row`` is the sorted-particle
-    index owning the slot, ``col`` the candidate's sorted index.  Slots
+    Returns (row, col, valid), each (t_pad,): ``row`` is the index of the
+    window-owning entity (sorted particle for FOF; halo for SO search),
+    ``col`` the candidate's sorted-particle index (< ``ncols``, default =
+    number of rows — the FOF case where rows are particles too).  Slots
     beyond the true total are invalid (row/col clipped, valid=False).
 
     Built with the marks + cumsum segment-expansion trick (one scatter-add
@@ -280,7 +283,7 @@ def flat_candidates(pst: jnp.ndarray, pcn: jnp.ndarray, t_pad: int):
     gathers and searchsorted are ~10x slower per element than cumsum on
     TPU, so this formulation is gather-minimal.
     """
-    n = pst.shape[0]
+    n = pst.shape[0] if ncols is None else ncols
     nwin = pst.shape[1]
     seg_start = pst.reshape(-1)                       # (nwin*N,) window starts
     seg_len = pcn.reshape(-1)                         # (nwin*N,) window counts

@@ -1,0 +1,331 @@
+"""Spherical-overdensity search over ALL particles (not just group members).
+
+TPU-native equivalent of the reference ``GetSOMasses``
+(/root/reference/src/substructureproperties.cxx:2731): for every field halo,
+search every particle (tagged or not) within
+``maxrdist = gsize * SphericalOverdensitySeachFac * radfac`` of the halo
+reference position, sort by radius and find the overdensity crossings
+(``CalculateSphericalOverdensity``, :5203).
+
+TPU design: the reference's per-halo KD-tree ball search + per-halo radius
+sort becomes
+
+1. halos bucketed into octave classes by search radius; per class a cell
+   grid with ``cell width >= max class radius`` so the 27-cell stencil around
+   the halo's cell covers its whole search ball;
+2. a flat CSR candidate table (rows = halos, cols = cell-sorted particles;
+   the same machinery as ops/fof.py) evaluated once;
+3. per-(halo, log-radius-bin) mass/count histograms via scatter-add — the
+   radius *sort* is replaced by a fixed log-radius binning (128 bins over
+   2.5 decades: dln r ~ 0.045, interpolation error well below the
+   particle-noise level of the reference's particle-pair interpolation);
+4. enclosed lnrho at bin edges + first inside-out crossing per threshold
+   with the reference's log-log interpolation (gamma1/gamma2 slopes,
+   substructureproperties.cxx:5246-5296) evaluated on bin edges.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fof
+from .cells import CellGrid, bin_particles, build_grid, cell_coords
+
+_LN_3_4PI = math.log(3.0 / (4.0 * math.pi))
+
+
+def point_windows_dense(qcoords: jnp.ndarray, cid_sorted: jnp.ndarray,
+                        grid: CellGrid) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(H, 18) candidate windows of the 27-cell stencil around query cells.
+
+    Same construction as the particle-centred
+    ``fof._candidate_counts_dense`` but for arbitrary query cell coords:
+    9 (dx,dy) columns, each a contiguous z-run of the cell-id-sorted
+    particle array, plus 9 single-cell periodic z-wrap remainders.
+    """
+    nx, ny, nz = grid.ncells
+    total = grid.total_cells
+    hist = jnp.zeros(total + 1, jnp.int32).at[cid_sorted + 1].add(1)
+    pstart = jnp.cumsum(hist)
+    x, y, z = qcoords[:, 0], qcoords[:, 1], qcoords[:, 2]
+    zero = jnp.zeros_like(x)
+
+    if grid.periodic and nz >= 3:
+        zlo = jnp.where(z == 0, 0, z - 1)
+        zhi = jnp.where(z == nz - 1, nz - 1, z + 1)
+        wrap = (z == 0) | (z == nz - 1)
+        zb = jnp.where(z == 0, nz - 1, zero)
+    elif grid.periodic:
+        zlo, zhi = zero, jnp.full_like(z, nz - 1)
+        wrap = jnp.zeros_like(x, bool)
+        zb = zero
+    else:
+        zlo = jnp.maximum(z - 1, 0)
+        zhi = jnp.minimum(z + 1, nz - 1)
+        wrap = jnp.zeros_like(x, bool)
+        zb = zero
+
+    psts, pcns, bsts, bcns = [], [], [], []
+    for dx, dy in fof._OFFSETS_XY:
+        if grid.periodic:
+            xq = jnp.mod(x + dx, nx)
+            yq = jnp.mod(y + dy, ny)
+            ok = None
+        else:
+            xq, yq = x + dx, y + dy
+            ok = (xq >= 0) & (xq < nx) & (yq >= 0) & (yq < ny)
+            xq = jnp.clip(xq, 0, nx - 1)
+            yq = jnp.clip(yq, 0, ny - 1)
+        base = (xq * ny + yq) * nz
+        s = pstart[base + zlo]
+        cnt = pstart[base + zhi + 1] - s
+        if ok is not None:
+            cnt = jnp.where(ok, cnt, 0)
+        psts.append(s)
+        pcns.append(cnt)
+        idb = base + zb
+        sb = pstart[idb]
+        cb = jnp.where(wrap, pstart[idb + 1] - sb, 0)
+        if ok is not None:
+            cb = jnp.where(ok, cb, 0)
+        bsts.append(sb)
+        bcns.append(cb)
+    pst = jnp.stack(psts + bsts, axis=1)
+    pcn = jnp.stack(pcns + bcns, axis=1)
+    return pst, pcn
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def _point_candidate_total(centers, cid_sorted, grid: CellGrid):
+    qc = cell_coords(centers, grid)
+    _, pcn = point_windows_dense(qc, cid_sorted, grid)
+    return jnp.sum(pcn.sum(axis=1))
+
+
+@partial(jax.jit, static_argnames=("grid", "nbins", "t_pad", "lnumin"))
+def _class_histogram(pos_s, mass_s, centers, rsearch, cid_sorted,
+                     grid: CellGrid, t_pad: int, nbins: int, lnumin: float):
+    """Per-(halo, log-radius-bin) mass and count histograms for one radius
+    class.  Bin 0 collects r <= umin*rsearch; bins 1..nbins-1 are log-spaced
+    in u = r/rsearch over [umin, 1]."""
+    H = centers.shape[0]
+    qc = cell_coords(centers, grid)
+    pst, pcn = point_windows_dense(qc, cid_sorted, grid)
+    row, col, valid = fof.flat_candidates(pst, pcn, t_pad,
+                                          ncols=pos_s.shape[0])
+    d = fof._gather2(pos_s, col) - fof._gather2(centers, row)
+    if grid.periodic:
+        box = jnp.asarray(grid.boxsize, d.dtype)
+        d = d - box * jnp.round(d / box)
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    rs = rsearch[row]
+    u = r / jnp.maximum(rs, 1e-30)
+    ok = valid & (u <= 1.0)
+    dlog = -lnumin / (nbins - 1)
+    b = 1 + jnp.floor((jnp.log(jnp.maximum(u, 1e-30)) - lnumin) /
+                      dlog).astype(jnp.int32)
+    b = jnp.clip(b, 0, nbins - 1)
+    flat = jnp.where(ok, row * nbins + b, H * nbins)
+    Mh = jnp.zeros(H * nbins + 1, pos_s.dtype).at[flat].add(
+        jnp.where(ok, fof._gather2(mass_s, col) if mass_s.ndim > 1
+                  else mass_s[col], 0.0))
+    Nh = jnp.zeros(H * nbins + 1, jnp.int32).at[flat].add(
+        ok.astype(jnp.int32))
+    return Mh[:-1].reshape(H, nbins), Nh[:-1].reshape(H, nbins)
+
+
+@partial(jax.jit, static_argnames=("nbins", "lnumin", "nthr"))
+def _so_crossings(Mh, Nh, rsearch, lnthr, minnum, first_mass,
+                  nbins: int, lnumin: float, nthr: int):
+    """Inside-out first crossing of each lnrho threshold on the binned
+    enclosed-density profile, with the reference's log-log interpolation.
+
+    Returns (M, R) each (H, nthr); 0 where not found / below one particle
+    mass (reference :5302-5308).
+    """
+    H = Mh.shape[0]
+    Mc = jnp.cumsum(Mh, axis=1)
+    Nc = jnp.cumsum(Nh, axis=1)
+    dlog = -lnumin / (nbins - 1)
+    # upper edge of each bin in u
+    lnu_edge = jnp.concatenate([
+        jnp.asarray([lnumin], Mh.dtype),
+        lnumin + dlog * jnp.arange(1, nbins, dtype=Mh.dtype)])
+    redge = rsearch[:, None] * jnp.exp(lnu_edge)[None, :]
+    lnrho = jnp.log(jnp.maximum(Mc, 1e-30)) - 3.0 * jnp.log(
+        jnp.maximum(redge, 1e-30)) + _LN_3_4PI
+    usable = (Nc >= minnum[:, None]) & (Mc > 0)
+    cols = jnp.arange(nbins, dtype=jnp.int32)
+
+    Ms, Rs = [], []
+    for t in range(nthr):
+        thr = lnthr[t]
+        below = usable & (lnrho < thr)
+        k = jnp.min(jnp.where(below, cols[None, :], nbins), axis=1)
+        found = k < nbins
+        kc = jnp.minimum(k, nbins - 1)
+        kp = jnp.maximum(kc - 1, 0)
+        rows = jnp.arange(H)
+        rho_k = lnrho[rows, kc]
+        rho_p = lnrho[rows, kp]
+        drho = rho_k - rho_p
+        safe = jnp.abs(drho) > 1e-12
+        gamma1 = jnp.where(safe,
+                           (lnu_edge[kc] - lnu_edge[kp]) / drho, 0.0)
+        gamma2 = jnp.where(
+            safe,
+            jnp.log(Mc[rows, kc] / jnp.maximum(Mc[rows, kp], 1e-30)) / drho,
+            0.0)
+        delta = thr - rho_k
+        R = redge[rows, kc] * jnp.exp(gamma1 * delta)
+        M = Mc[rows, kc] * jnp.exp(gamma2 * delta)
+        bad = (~found) | (M < first_mass)
+        Ms.append(jnp.where(bad, 0.0, M))
+        Rs.append(jnp.where(bad, 0.0, R))
+    return jnp.stack(Ms, axis=1), jnp.stack(Rs, axis=1)
+
+
+def so_masses_all_particles(
+    pos, mass, centers, rsearch, lnrho_thresholds,
+    boxsize: Optional[float] = None,
+    nbins: int = 128,
+    umin: float = 3e-3,
+    minnum=None,
+    first_mass=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """SO masses/radii from ALL particles for H halos.
+
+    ``centers`` (H,3), ``rsearch`` (H,), ``lnrho_thresholds`` (nthr,) log
+    density thresholds; returns (M, R) numpy arrays of shape (H, nthr).
+
+    Host decisions: octave radius classes (one cell grid + binning each) and
+    flat-table padding.  Reference: GetSOMasses
+    (substructureproperties.cxx:2731) + CalculateSphericalOverdensity
+    (:5203).
+    """
+    pos = jnp.asarray(pos)
+    mass = jnp.asarray(mass)
+    centers = np.asarray(centers)
+    rsearch = np.asarray(rsearch, np.float64)
+    H = centers.shape[0]
+    nthr = len(lnrho_thresholds)
+    lnthr = jnp.asarray(np.asarray(lnrho_thresholds, np.float64),
+                        pos.dtype)
+    if minnum is None:
+        minnum = np.full(H, 1, np.int32)
+    if first_mass is None:
+        first_mass = np.zeros(H, np.float64)
+
+    M_out = np.zeros((H, nthr), np.float64)
+    R_out = np.zeros((H, nthr), np.float64)
+    if H == 0:
+        return M_out, R_out
+
+    lo = hi = None
+    if not boxsize:
+        lo, hi = jax.device_get((jnp.min(pos, 0), jnp.max(pos, 0)))
+
+    # octave classes by search radius
+    rs_max = float(rsearch.max())
+    order = np.argsort(rsearch)
+    cls_of = np.maximum(0, np.ceil(np.log2(
+        np.maximum(rs_max / np.maximum(rsearch, 1e-30), 1.0))).astype(int))
+    lnumin = float(math.log(umin))
+    for c in np.unique(cls_of):
+        sel = np.where(cls_of == c)[0]
+        w = rs_max / (1 << int(c))          # max radius in this class
+        if boxsize:
+            glo, ghi = np.zeros(3), np.full(3, boxsize)
+        else:
+            glo, ghi = np.asarray(lo), np.asarray(hi)
+        grid = build_grid(glo, ghi, w, periodic=bool(boxsize),
+                          boxsize=boxsize or 0.0)
+        binning = bin_particles(pos, grid)
+        pos_s = pos[binning.order]
+        mass_s = mass[binning.order]
+        ctr = jnp.asarray(centers[sel], pos.dtype)
+        rs = jnp.asarray(rsearch[sel], pos.dtype)
+        T = int(jax.device_get(_point_candidate_total(
+            ctr, binning.cid_sorted, grid)))
+        t_pad = fof._pad_pow2(max(T, 1))
+        Mh, Nh = _class_histogram(pos_s, mass_s, ctr, rs,
+                                  binning.cid_sorted, grid, t_pad,
+                                  nbins, lnumin)
+        M, R = _so_crossings(
+            Mh, Nh, rs, lnthr,
+            jnp.asarray(minnum[sel], jnp.int32),
+            jnp.asarray(first_mass[sel], pos.dtype),
+            nbins, lnumin, nthr)
+        M_out[sel] = np.asarray(jax.device_get(M), np.float64)
+        R_out[sel] = np.asarray(jax.device_get(R), np.float64)
+    return M_out, R_out
+
+
+def so_search_radii(gmass, gsize, min_lnrho, search_fac: float
+                    ) -> np.ndarray:
+    """Per-halo SO search radius (reference substructureproperties.cxx:
+    2820-2826): gsize * SphericalOverdensitySeachFac * radfac where radfac
+    inflates the radius when the group's own mean density still exceeds the
+    lowest threshold / 2."""
+    gmass = np.asarray(gmass, np.float64)
+    gsize = np.maximum(np.asarray(gsize, np.float64), 1e-30)
+    fac = -math.log(4.0 * math.pi / 3.0) - min_lnrho
+    radfac = np.maximum(1.0, np.exp((np.log(np.maximum(gmass, 1e-30))
+                                     - 3.0 * np.log(gsize) + fac) / 3.0))
+    return gsize * search_fac * radfac
+
+
+def so_particle_list(pos, centers, rmax, boxsize: Optional[float] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Particle indices within ``rmax`` of each center, radius-sorted per
+    halo (for ``.catalog_SOlist``, reference io.cxx:1157 WriteSOCatalog).
+
+    Returns (offsets (H+1,), indices) in CSR form (original particle
+    indices).
+    """
+    pos = jnp.asarray(pos)
+    centers = np.asarray(centers)
+    rmax = np.asarray(rmax, np.float64)
+    H = centers.shape[0]
+    if H == 0:
+        return np.zeros(1, np.int64), np.zeros(0, np.int64)
+    rs_max = float(max(rmax.max(), 1e-30))
+    if boxsize:
+        glo, ghi = np.zeros(3), np.full(3, boxsize)
+    else:
+        glo, ghi = jax.device_get((jnp.min(pos, 0), jnp.max(pos, 0)))
+    grid = build_grid(np.asarray(glo), np.asarray(ghi), rs_max,
+                      periodic=bool(boxsize), boxsize=boxsize or 0.0)
+    binning = bin_particles(pos, grid)
+    pos_s = pos[binning.order]
+    ctr = jnp.asarray(centers, pos.dtype)
+    T = int(jax.device_get(_point_candidate_total(
+        ctr, binning.cid_sorted, grid)))
+    t_pad = fof._pad_pow2(max(T, 1))
+    qc = cell_coords(ctr, grid)
+    pst, pcn = point_windows_dense(qc, binning.cid_sorted, grid)
+    row, col, valid = fof.flat_candidates(pst, pcn, t_pad,
+                                          ncols=pos_s.shape[0])
+    d = fof._gather2(pos_s, col) - fof._gather2(ctr, row)
+    if grid.periodic:
+        box = jnp.asarray(grid.boxsize, d.dtype)
+        d = d - box * jnp.round(d / box)
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    ok = valid & (r <= jnp.asarray(rmax, pos.dtype)[row])
+    row_np, col_np, r_np, ok_np = jax.device_get((row, col, r, ok))
+    row_np = row_np[ok_np]
+    col_np = col_np[ok_np]
+    r_np = r_np[ok_np]
+    perm = np.lexsort((r_np, row_np))
+    row_np, col_np = row_np[perm], col_np[perm]
+    orig = np.asarray(jax.device_get(binning.order))[col_np]
+    offsets = np.zeros(H + 1, np.int64)
+    np.add.at(offsets, row_np + 1, 1)
+    offsets = np.cumsum(offsets)
+    return offsets, orig.astype(np.int64)
