@@ -66,3 +66,87 @@ def test_baryon_kinematic_discrimination():
     gid = np.asarray(B.search_baryons(opt, pos_dm, vel_dm, pfof_dm,
                                       pos_b, vel_b))
     assert (gid == 2).mean() > 0.9
+
+
+def test_pipeline_multitype_end_to_end(tmp_path):
+    """Gas+DM+star mock through the full pipeline with Baryon_searchflag=1:
+    baryons associated in phase space, combined unbinding, per-type
+    properties (reference main.cxx:397 SearchBaryons integration +
+    GetProperties GASON/STARON blocks)."""
+    import math
+
+    from velociraptor_stf_tpu.models.pipeline import find_structures
+
+    rng = np.random.default_rng(7)
+    boxsize = 10.0
+    G = 43.0211349
+    halos = [(np.array([3.0, 3, 3]), 4000), (np.array([7.0, 7, 7]), 2500)]
+    pp, vv, tt, uu = [], [], [], []
+    for c, n in halos:
+        Rh = 0.25
+        # DM
+        r = Rh * rng.random(n) ** (1 / 3)
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        sig = math.sqrt(G * n / Rh) * 0.25
+        pp.append(c + d * r[:, None])
+        vv.append(rng.normal(0, sig, (n, 3)))
+        tt.append(np.full(n, 1, np.int8))
+        uu.append(np.zeros(n))
+        # gas: same region, slightly tighter
+        ng = n // 4
+        r = 0.8 * Rh * rng.random(ng) ** (1 / 3)
+        d = rng.normal(size=(ng, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        pp.append(c + d * r[:, None])
+        vv.append(rng.normal(0, sig * 0.8, (ng, 3)))
+        tt.append(np.full(ng, 0, np.int8))
+        uu.append(np.full(ng, 100.0))
+        # stars
+        ns = n // 8
+        r = 0.5 * Rh * rng.random(ns) ** (1 / 3)
+        d = rng.normal(size=(ns, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        pp.append(c + d * r[:, None])
+        vv.append(rng.normal(0, sig * 0.8, (ns, 3)))
+        tt.append(np.full(ns, 4, np.int8))
+        uu.append(np.zeros(ns))
+    nbg = 20000
+    pp.append(rng.random((nbg, 3)) * boxsize)
+    vv.append(rng.normal(0, 500.0, (nbg, 3)))
+    tt.append(np.full(nbg, 1, np.int8))
+    uu.append(np.zeros(nbg))
+    pos = np.concatenate(pp).astype(np.float32)
+    vel = np.concatenate(vv).astype(np.float32)
+    ptype = np.concatenate(tt)
+    u = np.concatenate(uu).astype(np.float32)
+    mass = np.ones(len(pos), np.float32)
+
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = boxsize / len(pos) ** (1 / 3)
+    opt.fofbgtype = C.FOF3D
+    opt.MinSize = 32
+    opt.uinfo.unbindflag = 1
+    opt.uinfo.Eratio = 1.0
+    opt.G = G
+    opt.iSubSearch = 0
+    opt.iBaryonSearch = 1
+    opt.partsearchtype = C.PSTALL
+    opt.icosmologicalin = 0
+    C.config_check(opt)
+    res = find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                          ptype=ptype, extras={"u": u})
+    assert res.ngroups >= 2
+    # per-type properties present and group 1 (largest) has gas + stars
+    assert "n_gas" in res.props and "n_star" in res.props
+    assert res.props["n_gas"][1] > 0
+    assert res.props["n_star"][1] > 0
+    assert res.props["M_gas"][1] > 0
+    assert res.props["Temp_mean_gas"][1] > 0
+    # gas fraction roughly the planted 1/4 of DM count (same masses)
+    frac = res.props["n_gas"][1] / max(res.props["num"][1], 1)
+    assert 0.1 < frac < 0.35
+    # baryons actually got group ids
+    b = ptype != 1
+    assert (res.pfof[b] > 0).sum() > 0.5 * (ptype == 0).sum()

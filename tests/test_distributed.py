@@ -1,0 +1,77 @@
+"""Distributed FOF tests on the virtual 8-device CPU mesh.
+
+SPMD slab decomposition + ppermute halo exchange must reproduce the
+single-device FOF partition exactly (SURVEY.md §2.6/§2.8: the TPU
+replacement for mpiroutines.cxx's link-across fixed point).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from velociraptor_stf_tpu.io.synthetic import make_cosmo_mock
+from velociraptor_stf_tpu.ops import fof
+from velociraptor_stf_tpu.parallel import mesh as M
+from velociraptor_stf_tpu.parallel.distributed_fof import distributed_fof3d
+
+
+def _partition_equal(a, b):
+    """Two labelings describe the same partition (ids may differ)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    # untagged must match exactly
+    if not ((a == 0) == (b == 0)).all():
+        return False
+    sel = a > 0
+    pa, pb = a[sel], b[sel]
+    # bijection check via pair encoding
+    ka = {}
+    for x, y in zip(pa, pb):
+        if x in ka and ka[x] != y:
+            return False
+        ka[x] = y
+    kb = {}
+    for x, y in zip(pb, pa):
+        if x in kb and kb[x] != y:
+            return False
+        kb[x] = y
+    return True
+
+
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_distributed_fof_matches_single_device(ndev):
+    n = 1 << 15
+    boxsize = 20.0
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=12, seed=21)
+    b = 0.2 * boxsize / n ** (1 / 3)
+    mesh = M.make_mesh(ndev)
+    pfof_d, ng_d = distributed_fof3d(pos, b, boxsize, mesh, min_size=20)
+    pfof_s, ng_s = fof.fof3d(pos, b, boxsize=boxsize, min_size=20)
+    pfof_s = np.asarray(jax.device_get(pfof_s))
+    ng_s = int(jax.device_get(ng_s))
+    assert ng_d == ng_s
+    assert _partition_equal(pfof_d, pfof_s)
+
+
+def test_distributed_fof_group_spanning_many_slabs():
+    """A filament along x crossing every slab boundary (worst case for the
+    cross-slab label fixed point) must come out as ONE group."""
+    rng = np.random.default_rng(5)
+    boxsize = 16.0
+    n_fil = 4000
+    # filament along x at y=z=8, spacing well below the linking length
+    xs = np.linspace(0, boxsize, n_fil, endpoint=False)
+    fil = np.stack([xs, np.full(n_fil, 8.0), np.full(n_fil, 8.0)], axis=1)
+    fil += rng.normal(0, 0.005, fil.shape)
+    bg = rng.random((20000, 3)) * boxsize
+    pos = np.concatenate([fil, bg]).astype(np.float32)
+    b = 0.05   # links the filament (spacing 0.004), not the background
+    mesh = M.make_mesh(8)
+    pfof_d, ng_d = distributed_fof3d(pos, b, boxsize, mesh, min_size=20)
+    # the filament is one group, and it wraps periodically (0 connects 16)
+    lab = pfof_d[:n_fil]
+    assert (lab > 0).all()
+    assert len(np.unique(lab)) == 1
+    pfof_s, ng_s = fof.fof3d(pos, b, boxsize=boxsize, min_size=20)
+    assert _partition_equal(pfof_d, np.asarray(jax.device_get(pfof_s)))

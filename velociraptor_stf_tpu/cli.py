@@ -43,16 +43,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def read_snapshot(opt: C.Options):
     """Dispatch to the format reader; returns (pos, vel, pids, ptype, mass,
-    boxsize) in *internal units* (input conversions applied, reference
-    ReadData io.cxx:73)."""
+    boxsize, extras) in *internal units* (input conversions applied,
+    reference ReadData io.cxx:73)."""
     want_types = None
-    if opt.partsearchtype == C.PSTDARK:
+    if opt.partsearchtype == C.PSTDARK and not opt.iBaryonSearch:
         want_types = [1, 2, 3]
     elif opt.partsearchtype == C.PSTGAS:
         want_types = [0]
     elif opt.partsearchtype == C.PSTSTAR:
         want_types = [4]
 
+    extras = None
     if opt.inputtype == C.IOGADGET:
         hdr, pos, vel, pids, ptype, mass = gadget_io.read_gadget(
             opt.fname, parttypes=want_types)
@@ -66,6 +67,9 @@ def read_snapshot(opt: C.Options):
         hdr, pos, vel, pids, ptype, mass, extras = hdf_io.read_hdf(
             opt.fname, parttypes=want_types,
             convention=opt.ihdfnameconvention)
+        if extras is not None and not any(
+                np.abs(v).max() > 0 for v in extras.values() if len(v)):
+            extras = None
         boxsize = hdr.boxsize
         opt.a = hdr.time if opt.icosmologicalin else 1.0
         opt.Omega_m = hdr.omega0 or opt.Omega_m
@@ -96,15 +100,17 @@ def read_snapshot(opt: C.Options):
     if opt.icosmologicalin and boxsize > 0:
         opt.ellxscale = units.interparticle_spacing(boxsize, ntot)
         opt.p = boxsize
-    return pos, vel, pids, ptype, mass, boxsize if boxsize > 0 else None
+    return (pos, vel, pids, ptype, mass,
+            boxsize if boxsize > 0 else None, extras)
 
 
 def run(opt: C.Options) -> pipeline.CatalogResult:
     """Full standalone run: read, search, write (reference main())."""
     timer = PhaseTimer(verbose=opt.iverbose)
     with timer.phase("read"):
-        pos, vel, pids, ptype, mass, boxsize = read_snapshot(opt)
-    res = pipeline.find_structures(opt, pos, vel, mass, boxsize=boxsize)
+        pos, vel, pids, ptype, mass, boxsize, extras = read_snapshot(opt)
+    res = pipeline.find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                                   ptype=ptype, extras=extras)
     for k, v in res.timings.items():
         timer.record(k, v)
 
@@ -138,7 +144,7 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
                     numsub[pg] += 1
         cols = writers.properties_table(
             opt, res.props, ng, hostid=res.hostid, numsubstruct=numsub,
-            id_mbp=id_mbp, id_minpot=id_minpot)
+            id_mbp=id_mbp, id_minpot=id_minpot, level=res.hierarchy_level)
         writers.write_properties(opt, opt.outname, cols, ng)
         writers.write_group_catalog(opt, opt.outname, res.pfof, pids, ng,
                                     order_within_group=order_bind,

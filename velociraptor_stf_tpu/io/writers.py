@@ -41,7 +41,8 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
                      vel_mbp: Optional[np.ndarray] = None,
                      vel_minpot: Optional[np.ndarray] = None,
                      efrac: Optional[np.ndarray] = None,
-                     epot: Optional[np.ndarray] = None
+                     epot: Optional[np.ndarray] = None,
+                     level: Optional[np.ndarray] = None
                      ) -> Dict[str, np.ndarray]:
     """Assemble the .properties column dict with reference field names
     (PropDataHeader, allvars.h:3314-...)."""
@@ -83,10 +84,12 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
         "numSubStruct": numsubstruct[g].astype(np.int64)
         if numsubstruct is not None else zi.copy(),
         "npart": np.asarray(props["num"])[g].astype(np.uint64),
-        "Structuretype": np.where(
-            (hostid[g] if hostid is not None
-             else np.full(ngroups, -1)) == -1,
-            C.HALOSTYPE, C.HALOSTYPE).astype(np.int32),
+        # field halos HALOSTYPE=10; substructures 10+10*level (reference
+        # search.cxx:2786 stypeinlevel)
+        "Structuretype": (C.HALOSTYPE +
+                          10 * (level[g].astype(np.int32)
+                                if level is not None
+                                else np.zeros(ngroups, np.int32))),
         "Mvir": get("gMvir"),
         "Xc": gcm[:, 0], "Yc": gcm[:, 1], "Zc": gcm[:, 2],
         "Xcmbp": pmb[:, 0], "Ycmbp": pmb[:, 1], "Zcmbp": pmb[:, 2],
@@ -163,6 +166,27 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
             tag = f"{thr:g}_rhocrit"
             cols[f"SO_Mass_{tag}"] = np.asarray(props["SO_mass"])[g][:, i]
             cols[f"SO_R_{tag}"] = np.asarray(props["SO_radius"])[g][:, i]
+    # per-type (gas/star/BH) sub-properties (reference PropData
+    # n_gas/M_gas/..., allvars.h:1322-1528)
+    for t in ("gas", "star", "bh"):
+        if f"n_{t}" not in props:
+            continue
+        cols[f"n_{t}"] = np.asarray(props[f"n_{t}"])[g].astype(np.uint64)
+        cols[f"M_{t}"] = np.asarray(props[f"M_{t}"])[g]
+        cmt = np.asarray(props[f"cm_{t}"])[g]
+        cmvt = np.asarray(props[f"cmvel_{t}"])[g]
+        for i, a in enumerate("xyz"):
+            cols[f"{a.upper()}c_{t}"] = cmt[:, i]
+            cols[f"V{a.upper()}c_{t}"] = cmvt[:, i]
+        cols[f"sigV_{t}"] = np.asarray(props[f"sigV_{t}"])[g]
+        Lt = np.asarray(props[f"L_{t}"])[g]
+        cols[f"Lx_{t}"], cols[f"Ly_{t}"], cols[f"Lz_{t}"] = \
+            Lt[:, 0], Lt[:, 1], Lt[:, 2]
+        cols[f"R_HalfMass_{t}"] = np.asarray(props[f"R_HalfMass_{t}"])[g]
+    for k in ("Temp_mean_gas", "SFR_gas", "SFR_mean_gas", "Zmet_gas",
+              "t_mean_star", "Zmet_star", "M_bh_mostmassive"):
+        if k in props:
+            cols[k] = np.asarray(props[k])[g]
     # exclusive (member-only) masses when inclusive masses are active
     # (reference Mass_200crit_excl etc., io.cxx/allvars.h PropDataHeader)
     if opt.iInclusiveHalo > 0 and "gM200c_excl" in props:

@@ -51,14 +51,57 @@ class CatalogResult:
     so_indices: Optional[np.ndarray] = None
 
 
+def _remap_hierarchy(gid_map: np.ndarray, ng_new: int, hostid, parent,
+                     level):
+    """Re-index per-group hierarchy arrays through an old->new gid map
+    (used after a renumbering unbind pass dissolves/reorders groups)."""
+    new_host = np.full(ng_new + 1, -1, np.int64)
+    new_parent = np.zeros(ng_new + 1, np.int64)
+    new_level = np.zeros(ng_new + 1, np.int32)
+    for old in range(1, len(parent)):
+        newg = gid_map[old] if old < len(gid_map) else 0
+        if newg == 0 or newg > ng_new:
+            continue
+        p = parent[old]
+        new_parent[newg] = gid_map[p] if (0 < p < len(gid_map)) else 0
+        if hostid is not None:
+            h = hostid[old]
+            new_host[newg] = gid_map[h] if (0 < h < len(gid_map)) else -1
+        new_level[newg] = level[old] if level is not None else 0
+    return new_host, new_parent, new_level
+
+
 def find_structures(opt: C.Options, pos, vel, mass,
-                    boxsize: Optional[float] = None) -> CatalogResult:
-    """Run field search [+ unbinding] [+ properties]; the ``main()`` path."""
+                    boxsize: Optional[float] = None,
+                    ptype=None, extras: Optional[Dict] = None
+                    ) -> CatalogResult:
+    """Run field search [+ unbinding] [+ substructure] [+ baryons]
+    [+ properties]; the ``main()`` path (reference main.cxx:20-544).
+
+    With ``ptype`` given and ``Baryon_searchflag>0``, the structure search
+    runs on the dark matter subset and gas/star/BH particles are then
+    associated in phase space and included in a combined unbinding pass
+    (reference SearchBaryons, search.cxx:3053; main.cxx:397).
+    """
     timings: Dict[str, float] = {}
     units.calc_cosmo_params(opt, opt.a)
 
+    pos = jnp.asarray(pos)
+    vel = jnp.asarray(vel)
+    mass = jnp.asarray(mass)
+    ptype_np = None if ptype is None else np.asarray(ptype)
+    baryon_mode = (ptype_np is not None and opt.iBaryonSearch > 0
+                   and bool((ptype_np != C.DARKTYPE).any())
+                   and bool((ptype_np == C.DARKTYPE).any()))
+    if baryon_mode:
+        dmi = np.where(ptype_np == C.DARKTYPE)[0]
+        bi = np.where(ptype_np != C.DARKTYPE)[0]
+        spos, svel, smass = pos[dmi], vel[dmi], mass[dmi]
+    else:
+        spos, svel, smass = pos, vel, mass
+
     t0 = time.time()
-    fres = halos.search_full_set(opt, pos, vel, mass, boxsize=boxsize)
+    fres = halos.search_full_set(opt, spos, svel, smass, boxsize=boxsize)
     pfof, ng = fres.pfof, fres.ngroups
     jax.block_until_ready(pfof)
     timings["fof"] = time.time() - t0
@@ -73,7 +116,7 @@ def find_structures(opt: C.Options, pos, vel, mass,
         t0 = time.time()
         minsize = opt.HaloMinSize if opt.HaloMinSize > 0 else opt.MinSize
         ures = unbind_mod.check_unbound_groups(
-            pos, vel, mass, pfof, _pad_pow2(ng), opt.uinfo, opt.G,
+            spos, svel, smass, pfof, _pad_pow2(ng), opt.uinfo, opt.G,
             boxsize=boxsize, min_size=minsize)
         pfof, ng, W = ures.pfof, ures.ngroups, ures.W
         gid_map = ures.gid_map
@@ -86,9 +129,47 @@ def find_structures(opt: C.Options, pos, vel, mass,
         from . import substructure as sub_mod
 
         pfof, ng, hostid, parent, level = sub_mod.search_sub_sub(
-            opt, pos, vel, mass, np.asarray(pfof), ng, boxsize=boxsize)
+            opt, spos, svel, smass, np.asarray(pfof), ng, boxsize=boxsize)
         pfof = jnp.asarray(pfof)
         timings["substructure"] = time.time() - t0
+
+    if baryon_mode:
+        t0 = time.time()
+        from . import baryons as baryons_mod
+
+        grp_b = baryons_mod.search_baryons(
+            opt, spos, svel, pfof, pos[bi], vel[bi], boxsize=boxsize)
+        pfof_full = np.zeros(pos.shape[0], np.int32)
+        pfof_full[dmi] = np.asarray(pfof)
+        pfof_full[bi] = np.asarray(grp_b)
+        pfof = jnp.asarray(pfof_full)
+        # combined unbinding with baryons attached (reference search.cxx:
+        # 3500+: SearchBaryons re-runs CheckUnboundGroups on the full set)
+        if opt.uinfo.unbindflag and ng > 0:
+            ures = unbind_mod.check_unbound_groups(
+                pos, vel, mass, pfof, _pad_pow2(ng), opt.uinfo, opt.G,
+                boxsize=boxsize, min_size=opt.MinSize)
+            pfof, W = ures.pfof, ures.W
+            gm = np.asarray(ures.gid_map)
+            if parent is not None:
+                hostid, parent, level = _remap_hierarchy(
+                    gm, ures.ngroups, hostid, parent, level)
+            ng = ures.ngroups
+            # the pre-unbind FOF labels for inclusive masses live on the DM
+            # subset; map them onto the full set (baryons untagged there)
+            if pfof_fof is not None:
+                full = np.zeros(pos.shape[0], np.int32)
+                full[dmi] = np.asarray(pfof_fof)
+                pfof_fof = jnp.asarray(full)
+            # compose old-FOF-gid -> final-gid through both renumber passes
+            # (field halo ids pass unchanged through substructure splicing)
+            if gid_map is not None:
+                gm1 = np.asarray(gid_map)
+                gid_map = jnp.asarray(gm[np.clip(gm1, 0, len(gm) - 1)])
+            else:
+                gid_map = ures.gid_map
+        jax.block_until_ready(pfof)
+        timings["baryons"] = time.time() - t0
 
     t0 = time.time()
     ngpad = _pad_pow2(max(ng, 1))
@@ -103,6 +184,22 @@ def find_structures(opt: C.Options, pos, vel, mass,
         min_size=opt.MinSize,
         iIterateCM=bool(opt.iIterateCM),
         cmfrac=opt.pinfo.cmfrac, cmadjustfac=opt.pinfo.cmadjustfac)
+    # per-type (gas/star/BH) sub-properties (reference GASON/STARON/BHON
+    # blocks of GetProperties; only when multiple particle types searched)
+    if ptype_np is not None and len(np.unique(ptype_np)) > 1:
+        ex = extras or {}
+
+        def _exf(key):
+            v = ex.get(key)
+            return None if v is None else jnp.asarray(v)
+
+        pr.update(props_mod.compute_pertype_properties(
+            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+            jnp.asarray(ptype_np), jnp.asarray(pfof), ngpad,
+            refpos=pr["gcm"], refvel=pr["gcmvel"],
+            u=_exf("u"), sfr=_exf("sfr"), zmet=_exf("zmet"),
+            tage=_exf("tage")))
+
     # extended properties: apertures / profiles / RVmax / energies
     if opt.iaperturecalc or opt.iprofilecalc:
         to_int = 1.0 / opt.lengthtokpc if opt.lengthtokpc > 0 else 1.0

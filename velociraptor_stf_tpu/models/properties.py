@@ -393,6 +393,87 @@ def compute_rvmax_properties(pos, vel, mass, pfof, num_groups: int, *,
     }
 
 
+GASTYPE, DARKTYPE, STARTYPE, BHTYPE = 0, 1, 4, 5
+
+
+@partial(jax.jit, static_argnames=("num_groups", "types"))
+def compute_pertype_properties(
+    pos, vel, mass, ptype, pfof, num_groups: int, *,
+    refpos, refvel,
+    types: Tuple[Tuple[str, int], ...] = (("gas", GASTYPE),
+                                          ("star", STARTYPE),
+                                          ("bh", BHTYPE)),
+    u=None, sfr=None, zmet=None, tage=None,
+) -> Dict[str, jnp.ndarray]:
+    """Per-particle-type bulk properties (gas/star/BH sub-properties).
+
+    Reference: the GASON/STARON/BHON blocks of ``GetProperties``
+    (/root/reference/src/substructureproperties.cxx:266+, fields
+    ``PropData.n_gas/M_gas/Temp_mean_gas/SFR_gas/...``, allvars.h:1322-1528).
+    All quantities are segment reductions keyed by (group, type); the
+    half-mass radii reuse one global (group, radius) sort.
+    """
+    n = pos.shape[0]
+    ng1 = num_groups + 1
+    dx = pos - refpos[pfof]
+    dv = vel - refvel[pfof]
+    r2 = jnp.sum(dx * dx, -1)
+    perm = jnp.lexsort((r2, pfof)).astype(jnp.int32)
+    g_s = pfof[perm]
+    offsets = seg.group_offsets(g_s, num_groups)
+
+    out: Dict[str, jnp.ndarray] = {}
+    for tname, tval in types:
+        sel = (ptype == tval) & (pfof > 0)
+        w = jnp.where(sel, mass, 0.0)
+        msum = seg.segment_sum(w, pfof, ng1)
+        msafe = jnp.maximum(msum, 1e-30)
+        out[f"n_{tname}"] = seg.segment_sum(sel.astype(jnp.int32), pfof, ng1)
+        out[f"M_{tname}"] = msum
+        cm = seg.segment_sum(pos * w[:, None], pfof, ng1) / msafe[:, None]
+        cmv = seg.segment_sum(vel * w[:, None], pfof, ng1) / msafe[:, None]
+        out[f"cm_{tname}"] = cm
+        out[f"cmvel_{tname}"] = cmv
+        dv2 = jnp.sum((vel - cmv[pfof]) ** 2, -1)
+        out[f"sigV_{tname}"] = jnp.sqrt(
+            seg.segment_sum(jnp.where(sel, dv2 * mass, 0.0), pfof, ng1) /
+            msafe / 3.0)
+        out[f"L_{tname}"] = seg.segment_sum(
+            jnp.cross(dx, dv) * w[:, None], pfof, ng1)
+        # half-mass radius of this type (radius-sorted masked cumsum)
+        m_t_s = jnp.where(sel[perm], mass[perm], 0.0)
+        Mcum_t = seg.segment_cumsum(m_t_s, g_s, offsets)
+        khalf = _first_crossing(
+            (Mcum_t > 0.5 * msum[g_s]) & (g_s > 0), g_s, ng1, n)
+        khc = jnp.minimum(khalf, n - 1)
+        r_s = jnp.sqrt(jnp.maximum(r2[perm], 1e-30))
+        out[f"R_HalfMass_{tname}"] = jnp.where(khalf < n, r_s[khc], 0.0)
+        if tname == "gas":
+            if u is not None:
+                out["Temp_mean_gas"] = seg.segment_sum(
+                    jnp.where(sel, u * mass, 0.0), pfof, ng1) / msafe
+            if sfr is not None:
+                out["SFR_gas"] = seg.segment_sum(
+                    jnp.where(sel, sfr, 0.0), pfof, ng1)
+                out["SFR_mean_gas"] = out["SFR_gas"] / msafe
+            if zmet is not None:
+                out["Zmet_gas"] = seg.segment_sum(
+                    jnp.where(sel, zmet * mass, 0.0), pfof, ng1) / msafe
+        if tname == "star":
+            if tage is not None:
+                out["t_mean_star"] = seg.segment_sum(
+                    jnp.where(sel, tage * mass, 0.0), pfof, ng1) / msafe
+            if zmet is not None:
+                out["Zmet_star"] = seg.segment_sum(
+                    jnp.where(sel, zmet * mass, 0.0), pfof, ng1) / msafe
+        if tname == "bh":
+            out["M_bh_mostmassive"] = seg.segment_max(
+                jnp.where(sel, mass, 0.0), pfof, ng1)
+    for k, v in out.items():
+        out[k] = v.at[0].set(jnp.zeros_like(v[0]))
+    return out
+
+
 @partial(jax.jit, static_argnames=("num_groups",))
 def compute_energies(vel, mass, pfof, W, num_groups: int, gcmvel,
                      Eratio) -> Dict[str, jnp.ndarray]:
