@@ -150,3 +150,64 @@ def test_search_sub_sub_recursion_and_hierarchy():
     for g in subs:
         assert hostid[g] == 1
         assert level[g] == 1
+
+
+def test_skewgauss_fit_recovers_truth():
+    """Skew-Gaussian LM refinement (reference stf-fitting.h:11-48 +
+    localbgcomp.cxx:399-460) recovers asymmetric widths the histogram
+    initialisation misestimates."""
+    import jax.numpy as jnp
+
+    from velociraptor_stf_tpu.models import bgfield
+
+    rng = np.random.default_rng(0)
+    n = 60000
+    sdl_t, sdh_t, mu_t = 0.6, 1.0, 0.3
+    nlo = int(n * sdl_t / (sdl_t + sdh_t))
+    lo = mu_t - np.abs(rng.normal(0, sdl_t, nlo))
+    hi = mu_t + np.abs(rng.normal(0, sdh_t, n - nlo))
+    R = np.concatenate([lo, hi,
+                        rng.normal(6.0, 0.3, 800)]).astype(np.float32)
+    mass = np.ones(len(R), np.float32)
+    ell, (mode, sdl, sdh) = bgfield.outlier_values(jnp.asarray(R),
+                                                   jnp.asarray(mass))
+    assert abs(float(mode) - mu_t) < 0.08
+    assert abs(float(sdl) - sdl_t) < 0.08
+    assert abs(float(sdh) - sdh_t) < 0.08
+    # the planted tail at R=6 comes out as strong outliers
+    tail = np.asarray(ell)[-800:]
+    assert (tail > 3).mean() > 0.95
+
+
+def test_velocity_density_cache_roundtrip(tmp_path):
+    """Output_den checkpoint: a second identical run replays the cached
+    level-1 velocity densities and produces identical labels (reference
+    main.cxx:271-275, io.cxx:178-251)."""
+    import time as _time
+
+    from velociraptor_stf_tpu.models import substructure as S2
+
+    rng = np.random.default_rng(13)
+    n_h = 3000
+    c = np.array([5.0, 5, 5])
+    host = c + rng.normal(0, 0.3, (n_h, 3))
+    vh = rng.normal(0, 50.0, (n_h, 3))
+    sub = c + np.array([0.2, 0, 0]) + rng.normal(0, 0.02, (400, 3))
+    vs = np.array([120.0, 0, 0]) + rng.normal(0, 8.0, (400, 3))
+    pos = np.concatenate([host, sub]).astype(np.float32)
+    vel = np.concatenate([vh, vs]).astype(np.float32)
+    mass = np.ones(len(pos), np.float32)
+    pfof = np.ones(len(pos), np.int32)
+
+    opt = C.Options()
+    opt.ellxscale = 10.0 / len(pos) ** (1 / 3)
+    opt.iSubSearch = 1
+    opt.uinfo.unbindflag = 0
+    opt.iHaloCoreSearch = 0
+    opt.smname = str(tmp_path / "run.localden")
+
+    out1 = S2.search_sub_sub(opt, pos, vel, mass, pfof.copy(), 1)
+    assert (tmp_path / "run.localden.npz").exists()
+    out2 = S2.search_sub_sub(opt, pos, vel, mass, pfof.copy(), 1)
+    assert np.array_equal(out1[0], out2[0])
+    assert out1[1] == out2[1]

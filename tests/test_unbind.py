@@ -161,3 +161,34 @@ def test_sort_by_binding_energy():
     assert (np.diff(Es) >= -1e-3).all()      # ascending = most bound first
     assert np.asarray(mbp)[1] == np.argmin(E)
     assert np.asarray(minpot)[1] == np.argmin(np.asarray(W))
+
+
+def test_keep_background_potential_zero_ejects_more():
+    """With Keep_background_potential=0 (reference unbind.cxx:584-605),
+    ejected particles stop contributing to the potential, so a marginally
+    bound group loses more members than with the background kept."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    pos = rng.normal(0, 0.1, (n, 3)).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    # velocity dispersion slightly above virial: marginal binding
+    r = np.linalg.norm(pos, axis=1)
+    sig = np.sqrt(G * n / np.maximum(r.mean(), 1e-3)) * 0.55
+    vel = rng.normal(0, sig, (n, 3)).astype(np.float32)
+    pfof = np.ones(n, np.int32)
+
+    def run(bgpot):
+        u = UnbindInfo(unbindflag=1, bgpot=bgpot, Eratio=1.0,
+                       maxunbindfrac=0.05, eps=1e-3)
+        return U.check_unbound_groups(pos, vel, mass, jnp.asarray(pfof),
+                                      1, u, G, min_size=20)
+
+    keep = run(1)
+    nokeep = run(0)
+    nb_keep = int(np.asarray(keep.bound).sum())
+    nb_nokeep = int(np.asarray(nokeep.bound).sum())
+    assert nb_nokeep <= nb_keep
+    # and strictly fewer in this marginal configuration
+    assert nb_nokeep < nb_keep or (nb_keep == 0 and nb_nokeep == 0)

@@ -29,6 +29,28 @@ def write_local_velocity_density(fname: str, density: np.ndarray,
                         fingerprint=_fingerprint(pids))
 
 
+def write_density_cache(fname: str, dens: dict, pfof: np.ndarray) -> None:
+    """Write the per-structure velocity-density dict (pipeline checkpoint,
+    keys 'l<level>g<gid>'), fingerprinted by the group labels so a cache
+    from a different snapshot/search is never replayed."""
+    path = fname if fname.endswith(".npz") else fname + ".npz"
+    np.savez_compressed(path, __fingerprint=_fingerprint(pfof), **dens)
+
+
+def read_density_cache(fname: str, pfof: np.ndarray) -> Optional[dict]:
+    """Returns {'l<level>g<gid>': density} or None (missing/mismatched)."""
+    path = fname if fname.endswith(".npz") else fname + ".npz"
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            if not np.array_equal(z["__fingerprint"], _fingerprint(pfof)):
+                return None
+            return {k: z[k] for k in z.files if k != "__fingerprint"}
+    except Exception:
+        return None
+
+
 def read_local_velocity_density(fname: str,
                                 pids: np.ndarray) -> Optional[np.ndarray]:
     """Returns the cached densities or None (missing / mismatched)."""

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.kdgrid import median_partition
+from ..utils.config import MINSUBSIZE
 
 MAXNGRID = 6  # reference allvars.h:185 (interpolation uses MAXNGRID+1 cells)
 
@@ -180,7 +181,123 @@ def _ratio_distribution(R, mass, active, nbins: int, nbins2: int):
     return mode, sdlow, sdhigh
 
 
-def outlier_values(R, mass, active=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+# parameter-freezing schedules of the reference's skew-Gaussian fit
+# (localbgcomp.cxx:424-433): 1 = frozen, 0 = free; columns (A, mu, var, s2)
+_SKEW_FIX = np.array([
+    [1, 1, 0, 1],
+    [1, 0, 0, 1],
+    [0, 0, 0, 1],
+    [1, 1, 1, 0],
+    [0, 1, 1, 1],
+    [1, 0, 0, 1],
+    [1, 0, 0, 0],
+    [0, 0, 0, 0],
+], np.float32)
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def _skewgauss_refine(R, mass, active, mode, sdlow, sdhigh, nbins: int):
+    """Weighted nonlinear LS fit of a skew-Gaussian to the R histogram.
+
+    Mirrors the reference refinement (stf-fitting.h:11-48 SkewGauss +
+    analytic derivatives; localbgcomp.cxx:399-460 FitNonLinLS over 8
+    parameter-freezing schedules, best chi^2 wins, fall back to the
+    histogram estimates when a fit goes invalid).  params = (A, mu, var,
+    s2) with sdlow = sqrt(var*s2), sdhigh = sqrt(var).
+    """
+    dt = R.dtype
+    lo = mode - 4.0 * sdlow
+    hi = mode + 4.0 * sdhigh
+    width = jnp.maximum((hi - lo) / nbins, 1e-12)
+    ir = jnp.clip(((R - lo) / width).astype(jnp.int32), 0, nbins)
+    inwin = active & (R >= lo) & (R < hi)
+    w = jnp.where(inwin, mass, 0.0)
+    rbin = jnp.zeros(nbins + 1, dt).at[ir].add(w)[:nbins]
+    w2 = jnp.zeros(nbins + 1, dt).at[ir].add(w * w)[:nbins]
+    minw2 = jnp.min(jnp.where(rbin > 0, w2, jnp.inf))
+    minw2 = jnp.where(jnp.isfinite(minw2), minw2, 1.0)
+    Wd = jnp.where(rbin > 0, 1.0 / jnp.maximum(w2, 1e-30), 1.0 / minw2)
+    xbin = lo + (jnp.arange(nbins, dtype=dt) + 0.5) * width
+
+    def model_and_jac(p):
+        A, mu, var, s2 = p[0], p[1], p[2], p[3]
+        var = jnp.maximum(var, 1e-12)
+        s2 = jnp.maximum(s2, 1e-12)
+        dx = xbin - mu
+        below = xbin <= mu
+        e_lo = jnp.exp(-0.5 * dx * dx / (var * s2))
+        e_hi = jnp.exp(-0.5 * dx * dx / var)
+        e = jnp.where(below, e_lo, e_hi)
+        m = A * e
+        dA = e
+        dmu = jnp.where(below, A * e_lo * dx / (var * s2),
+                        A * e_hi * dx / var)
+        dvar = jnp.where(below, A * e_lo * dx * dx / (var * var * s2) * 0.5,
+                         A * e_hi * dx * dx / (var * var) * 0.5)
+        ds2 = jnp.where(below, A * e_lo * dx * dx / (var * s2 * s2) * 0.5,
+                        0.0)
+        J = jnp.stack([dA, dmu, dvar, ds2], axis=1)   # (nbins, 4)
+        return m, J
+
+    def chi2_of(p):
+        m, _ = model_and_jac(p)
+        r = rbin - m
+        return jnp.sum(Wd * r * r)
+
+    A0 = jnp.max(rbin)
+    p_init = jnp.stack([A0, mode, sdhigh * sdhigh * 0.8,
+                        jnp.asarray(1.0, dt)])
+
+    def run_schedule(carry, fix):
+        best_p, best_chi2 = carry
+        free = 1.0 - fix                                 # (4,)
+
+        def lm_step(state, _):
+            p, lam, c_cur = state
+            m, J = model_and_jac(p)
+            r = rbin - m
+            JW = J * Wd[:, None]
+            H = JW.T @ J
+            g = JW.T @ r
+            # Levenberg-Marquardt damping on the free-parameter block;
+            # frozen params: identity rows/cols, zero gradient
+            H = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-12))
+            H = H * (free[:, None] * free[None, :]) + \
+                jnp.diag(fix).astype(dt)
+            g = g * free
+            step = jnp.linalg.solve(H, g)
+            p_new = p + step
+            c_new = chi2_of(p_new)
+            valid = jnp.all(jnp.isfinite(p_new)) & (p_new[2] > 0) & \
+                (p_new[3] > 0) & jnp.isfinite(c_new)
+            accept = valid & (c_new < c_cur)
+            p = jnp.where(accept, p_new, p)
+            c_cur = jnp.where(accept, c_new, c_cur)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            lam = jnp.clip(lam, 1e-8, 1e8)
+            return (p, lam, c_cur), None
+
+        # start each schedule from the current best (reference restarts
+        # from the running estimates on failure)
+        (p_fit, _, c), _ = jax.lax.scan(
+            lm_step, (best_p, jnp.asarray(1e-2, dt), chi2_of(best_p)),
+            None, length=30)
+        ok = jnp.all(jnp.isfinite(p_fit)) & (p_fit[2] > 0) & \
+            (p_fit[3] > 0) & jnp.isfinite(c) & (c < best_chi2)
+        best_p = jnp.where(ok, p_fit, best_p)
+        best_chi2 = jnp.where(ok, c, best_chi2)
+        return (best_p, best_chi2), None
+
+    (p_best, _), _ = jax.lax.scan(run_schedule, (p_init, chi2_of(p_init)),
+                                  jnp.asarray(_SKEW_FIX, dt))
+    mu = p_best[1]
+    var = jnp.maximum(p_best[2], 1e-12)
+    s2 = jnp.maximum(p_best[3], 1e-12)
+    return mu, jnp.sqrt(var * s2), jnp.sqrt(var)
+
+
+def outlier_values(R, mass, active=None, skewfit: bool = True
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Normalised outlier values (reference GetOutliersValues,
     localbgcomp.cxx:471).  Returns (ell, (mode, sdlow, sdhigh))."""
     n = R.shape[0]
@@ -189,6 +306,15 @@ def outlier_values(R, mass, active=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     nbins = int(math.ceil(math.log2(max(n, 2)) + 1) * 4)
     nbins2 = int(min(max(2 * n ** (1 / 3), 16), 256))
     mode, sdlow, sdhigh = _ratio_distribution(R, mass, active, nbins, nbins2)
+    if skewfit:
+        # skew-Gaussian refinement, applied only with enough statistics
+        # (reference gate: nbodies >= 16*MINSUBSIZE, localbgcomp.cxx:397)
+        mu_f, sdl_f, sdh_f = _skewgauss_refine(R, mass, active, mode,
+                                               sdlow, sdhigh, nbins2)
+        enough = jnp.sum(active.astype(jnp.int32)) >= 16 * MINSUBSIZE
+        mode = jnp.where(enough, mu_f, mode)
+        sdlow = jnp.where(enough, sdl_f, sdlow)
+        sdhigh = jnp.where(enough, sdh_f, sdhigh)
     d = R - mode
     ell = jnp.where(d > 0, d / sdhigh, d / sdlow)
     return ell, (mode, sdlow, sdhigh)

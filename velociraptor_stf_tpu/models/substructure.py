@@ -409,14 +409,19 @@ def _pad_structure(pos, vel, mass, npad, spacing):
     return ppos, pvel, pmass, valid
 
 
-def structure_outliers(opt: C.Options, pos, vel, mass, valid):
+def structure_outliers(opt: C.Options, pos, vel, mass, valid,
+                       dens: Optional[jnp.ndarray] = None):
     """Background grid + local velocity density + outlier values for one
     (padded) structure; the per-structure preamble of SearchSubSub
-    (search.cxx:2631-2649)."""
+    (search.cxx:2631-2649).  ``dens`` short-circuits the velocity-density
+    estimate (cache replay, reference ReadLocalVelocityDensity)."""
     nsub = int(valid.sum()) if hasattr(valid, "sum") else pos.shape[0]
-    dens = localfield.velocity_density(
-        jnp.asarray(pos), jnp.asarray(vel), nvel=opt.Nvel,
-        nsearch=opt.Nsearch, active=jnp.asarray(valid))
+    if dens is None:
+        dens = localfield.velocity_density(
+            jnp.asarray(pos), jnp.asarray(vel), nvel=opt.Nvel,
+            nsearch=opt.Nsearch, active=jnp.asarray(valid))
+    else:
+        dens = jnp.asarray(dens)
     cellsize = int(max(C.MINCELLSIZE, opt.Ncellfac * nsub))
     cellsize = min(cellsize, max(32, nsub // 2))
     cellpos, gvel, gdispinv, cok = bgfield.background_grid(
@@ -449,6 +454,19 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
     # subsearch (base and ellxfac-expanded)
     pad_spacing = 3.0 * opt.ellxscale * opt.ellphys * max(1.0, opt.ellxfac)
 
+    # velocity-density checkpoint (reference main.cxx:271-275 +
+    # io.cxx:178-251): replay level-1 densities from a previous identical
+    # run, write them afterwards (Output_den config key -> opt.smname)
+    dens_cache: dict = {}
+    cache_hit = False
+    if opt.smname:
+        from ..io import cache as cache_io
+
+        loaded = cache_io.read_density_cache(opt.smname, pfof_all)
+        if loaded is not None:
+            dens_cache = loaded
+            cache_hit = True
+
     queue = [g for g in range(1, ng_total + 1)
              if (pfof_all == g).sum() >= C.MINSUBSIZE]
     for level in range(1, C.MAXSUBLEVEL + 1):
@@ -473,7 +491,11 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             npad = _next_pow2(nsub)
             ppos, pvel, pmass, valid = _pad_structure(spos, svel, smass,
                                                       npad, pad_spacing)
-            ell, dens, _ = structure_outliers(opt, ppos, pvel, pmass, valid)
+            cached = dens_cache.get(f"l{level}g{g}")
+            ell, dens, _ = structure_outliers(opt, ppos, pvel, pmass, valid,
+                                              dens=cached)
+            if opt.smname and not cache_hit:
+                dens_cache[f"l{level}g{g}"] = np.asarray(dens)
             sub_pfof, ng_sub = search_subset(opt, jnp.asarray(ppos),
                                              jnp.asarray(pvel),
                                              jnp.asarray(pmass), ell)
@@ -526,6 +548,12 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                     new_queue.append(ng_total + s)
             ng_total += ng_sub
         queue = new_queue
+
+    if opt.smname and not cache_hit and dens_cache:
+        from ..io import cache as cache_io
+
+        cache_io.write_density_cache(opt.smname, dens_cache,
+                                     np.asarray(pfof))
 
     # hostid: walk to top-level ancestor (reference GetHierarchy /
     # PropData.hostid: -1 for field objects)

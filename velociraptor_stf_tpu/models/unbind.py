@@ -21,9 +21,10 @@ Semantics mirrored:
 * group ids are renumbered by decreasing size afterwards
   (ReorderGroupIDs semantics).
 
-Limitations this round: ``Keep_background_potential=0`` (subtracting ejected
-particles' potential) falls back to keeping the background potential
-(the reference default is 1 = keep).
+* ``Keep_background_potential=0``: ejected particles stop contributing to
+  the group potential — implemented as the reference's bulk-recompute path
+  (unbind.cxx:583-586,1199), re-evaluating the potential from bound
+  survivors between ejection chunks.
 """
 
 from __future__ import annotations
@@ -211,14 +212,27 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
         potref_vel = jnp.zeros((ng1, 3), pos.dtype)
 
     bound = None
-    for _ in range(32):  # host-chunked: <= 8 device iterations per dispatch
+    # Keep_background_potential=0: ejected particles stop contributing to
+    # the potential.  The reference recomputes the group potential wholesale
+    # when many particles are removed (unbind.cxx:583-586,1199 — "more
+    # computationally effective to simply recalculate"); here the potential
+    # is recomputed from the bound survivors between device chunks (<= 4
+    # ejection rounds per recompute).
+    W_cur = W
+    chunk_iters = 4 if uinfo.bgpot == 0 else 8
+    for _ in range(64):  # host-chunked: bounded device time per dispatch
         bound, changed = _unbind_loop(
-            vel, mass, pfof, W, potref_vel, num_groups,
+            vel, mass, pfof, W_cur, potref_vel, num_groups,
             jnp.asarray(uinfo.Eratio, pos.dtype),
             jnp.asarray(uinfo.maxunbindfrac, pos.dtype),
-            min_size, uinfo.cmvelreftype, max_iters=8, bound0=bound)
+            min_size, uinfo.cmvelreftype, max_iters=chunk_iters,
+            bound0=bound)
         if not bool(jax.device_get(changed)):
             break
+        if uinfo.bgpot == 0:
+            W_cur = compute_potential(
+                pos, jnp.where(bound, mass, 0.0), pfof, num_groups,
+                uinfo.eps, G, boxsize=boxsize)
 
     mass1 = seg.segment_sum(jnp.where(bound, mass, 0.0), pfof, ng1)
     Efrac = mass1 / jnp.maximum(mass0, 1e-30)
