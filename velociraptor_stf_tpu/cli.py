@@ -10,6 +10,7 @@ scalings and cosmology, run the search pipeline, write catalogs.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -82,10 +83,47 @@ def read_snapshot(opt: C.Options):
         hdr, pos, vel, pids, ptype, mass = tipsy_io.read_tipsy(opt.fname)
         boxsize = opt.p
         ntot = len(pos)
+    elif opt.inputtype == C.IORAMSES:
+        from .io import ramses as ramses_io
+
+        # fname = snapshot directory; snap number from the trailing digits
+        # (reference -i dir + opt.ramsessnapname, ramsesio.cxx:92-96)
+        path = opt.fname.rstrip("/")
+        snap = getattr(opt, "ramsessnapname", None)
+        if not snap:
+            import glob as _glob
+            import re as _re
+
+            infos = sorted(_glob.glob(os.path.join(path, "info_*.txt")))
+            if infos:
+                snap = _re.search(r"info_(\w+)\.txt$",
+                                  infos[0]).group(1)
+            else:
+                m = _re.search(r"(\d+)$", path)
+                snap = m.group(1).zfill(5) if m else "00001"
+        hdr, pos, vel, pids, ptype, mass, extras = ramses_io.read_ramses(
+            path, snap, parttypes=want_types)
+        boxsize = hdr.boxsize
+        opt.a = hdr.aexp if opt.icosmologicalin else 1.0
+        opt.Omega_m = hdr.omega_m or opt.Omega_m
+        opt.Omega_Lambda = hdr.omega_l or opt.Omega_Lambda
+        opt.h = (hdr.h0 / 100.0) or opt.h
+        ntot = len(pos)
+        if extras is not None and not any(
+                np.abs(v).max() > 0 for v in extras.values() if len(v)):
+            extras = None
+    elif opt.inputtype == C.IONCHILADA:
+        from .io import nchilada as nch_io
+
+        hdr, pos, vel, pids, ptype, mass = nch_io.read_nchilada(
+            opt.fname, parttypes=want_types)
+        boxsize = opt.p
+        opt.a = hdr.time if opt.icosmologicalin and hdr.time else opt.a
+        ntot = len(pos)
     else:
         raise NotImplementedError(
-            f"input type {opt.inputtype} not implemented yet "
-            "(gadget=1, hdf=2, tipsy=3 supported)")
+            f"input type {opt.inputtype} not implemented "
+            "(gadget=1, hdf=2, tipsy=3, ramses=4, nchilada=5)")
 
     # unit conversions (reference readers apply l/v/m conversions inline)
     if opt.lengthinputconversion != 1.0:
