@@ -110,3 +110,86 @@ def test_library_api(snapshot):
     # group 1 is the largest
     sizes = np.bincount(gid)
     assert sizes[1] == sizes[1:].max()
+
+
+def test_ikeepfof_envelopes():
+    """Keep_FOF=1: 3DFOF envelopes become parent structures of the 6DFOF
+    halos (reference search.cxx:582-655); envelopes typed FOF3DTYPE, halos
+    carry the envelope as parent/host, leftover (velocity-hot) envelope
+    members stay in the envelope."""
+    from velociraptor_stf_tpu.models.pipeline import find_structures
+
+    rng = np.random.default_rng(17)
+    boxsize = 10.0
+    c = np.array([5.0, 5.0, 5.0])
+    # cold clump (6DFOF halo) embedded in a velocity-hot diffuse envelope
+    n1, nh = 2000, 1200
+    p1 = c + rng.normal(0, 0.05, (n1, 3))
+    v1 = rng.normal(0, 10.0, (n1, 3))
+    ph = c + rng.normal(0, 0.08, (nh, 3))
+    vh = rng.normal(0, 4000.0, (nh, 3))
+    nbg = 20000
+    pbg = rng.random((nbg, 3)) * boxsize
+    vbg = rng.normal(0, 800.0, (nbg, 3))
+    pos = np.concatenate([p1, ph, pbg]).astype(np.float32)
+    vel = np.concatenate([v1, vh, vbg]).astype(np.float32)
+    mass = np.ones(len(pos), np.float32)
+
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = boxsize / len(pos) ** (1 / 3)
+    opt.fofbgtype = C.FOF6DADAPTIVE
+    opt.iKeepFOF = 1
+    opt.MinSize = 32
+    opt.HaloMinSize = 32
+    opt.uinfo.unbindflag = 0
+    opt.iSubSearch = 0
+    opt.icosmologicalin = 0
+    C.config_check(opt)
+    res = find_structures(opt, pos, vel, mass, boxsize=boxsize)
+    assert res.stype is not None
+    st = res.stype[1:res.ngroups + 1]
+    assert (st == C.FOF3DTYPE).sum() >= 1     # envelope survives
+    assert (st != C.FOF3DTYPE).sum() >= 1     # at least the cold halo
+    # the cold clump is a halo whose parent is an envelope
+    g1 = np.bincount(res.pfof[:n1])[1:].argmax() + 1
+    assert res.stype[g1] != C.FOF3DTYPE
+    env = res.parent[g1]
+    assert env >= 1 and res.stype[env] == C.FOF3DTYPE
+    # a meaningful share of the hot particles stays in the envelope (the
+    # adaptive 6D velocity window inevitably absorbs some of the tail)
+    hot_labels = res.pfof[n1:n1 + nh]
+    n_env_members = int((res.pfof == env).sum())
+    assert n_env_members >= 50
+    assert (hot_labels == env).sum() >= 0.8 * n_env_members
+    # and the cold clump stays pure
+    assert (res.pfof[:n1] == g1).mean() > 0.95
+
+
+def test_separate_output_files(snapshot, tmp_path):
+    """Separate_output_files=1 splits field halos and substructures into
+    outname.* and outname.sublevels.* (reference main.cxx:469-523)."""
+    import h5py
+
+    d, fn, n = snapshot
+    cfg = str(tmp_path / "sep.cfg")
+    out = str(tmp_path / "sep")
+    text = CFG.replace("OUTNAME", out).replace(
+        "Search_for_substructure=0", "Search_for_substructure=1")
+    text += "Separate_output_files=1\nSUBFIND_like_output=1\n"
+    open(cfg, "w").write(text)
+    rc = cli.main(["-C", cfg, "-i", fn, "-I", "1", "-o", out])
+    assert rc == 0
+    assert os.path.exists(out + ".properties")
+    assert os.path.exists(out + ".sublevels.properties")
+    assert os.path.exists(out + ".subproperties")
+    with h5py.File(out + ".properties") as f:
+        st = np.asarray(f["Structuretype"])
+        assert (st == 10).all()          # field halos only
+        nf = int(f["Num_of_groups"][()])
+    with h5py.File(out + ".sublevels.properties") as f:
+        ns = int(f["Num_of_groups"][()])
+        if ns:
+            assert (np.asarray(f["Structuretype"]) > 10).all()
+    with h5py.File(out + ".subproperties") as f:
+        assert int(f["Num_of_groups"][()]) == nf + ns

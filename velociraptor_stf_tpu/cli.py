@@ -180,17 +180,77 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
                 pg = res.parent[g]
                 if pg > 0:
                     numsub[pg] += 1
-        cols = writers.properties_table(
-            opt, res.props, ng, hostid=res.hostid, numsubstruct=numsub,
-            id_mbp=id_mbp, id_minpot=id_minpot, level=res.hierarchy_level)
-        writers.write_properties(opt, opt.outname, cols, ng)
-        writers.write_group_catalog(opt, opt.outname, res.pfof, pids, ng,
-                                    order_within_group=order_bind,
-                                    ptype=ptype)
-        writers.write_hierarchy(
-            opt, opt.outname,
-            res.parent if res.parent is not None
-            else np.zeros(ng + 1, np.int64), ng)
+        def _write_set(outname, sel_gids):
+            """Write one catalog set restricted to ``sel_gids`` (1-based
+            group ids, renumbered 1..k in order).  Used for the
+            field/substructure split of ``Separate_output_files``
+            (reference main.cxx:469-523)."""
+            k = len(sel_gids)
+            gmap = np.zeros(ng + 1, np.int32)
+            gmap[sel_gids] = np.arange(1, k + 1)
+            rows = np.concatenate([[0], sel_gids])
+            props_s = {key: np.asarray(v)[rows] for key, v in
+                       res.props.items()}
+            host_s = par_s = lev_s = sty_s = None
+            if res.hostid is not None:
+                h = np.asarray(res.hostid)[rows]
+                host_s = np.where(h > 0, gmap[np.clip(h, 0, ng)], -1)
+            if res.parent is not None:
+                p = np.asarray(res.parent)[rows]
+                par_s = gmap[np.clip(p, 0, ng)]
+            if res.hierarchy_level is not None:
+                lev_s = np.asarray(res.hierarchy_level)[rows]
+            if res.stype is not None:
+                sty_s = np.asarray(res.stype)[rows]
+            num_s = None
+            if numsub is not None:
+                num_s = numsub[rows]
+            idm = id_mbp[sel_gids - 1] if id_mbp is not None else None
+            idp = id_minpot[sel_gids - 1] if id_minpot is not None else None
+            cols_s = writers.properties_table(
+                opt, props_s, k, hostid=host_s, numsubstruct=num_s,
+                id_mbp=idm, id_minpot=idp, level=lev_s, stype=sty_s)
+            writers.write_properties(opt, outname, cols_s, k)
+            writers.write_group_catalog(opt, outname, gmap[res.pfof], pids,
+                                        k, order_within_group=order_bind,
+                                        ptype=ptype)
+            writers.write_hierarchy(
+                opt, outname,
+                par_s.astype(np.int64) if par_s is not None
+                else np.zeros(k + 1, np.int64), k)
+
+        if opt.iseparatefiles and res.hostid is not None:
+            all_gids = np.arange(1, ng + 1)
+            isfield = np.asarray(res.hostid[1:ng + 1]) == -1
+            _write_set(opt.outname, all_gids[isfield])
+            _write_set(opt.outname + ".sublevels", all_gids[~isfield])
+        else:
+            cols = writers.properties_table(
+                opt, res.props, ng, hostid=res.hostid, numsubstruct=numsub,
+                id_mbp=id_mbp, id_minpot=id_minpot,
+                level=res.hierarchy_level, stype=res.stype)
+            writers.write_properties(opt, opt.outname, cols, ng)
+            writers.write_group_catalog(opt, opt.outname, res.pfof, pids,
+                                        ng, order_within_group=order_bind,
+                                        ptype=ptype)
+            writers.write_hierarchy(
+                opt, opt.outname,
+                res.parent if res.parent is not None
+                else np.zeros(ng + 1, np.int64), ng)
+        if opt.isubfindoutput:
+            # functional stand-in for the reference's (stub)
+            # WriteSUBFINDProperties (io.cxx:3483): the property table in a
+            # .subproperties file
+            cols_sf = writers.properties_table(
+                opt, res.props, ng, hostid=res.hostid, numsubstruct=numsub,
+                id_mbp=id_mbp, id_minpot=id_minpot,
+                level=res.hierarchy_level, stype=res.stype)
+            writers.write_properties(opt, opt.outname + ".subprop", cols_sf,
+                                     ng)
+            import os as _os
+
+            _os.replace(opt.outname + ".subprop.properties",
+                        opt.outname + ".subproperties")
         if opt.iprofilecalc:
             writers.write_profiles(opt, opt.outname, res.props, ng,
                                    hostid=res.hostid)

@@ -42,7 +42,8 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
                      vel_minpot: Optional[np.ndarray] = None,
                      efrac: Optional[np.ndarray] = None,
                      epot: Optional[np.ndarray] = None,
-                     level: Optional[np.ndarray] = None
+                     level: Optional[np.ndarray] = None,
+                     stype: Optional[np.ndarray] = None
                      ) -> Dict[str, np.ndarray]:
     """Assemble the .properties column dict with reference field names
     (PropDataHeader, allvars.h:3314-...)."""
@@ -84,9 +85,11 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
         "numSubStruct": numsubstruct[g].astype(np.int64)
         if numsubstruct is not None else zi.copy(),
         "npart": np.asarray(props["num"])[g].astype(np.uint64),
-        # field halos HALOSTYPE=10; substructures 10+10*level (reference
+        # field halos HALOSTYPE=10; substructures 10+10*level; explicit
+        # stype (iKeepFOF envelopes FOF3DTYPE) wins (reference
         # search.cxx:2786 stypeinlevel)
-        "Structuretype": (C.HALOSTYPE +
+        "Structuretype": (stype[g].astype(np.int32) if stype is not None
+                          else C.HALOSTYPE +
                           10 * (level[g].astype(np.int32)
                                 if level is not None
                                 else np.zeros(ngroups, np.int32))),

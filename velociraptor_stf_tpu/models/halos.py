@@ -52,6 +52,11 @@ class FieldSearchResult:
     pfof3d: Optional[jnp.ndarray] = None   # 3DFOF labels if 6D ran
     ngroups3d: int = 0
     vscale2: Optional[jnp.ndarray] = None  # velocity scale(s) used for 6D
+    # iKeepFOF (reference search.cxx:582-655): ids 1..num3dfof are the kept
+    # 3DFOF envelopes; ids num3dfof+1.. are 6DFOF structures whose envelope
+    # id is parent3d[gid] (0 = envelope fully decomposed)
+    num3dfof: int = 0
+    parent3d: Optional[np.ndarray] = None
 
 
 def velocity_scale_largest_group(vel, mass, pfof, num_segments: int,
@@ -159,5 +164,32 @@ def search_full_set(opt: C.Options, pos, vel, mass,
             spos, 1.0, boxsize=sbox, min_size=minsize, vel=svel,
             extra_fields={"group": pfof3}, predicate=_pred_unit6d_samegroup)
     ng6 = int(jax.device_get(ng6))
+
+    if opt.iKeepFOF:
+        # keep 3DFOF envelopes as parents of the 6DFOF structures
+        # (reference search.cxx:582-655): an envelope survives when it has
+        # at least one particle outside every 6D group; its final members
+        # are exactly those particles.
+        p3 = np.asarray(jax.device_get(pfof3))
+        p6 = np.asarray(jax.device_get(pfof6))
+        in6 = p6 > 0
+        has_free = np.zeros(ng3 + 1, bool)
+        free = (~in6) & (p3 > 0)
+        has_free[p3[free]] = True
+        remap3 = np.zeros(ng3 + 1, np.int64)
+        remap3[1:][has_free[1:]] = np.arange(1, int(has_free[1:].sum()) + 1)
+        num3dfof = int(has_free[1:].sum())
+        pfof_out = np.where(in6, num3dfof + p6, remap3[p3]).astype(np.int32)
+        # envelope of each 6D group: its members' common 3D group
+        parent3d = np.zeros(num3dfof + ng6 + 1, np.int64)
+        if ng6 > 0:
+            first6 = np.zeros(ng6 + 1, np.int64)
+            np.maximum.at(first6, p6[in6], remap3[p3[in6]])
+            parent3d[num3dfof + 1:] = first6[1:]
+        return FieldSearchResult(
+            pfof=jnp.asarray(pfof_out), ngroups=num3dfof + ng6,
+            pfof3d=pfof3, ngroups3d=ng3, vscale2=vs_per_particle,
+            num3dfof=num3dfof, parent3d=parent3d)
+
     return FieldSearchResult(pfof=pfof6, ngroups=ng6, pfof3d=pfof3,
                              ngroups3d=ng3, vscale2=vs_per_particle)

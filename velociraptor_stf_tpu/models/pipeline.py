@@ -49,6 +49,8 @@ class CatalogResult:
     # CSR over groups 1..ngroups of original particle indices in SO spheres
     so_offsets: Optional[np.ndarray] = None
     so_indices: Optional[np.ndarray] = None
+    # explicit structure types (iKeepFOF: FOF3DTYPE envelopes), else derived
+    stype: Optional[np.ndarray] = None
 
 
 def _remap_hierarchy(gid_map: np.ndarray, ng_new: int, hostid, parent,
@@ -105,6 +107,19 @@ def find_structures(opt: C.Options, pos, vel, mass,
     pfof, ng = fres.pfof, fres.ngroups
     jax.block_until_ready(pfof)
     timings["fof"] = time.time() - t0
+
+    # iKeepFOF: split off the 3DFOF envelopes — the halo pipeline
+    # (unbinding / substructure) runs on the 6DFOF structures only and the
+    # envelopes are re-attached before properties (reference
+    # search.cxx:582-655, envelopes are never unbound)
+    keepfof = fres.num3dfof
+    env_pfof = None
+    if keepfof > 0:
+        p_np = np.asarray(jax.device_get(pfof))
+        env_pfof = np.where(p_np <= keepfof, p_np, 0).astype(np.int32)
+        pfof = jnp.asarray(
+            np.where(p_np > keepfof, p_np - keepfof, 0).astype(np.int32))
+        ng = ng - keepfof
 
     # keep pre-unbinding FOF labels for inclusive halo masses
     # (reference GetInclusiveMasses, substructureproperties.cxx:1946)
@@ -170,6 +185,42 @@ def find_structures(opt: C.Options, pos, vel, mass,
                 gid_map = ures.gid_map
         jax.block_until_ready(pfof)
         timings["baryons"] = time.time() - t0
+
+    stype = None
+    if keepfof > 0:
+        # re-attach the 3DFOF envelopes: ids 1..keepfof, halos/substructure
+        # shifted up; hierarchy gains envelope parents for top-level halos
+        p_np = np.asarray(jax.device_get(pfof))
+        pfof = jnp.asarray(np.where(p_np > 0, p_np + keepfof,
+                                    env_pfof).astype(np.int32))
+        # map old 6DFOF ids -> post-unbind halo ids to place parent3d
+        gm = (np.asarray(gid_map) if gid_map is not None
+              else np.arange(ng + 1))
+        ng_final = keepfof + ng
+        new_parent = np.zeros(ng_final + 1, np.int64)
+        new_host = np.full(ng_final + 1, -1, np.int64)
+        new_level = np.zeros(ng_final + 1, np.int32)
+        for old6 in range(1, len(fres.parent3d) - keepfof):
+            newid = gm[old6] if old6 < len(gm) else 0
+            if 0 < newid <= ng:
+                env = fres.parent3d[keepfof + old6]
+                new_parent[keepfof + newid] = env
+                new_host[keepfof + newid] = env if env > 0 else -1
+                new_level[keepfof + newid] = 1
+        if parent is not None:
+            for g in range(1, len(parent)):
+                if parent[g] > 0:
+                    new_parent[keepfof + g] = keepfof + parent[g]
+                    new_level[keepfof + g] = level[g] + 1
+                if hostid is not None and hostid[g] > 0:
+                    new_host[keepfof + g] = keepfof + hostid[g]
+        hostid, parent, level = new_host, new_parent, new_level
+        ng = ng_final
+        # structure types: envelopes FOF3DTYPE, the rest HALOSTYPE+10*level
+        stype = np.full(ng + 1, C.HALOSTYPE, np.int32)
+        stype[1:keepfof + 1] = C.FOF3DTYPE
+        stype[keepfof + 1:] = C.HALOSTYPE + 10 * np.maximum(
+            level[keepfof + 1:] - 1, 0)
 
     t0 = time.time()
     ngpad = _pad_pow2(max(ng, 1))
@@ -244,7 +295,7 @@ def find_structures(opt: C.Options, pos, vel, mass,
         pfof3d=None if fres.pfof3d is None else np.asarray(fres.pfof3d),
         timings=timings, hostid=hostid,
         hierarchy_level=level, parent=parent,
-        so_offsets=so_offsets, so_indices=so_indices)
+        so_offsets=so_offsets, so_indices=so_indices, stype=stype)
 
 
 _SO_KEYS = ("gMvir", "gRvir", "gM200c", "gR200c", "gM200m", "gR200m",
