@@ -211,3 +211,58 @@ def test_velocity_density_cache_roundtrip(tmp_path):
     out2 = S2.search_sub_sub(opt, pos, vel, mass, pfof.copy(), 1)
     assert np.array_equal(out1[0], out2[0])
     assert out1[1] == out2[1]
+
+
+def test_velocity_density_exact_mode():
+    """Exact per-particle kNN mode (reference GetVelocityDensityExact,
+    localfield.cxx:485) agrees with the approximative mode on a smooth
+    distribution and resolves a cold clump at least as sharply."""
+    import jax.numpy as jnp
+
+    from velociraptor_stf_tpu.models import localfield as LF
+
+    rng = np.random.default_rng(23)
+    n = 4096
+    pos = rng.random((n, 3)).astype(np.float32)
+    vel = rng.normal(0, 100.0, (n, 3)).astype(np.float32)
+    # cold clump in velocity space
+    vel[:200] = rng.normal(0, 2.0, (200, 3))
+    d_apx = np.asarray(LF.velocity_density(jnp.asarray(pos),
+                                           jnp.asarray(vel)))
+    d_exc = np.asarray(LF.velocity_density(jnp.asarray(pos),
+                                           jnp.asarray(vel),
+                                           exact=True, chunk=256))
+    # both flag the cold clump as much denser than the background
+    assert np.median(d_apx[:200]) > 3 * np.median(d_apx[200:])
+    assert np.median(d_exc[:200]) > 3 * np.median(d_exc[200:])
+    # background densities agree to within kNN-estimator scatter
+    ratio = d_exc[200:] / np.maximum(d_apx[200:], 1e-30)
+    assert 0.5 < np.median(ratio) < 2.0
+
+
+@pytest.mark.parametrize("foftype", [C.FOFSTPROBLX, C.FOFSTPROBNNNODIST,
+                                     C.FOFSTPROBSCALEELL, C.FOF6DSUBSET,
+                                     C.FOFSTPROBNN])
+def test_foftype_variants_find_subhalo(foftype):
+    """Every FoF_search_type criterion variant (reference fofalgo.h:14-53
+    dispatch at search.cxx:910-1010) recovers the planted cold subhalo."""
+    pos, vel, mass, member = host_with_subhalo()
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = 0.25
+    opt.iiterflag = 0
+    opt.ellthreshold = 2.5
+    opt.Vratio = 2.0
+    opt.thetaopen = 0.10
+    opt.MinSize = 20
+    opt.foftype = foftype
+    valid = np.ones(len(pos), bool)
+    ell, dens, _ = S.structure_outliers(opt, pos, vel, mass, valid)
+    pfof, ng = S.search_subset(opt, jnp.asarray(pos), jnp.asarray(vel),
+                               jnp.asarray(mass), ell)
+    pfof = np.asarray(pfof)
+    assert ng >= 1
+    main = pfof == 1
+    overlap = (main & member).sum()
+    assert overlap > 0.3 * member.sum()
+    assert (main & ~member).sum() < 0.25 * max(main.sum(), 1)

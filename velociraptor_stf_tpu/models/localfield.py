@@ -30,7 +30,7 @@ from ..ops.kdgrid import median_partition
 
 
 @partial(jax.jit, static_argnames=("nvel", "nsearch", "leaf_size",
-                                   "cand_leaves", "chunk"))
+                                   "cand_leaves", "chunk", "exact"))
 def velocity_density(
     pos: jnp.ndarray,
     vel: jnp.ndarray,
@@ -40,12 +40,19 @@ def velocity_density(
     cand_leaves: Optional[int] = None,
     chunk: int = 2048,
     active: Optional[jnp.ndarray] = None,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """(N,) local velocity density for each particle.
 
     ``active``: optional bool mask; inactive particles get density 0 and are
     excluded from candidate sets (reference STRUCDEN Type==0 skip,
     localfield.cxx:806).
+
+    ``exact``: per-particle Nsearch physical neighbours instead of the
+    leaf-shared candidate set (reference GetVelocityDensityExact,
+    localfield.cxx:485, ``Local_velocity_density_approximate_calculation=0``)
+    — candidates still come from the nearest leaves, but each particle
+    ranks them by its OWN distance.
     """
     n = pos.shape[0]
     npad = 1
@@ -96,16 +103,30 @@ def velocity_density(
         cand_pos = P[cand_l].reshape(l.shape[0], m * leaf_size, 3)
         cand_vel = V[cand_l].reshape(l.shape[0], m * leaf_size, 3)
         cand_valid = valid[cand_l].reshape(l.shape[0], m * leaf_size)
-        # Nsearch nearest candidates to the leaf centre
-        d2cm = jnp.sum((cand_pos - c[:, None, :]) ** 2, -1)
-        d2cm = jnp.where(cand_valid, d2cm, jnp.inf)
-        _, sel = jax.lax.top_k(-d2cm, nsearch)                # (B,Nsearch)
-        sel_vel = jnp.take_along_axis(cand_vel, sel[..., None], axis=1)
-        sel_valid = jnp.take_along_axis(cand_valid, sel, axis=1)
-        # per particle: Nvel nearest velocity neighbours from the shared set
-        dv2 = jnp.sum((V[l][:, :, None, :] - sel_vel[:, None, :, :]) ** 2,
-                      -1)                                      # (B,K,Ns)
-        dv2 = jnp.where(sel_valid[:, None, :], dv2, jnp.inf)
+        if exact:
+            # per-particle Nsearch nearest physical candidates
+            d2p = jnp.sum((P[l][:, :, None, :] -
+                           cand_pos[:, None, :, :]) ** 2, -1)  # (B,K,MC)
+            d2p = jnp.where(cand_valid[:, None, :], d2p, jnp.inf)
+            _, selp = jax.lax.top_k(-d2p, nsearch)             # (B,K,Ns)
+            sel_vel = jnp.take_along_axis(
+                cand_vel[:, None, :, :].repeat(leaf_size, 1),
+                selp[..., None], axis=2)                       # (B,K,Ns,3)
+            sel_valid = jnp.take_along_axis(
+                cand_valid[:, None, :].repeat(leaf_size, 1), selp, axis=2)
+            dv2 = jnp.sum((V[l][:, :, None, :] - sel_vel) ** 2, -1)
+            dv2 = jnp.where(sel_valid, dv2, jnp.inf)
+        else:
+            # Nsearch nearest candidates to the leaf centre
+            d2cm = jnp.sum((cand_pos - c[:, None, :]) ** 2, -1)
+            d2cm = jnp.where(cand_valid, d2cm, jnp.inf)
+            _, sel = jax.lax.top_k(-d2cm, nsearch)            # (B,Nsearch)
+            sel_vel = jnp.take_along_axis(cand_vel, sel[..., None], axis=1)
+            sel_valid = jnp.take_along_axis(cand_valid, sel, axis=1)
+            # per particle: Nvel nearest velocity neighbours of shared set
+            dv2 = jnp.sum((V[l][:, :, None, :] -
+                           sel_vel[:, None, :, :]) ** 2, -1)   # (B,K,Ns)
+            dv2 = jnp.where(sel_valid[:, None, :], dv2, jnp.inf)
         # exclude the self match (zero distance appears once for the particle
         # itself when it is within its own leaf's candidate set)
         topneg, _ = jax.lax.top_k(-dv2, nvel + 1)

@@ -87,6 +87,158 @@ class StreamPredAttach:
         return ok & ((own["ell"] >= self.ellthr) | (nbr["ell"] >= self.ellthr))
 
 
+@dataclasses.dataclass(frozen=True)
+class StreamPredNoProb:
+    """FOFStream (fofalgo.cxx:7-19): stream criterion without the outlier
+    gate."""
+
+    b2: float
+    vratio: float
+    costheta: float
+
+    def __call__(self, d2, own, nbr):
+        v_own, v_nbr = own["vel"], nbr["vel"]
+        v1 = jnp.sqrt(jnp.sum(v_own * v_own, -1))
+        v2 = jnp.sqrt(jnp.sum(v_nbr * v_nbr, -1))
+        vdot = jnp.sum(v_own * v_nbr, -1) / jnp.maximum(v1 * v2, 1e-30)
+        ratio = v1 / jnp.maximum(v2, 1e-30)
+        ok = (d2 < self.b2) & (vdot > self.costheta)
+        return ok & (ratio < self.vratio) & (ratio > 1.0 / self.vratio)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPredNoDist:
+    """FOFStreamwithprobNNNODIST (fofalgo.cxx:68-81): no explicit linking
+    length — any pair within the candidate stencil (the NN analog) links if
+    the velocity angle/ratio and outlier gates pass."""
+
+    vratio: float
+    costheta: float
+    ellthr: float
+
+    def __call__(self, d2, own, nbr):
+        v_own, v_nbr = own["vel"], nbr["vel"]
+        v1 = jnp.sqrt(jnp.sum(v_own * v_own, -1))
+        v2 = jnp.sqrt(jnp.sum(v_nbr * v_nbr, -1))
+        vdot = jnp.sum(v_own * v_nbr, -1) / jnp.maximum(v1 * v2, 1e-30)
+        ratio = v1 / jnp.maximum(v2, 1e-30)
+        ok = (vdot > self.costheta)
+        ok = ok & (ratio < self.vratio) & (ratio > 1.0 / self.vratio)
+        return ok & (own["ell"] >= self.ellthr) & (nbr["ell"] >= self.ellthr)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPredLX:
+    """FOFStreamwithprobLX (fofalgo.cxx:83-101): per-axis linking lengths
+    shrunk along each particle's velocity direction; the pair links if
+    either particle's scaled distance is within 1."""
+
+    b2: float
+    vratio: float
+    costheta: float
+    ellthr: float
+
+    def __call__(self, d2, own, nbr):
+        v_own, v_nbr = own["vel"], nbr["vel"]
+        dx = own["pos"] - nbr["pos"]
+        v1sq = jnp.maximum(jnp.sum(v_own * v_own, -1), 1e-30)
+        v2sq = jnp.maximum(jnp.sum(v_nbr * v_nbr, -1), 1e-30)
+
+        def scaled(v, vsq):
+            f = 0.25 * (1.0 + v * v / vsq[..., None]) ** 2
+            return jnp.sum(dx * dx / (self.b2 * f), -1)
+
+        total = jnp.minimum(scaled(v_own, v1sq), scaled(v_nbr, v2sq))
+        v1 = jnp.sqrt(v1sq)
+        v2 = jnp.sqrt(v2sq)
+        vdot = jnp.sum(v_own * v_nbr, -1) / jnp.maximum(v1 * v2, 1e-30)
+        ratio = v1 / v2
+        ok = (total <= 1.0) & (vdot > self.costheta)
+        ok = ok & (ratio < self.vratio) & (ratio > 1.0 / self.vratio)
+        return ok & (own["ell"] >= self.ellthr) & (nbr["ell"] >= self.ellthr)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamPredScaleEll:
+    """FOFStreamwithprobscaleell (fofalgo.cxx:120-137): linking length
+    scaled by (min pair mass / reference mass)^(2/3) — multi-resolution
+    (zoom/AMR) inputs where heavier particles get longer links."""
+
+    b2: float
+    vratio: float
+    costheta: float
+    ellthr: float
+    mref: float
+
+    def __call__(self, d2, own, nbr):
+        mmin = jnp.minimum(own["mass"], nbr["mass"])
+        ellscale = self.b2 * jnp.power(
+            jnp.maximum(mmin / self.mref, 1e-30), 2.0 / 3.0)
+        v_own, v_nbr = own["vel"], nbr["vel"]
+        v1 = jnp.sqrt(jnp.sum(v_own * v_own, -1))
+        v2 = jnp.sqrt(jnp.sum(v_nbr * v_nbr, -1))
+        vdot = jnp.sum(v_own * v_nbr, -1) / jnp.maximum(v1 * v2, 1e-30)
+        ratio = v1 / jnp.maximum(v2, 1e-30)
+        ok = (d2 < ellscale) & (vdot > self.costheta)
+        ok = ok & (ratio < self.vratio) & (ratio > 1.0 / self.vratio)
+        return ok & (own["ell"] >= self.ellthr) & (nbr["ell"] >= self.ellthr)
+
+
+@dataclasses.dataclass(frozen=True)
+class Pred6DOutlier:
+    """FOF6dbgup (fofalgo.cxx:166-174): 6D metric, both particles above the
+    outlier threshold (FOFcheckbg precheck inverse); used by FOF6DSUBSET."""
+
+    b2: float
+    v2: float
+    ellthr: float
+
+    def __call__(self, d2, own, nbr):
+        dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+        ok = d2 / self.b2 + dv2 / self.v2 < 1.0
+        return ok & (own["ell"] >= self.ellthr) & (nbr["ell"] >= self.ellthr)
+
+
+@dataclasses.dataclass(frozen=True)
+class Pred6DBackground:
+    """FOF6dbg (fofalgo.cxx:156-164): 6D metric restricted to particles
+    BELOW the outlier threshold (background linking, FOFchecksub
+    precheck)."""
+
+    b2: float
+    v2: float
+    ellthr: float
+
+    def __call__(self, d2, own, nbr):
+        dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+        ok = d2 / self.b2 + dv2 / self.v2 < 1.0
+        return ok & (own["ell"] < self.ellthr) & (nbr["ell"] < self.ellthr)
+
+
+def subset_predicate(opt: C.Options, ellx2: float, vratio: float,
+                     costheta: float, ellthr: float,
+                     mref: float = 1.0, sigmav2: float = 1.0):
+    """FoF_search_type -> pair criterion (reference foftype dispatch,
+    search.cxx:910-1010 + fofalgo.h).  The NN variants map to the same
+    criteria — the flat candidate stencil is the TPU analog of the NN
+    candidate set.  ``sigmav2``: per-axis velocity variance of the subset,
+    used to scale the 6D metric for FOF6DSUBSET (the reference fills
+    param[2] from the parent halo's dispersion, search.cxx:938-963)."""
+    ft = opt.foftype
+    if ft in (C.FOFSTPROB, C.FOFSTPROBNN, C.FOFSTNOSUBSET):
+        return StreamPred(ellx2, vratio, costheta, ellthr)
+    if ft in (C.FOFSTPROBLX, C.FOFSTPROBNNLX):
+        return StreamPredLX(ellx2, vratio, costheta, ellthr)
+    if ft == C.FOFSTPROBNNNODIST:
+        return StreamPredNoDist(vratio, costheta, ellthr)
+    if ft in (C.FOFSTPROBSCALEELL, C.FOFSTPROBSCALEELLNN):
+        return StreamPredScaleEll(ellx2, vratio, costheta, ellthr, mref)
+    if ft == C.FOF6DSUBSET:
+        ellv2 = sigmav2 * opt.ellvel ** 2
+        return Pred6DOutlier(ellx2, ellv2, ellthr)
+    return StreamPred(ellx2, vratio, costheta, ellthr)
+
+
 def significance_filter(ell, pfof, num_groups: int, ellthreshold: float,
                         siglevel: float, min_size: int):
     """Reference CheckSignificance (search.cxx:2947), vectorised.
@@ -134,18 +286,30 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
     costh = math.cos(opt.thetaopen * math.pi)
     minsize = opt.MinSize
 
+    mref = float(np.mean(np.asarray(jax.device_get(mass)))) or 1.0
+    sigmav2 = 1.0
+    if opt.foftype == C.FOF6DSUBSET:
+        v_np = np.asarray(jax.device_get(vel))
+        w = None if active is None else np.asarray(jax.device_get(active))
+        vv = v_np if w is None else v_np[w]
+        sigmav2 = float(np.mean(np.var(vv, axis=0))) or 1.0
     if opt.iiterflag:
-        pred0 = StreamPred(ellx2, opt.Vratio * opt.vfac,
-                           math.cos(opt.thetaopen * math.pi * opt.thetafac),
-                           opt.ellthreshold * opt.ellfac)
+        pred0 = subset_predicate(
+            opt, ellx2, opt.Vratio * opt.vfac,
+            math.cos(opt.thetaopen * math.pi * opt.thetafac),
+            opt.ellthreshold * opt.ellfac, mref=mref, sigmav2=sigmav2)
         minsize0 = max(2, int(opt.MinSize * opt.nminfac))
     else:
-        pred0 = StreamPred(ellx2, opt.Vratio, costh, opt.ellthreshold)
+        pred0 = subset_predicate(opt, ellx2, opt.Vratio, costh,
+                                 opt.ellthreshold, mref=mref,
+                                 sigmav2=sigmav2)
         minsize0 = opt.MinSize
 
     b = math.sqrt(ellx2)
     pfof, ng = fof.fof3d(pos, b, boxsize=None, min_size=minsize0, vel=vel,
-                         extra_fields={"ell": ell}, predicate=pred0)
+                         extra_fields={"ell": ell, "mass": jnp.asarray(mass),
+                                       "pos": jnp.asarray(pos)},
+                         predicate=pred0)
     ng = int(jax.device_get(ng))
     if ng == 0:
         return pfof, 0
@@ -417,9 +581,11 @@ def structure_outliers(opt: C.Options, pos, vel, mass, valid,
     estimate (cache replay, reference ReadLocalVelocityDensity)."""
     nsub = int(valid.sum()) if hasattr(valid, "sum") else pos.shape[0]
     if dens is None:
+        exact = opt.iLocalVelDenApproxCalcFlag == 0
         dens = localfield.velocity_density(
             jnp.asarray(pos), jnp.asarray(vel), nvel=opt.Nvel,
-            nsearch=opt.Nsearch, active=jnp.asarray(valid))
+            nsearch=opt.Nsearch, active=jnp.asarray(valid),
+            exact=exact, chunk=256 if exact else 2048)
     else:
         dens = jnp.asarray(dens)
     cellsize = int(max(C.MINCELLSIZE, opt.Ncellfac * nsub))
