@@ -119,7 +119,8 @@ def search_full_set(opt: C.Options, pos, vel, mass,
     fields = {"vel": vel} if reuse_edges else None
     edges, binning, grid = fof.build_edges(pos, b3d, boxsize=boxsize,
                                            fields=fields)
-    labels3 = fof.fof_labels_from_edges(edges.erow, edges.ecol, n)
+    labels3 = fof.fof_labels_from_edges(edges.erow, edges.ecol, n,
+                                        undirected=edges.undirected)
     pfof3_s, ng3 = fof.renumber_by_size(labels3, minsize,
                                         orig_index=edges.order)
     pfof3 = jnp.zeros(n, jnp.int32).at[edges.order].set(pfof3_s)
@@ -152,7 +153,8 @@ def search_full_set(opt: C.Options, pos, vel, mass,
                                      Pred6DRefine(float(ell6d) ** 2))
         erow6 = jnp.where(mask6, edges.erow, 0)
         ecol6 = jnp.where(mask6, edges.ecol, 0)
-        labels6 = fof.fof_labels_from_edges(erow6, ecol6, n)
+        labels6 = fof.fof_labels_from_edges(erow6, ecol6, n,
+                                            undirected=edges.undirected)
         pfof6_s, ng6 = fof.renumber_by_size(labels6, minsize,
                                             orig_index=edges.order)
         pfof6 = jnp.zeros(n, jnp.int32).at[edges.order].set(pfof6_s)

@@ -49,6 +49,8 @@ from . import bgfield, localfield, unbind as unbind_mod
 class StreamPred:
     """FOFStreamwithprob criterion (reference fofalgo.cxx:21-34)."""
 
+    symmetric = True
+
     b2: float          # param[6]: physical linking length^2
     vratio: float      # param[7]
     costheta: float    # param[8] = cos(thetaopen * pi)
@@ -92,6 +94,8 @@ class StreamPredNoProb:
     """FOFStream (fofalgo.cxx:7-19): stream criterion without the outlier
     gate."""
 
+    symmetric = True
+
     b2: float
     vratio: float
     costheta: float
@@ -111,6 +115,8 @@ class StreamPredNoDist:
     """FOFStreamwithprobNNNODIST (fofalgo.cxx:68-81): no explicit linking
     length — any pair within the candidate stencil (the NN analog) links if
     the velocity angle/ratio and outlier gates pass."""
+
+    symmetric = True
 
     vratio: float
     costheta: float
@@ -132,6 +138,8 @@ class StreamPredLX:
     """FOFStreamwithprobLX (fofalgo.cxx:83-101): per-axis linking lengths
     shrunk along each particle's velocity direction; the pair links if
     either particle's scaled distance is within 1."""
+
+    symmetric = True
 
     b2: float
     vratio: float
@@ -164,6 +172,8 @@ class StreamPredScaleEll:
     scaled by (min pair mass / reference mass)^(2/3) — multi-resolution
     (zoom/AMR) inputs where heavier particles get longer links."""
 
+    symmetric = True
+
     b2: float
     vratio: float
     costheta: float
@@ -189,6 +199,8 @@ class Pred6DOutlier:
     """FOF6dbgup (fofalgo.cxx:166-174): 6D metric, both particles above the
     outlier threshold (FOFcheckbg precheck inverse); used by FOF6DSUBSET."""
 
+    symmetric = True
+
     b2: float
     v2: float
     ellthr: float
@@ -204,6 +216,8 @@ class Pred6DBackground:
     """FOF6dbg (fofalgo.cxx:156-164): 6D metric restricted to particles
     BELOW the outlier threshold (background linking, FOFchecksub
     precheck)."""
+
+    symmetric = True
 
     b2: float
     v2: float
@@ -380,10 +394,12 @@ def merge_linked_groups(pos, vel, ell, pfof, ng: int, opt: C.Options,
     pred = StreamPred(ellx2, opt.Vratio * opt.vfac,
                       math.cos(opt.thetaopen * math.pi * opt.thetafac),
                       opt.ellthreshold * opt.ellfac)
+    # directed (full-stencil) edges: the fmerge test counts links from group
+    # i into group j separately from j into i (reference MergeGroups i-loop)
     edges, _, _ = fof.build_edges(
         pos, math.sqrt(ellx2),
         fields={"vel": jnp.asarray(vel), "ell": jnp.asarray(ell)},
-        predicate=pred)
+        predicate=pred, half=False)
     gs = jnp.asarray(pfof_np)[edges.order]
     gi = gs[edges.erow]
     gj = gs[edges.ecol]

@@ -139,13 +139,25 @@ def unpack_cells(cid: jnp.ndarray, grid: CellGrid) -> jnp.ndarray:
     return jnp.stack([ix, iy, iz], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("grid",))
-def bin_particles(pos: jnp.ndarray, grid: CellGrid) -> Binning:
-    """Sort particles by packed cell id and build the occupied-cell index."""
+@partial(jax.jit, static_argnames=("grid", "lean"))
+def bin_particles(pos: jnp.ndarray, grid: CellGrid,
+                  lean: bool = False) -> Binning:
+    """Sort particles by packed cell id and build the occupied-cell index.
+
+    ``lean``: only ``order``/``cid_sorted`` are needed (the dense-prefix-
+    table candidate paths index cells directly) — skip the occupied-cell
+    index (`unique` + three `searchsorted`s are ~20x the cost of the sort
+    on TPU); the other fields are 1-element placeholders.
+    """
     n = pos.shape[0]
     cid = pack_cells(cell_coords(pos, grid), grid)
     order = jnp.argsort(cid).astype(jnp.int32)
     cid_sorted = cid[order]
+    if lean:
+        z1 = jnp.zeros(1, jnp.int32)
+        return Binning(order=order, cid_sorted=cid_sorted, ucid=z1,
+                       cell_start=z1, cell_count=z1, pcell=z1,
+                       num_cells=jnp.int32(0))
     ucid = jnp.unique(cid_sorted, size=n, fill_value=INT32_MAX)
     start = jnp.searchsorted(cid_sorted, ucid, side="left").astype(jnp.int32)
     end = jnp.searchsorted(cid_sorted, ucid, side="right").astype(jnp.int32)

@@ -233,6 +233,110 @@ def _candidate_counts_dense(binning: Binning, grid: CellGrid):
     return pst, pcn, jnp.sum(pcn.sum(axis=1))
 
 
+# Half stencil: each unordered pair of distinct cells appears exactly once
+# ((dx,dy) lexicographically positive columns; the own column is covered by a
+# forward window starting at the particle's own sorted index + 1, which also
+# yields each same-cell pair once).  Halves the candidate table and the edge
+# list vs the full 27-cell stencil; requires symmetric pair criteria and the
+# symmetric (two-scatter) label sweep.
+_OFFSETS_XY_HALF = np.array([(0, 1), (1, -1), (1, 0), (1, 1)], np.int32)
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def candidate_counts_half(binning: Binning, grid: CellGrid):
+    """Per-sorted-particle half-stencil windows (N, 10) + total count.
+
+    Columns 0-4: forward a-windows (own column [i+1 .. end of z+1 cell],
+    then full z-runs of the 4 forward (dx,dy) columns); columns 5-9: the
+    periodic z-wrap single-cell remainders.  Every unordered candidate pair
+    appears exactly once (duplicates only on degenerate periodic grids with
+    < 3 cells per dim, where they are harmless for min propagation).
+    Requires the dense prefix table (grid.total_cells bounded).
+    """
+    n = binning.order.shape[0]
+    nx, ny, nz = grid.ncells
+    total = grid.total_cells
+    cid_s = binning.cid_sorted
+    hist = jnp.zeros(total + 1, jnp.int32).at[cid_s + 1].add(1)
+    pstart = jnp.cumsum(hist)
+    coords = unpack_cells(cid_s, grid)
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    zero = jnp.zeros_like(x)
+    i_sorted = jnp.arange(n, dtype=jnp.int32)
+
+    if grid.periodic and nz >= 3:
+        zlo = jnp.where(z == 0, 0, z - 1)
+        zhi = jnp.where(z == nz - 1, nz - 1, z + 1)
+        wrap_lo = z == 0
+        wrap_hi = z == nz - 1
+    else:
+        zlo = jnp.maximum(z - 1, 0)
+        zhi = jnp.minimum(z + 1, nz - 1)
+        wrap_lo = jnp.zeros_like(x, bool)
+        wrap_hi = jnp.zeros_like(x, bool)
+
+    psts, pcns = [], []
+    bsts, bcns = [], []
+
+    # own column: [i+1, end of z+1 cell] (+ z-wrap cell when z == nz-1)
+    base0 = (x * ny + y) * nz
+    e0 = pstart[base0 + zhi + 1]
+    psts.append(i_sorted + 1)
+    pcns.append(jnp.maximum(e0 - (i_sorted + 1), 0))
+    sb0 = pstart[base0]
+    cb0 = jnp.where(wrap_hi, pstart[base0 + 1] - sb0, 0)
+    bsts.append(sb0)
+    bcns.append(cb0)
+
+    for dx, dy in _OFFSETS_XY_HALF:
+        if grid.periodic:
+            xq = jnp.mod(x + dx, nx)
+            yq = jnp.mod(y + dy, ny)
+            ok = None
+        else:
+            xq, yq = x + dx, y + dy
+            ok = (xq >= 0) & (xq < nx) & (yq >= 0) & (yq < ny)
+            xq = jnp.clip(xq, 0, nx - 1)
+            yq = jnp.clip(yq, 0, ny - 1)
+        base = (xq * ny + yq) * nz
+        s = pstart[base + zlo]
+        e = pstart[base + zhi + 1]
+        cnt = e - s
+        if ok is not None:
+            cnt = jnp.where(ok, cnt, 0)
+        psts.append(s)
+        pcns.append(cnt)
+        # z-wrap remainder: the single cell on the other side of the box
+        zb = jnp.where(wrap_lo, nz - 1, zero)
+        idb = base + zb
+        sb = pstart[idb]
+        cb = pstart[idb + 1] - sb
+        cb = jnp.where(wrap_lo | wrap_hi, cb, 0)
+        if ok is not None:
+            cb = jnp.where(ok, cb, 0)
+        bsts.append(sb)
+        bcns.append(cb)
+
+    pst = jnp.stack(psts + bsts, axis=1)             # (N,10)
+    pcn = jnp.stack(pcns + bcns, axis=1)
+    return pst, pcn, jnp.sum(pcn.sum(axis=1))
+
+
+@partial(jax.jit, static_argnames=("grid", "predicate", "t_pad"))
+def _edges_fused(pos_s, fields_s, pst, pcn, grid: CellGrid,
+                 predicate: PairPredicate, t_pad: int):
+    """Expand windows -> evaluate criterion -> compact, in one dispatch.
+
+    Returns (erow, ecol, nedges) with erow/ecol length t_pad (slice to the
+    padded edge count on the host).  Keeping the three stages in one jit
+    avoids materialising the (row, col, valid) candidate table to HBM
+    between dispatches.
+    """
+    row, col, valid = flat_candidates(pst, pcn, t_pad)
+    mask = flat_links(pos_s, fields_s, row, col, valid, grid, predicate)
+    return compact_edges(row, col, mask, t_pad)
+
+
 @partial(jax.jit, static_argnames=("grid", "radius"))
 def candidate_counts_radius(binning: Binning, grid: CellGrid, radius: int):
     """Non-periodic stencil windows of radius r ((2r+1)^3 cells) per sorted
@@ -388,14 +492,90 @@ def _compress(labels: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.while_loop(cond, body, labels)
 
 
+@partial(jax.jit, static_argnames=("n", "nsweeps"))
+def _fof_sweeps_sym(labels, erow, ecol, n: int, nsweeps: int):
+    """Symmetric hook+compress rounds for an *undirected* edge list (each
+    pair present once); propagates the min label both ways per edge."""
+
+    def sweep(l):
+        lr = l[erow]
+        lc = l[ecol]
+        nmin = l.at[erow].min(lc)
+        nmin = nmin.at[ecol].min(lr)
+        hooked = l.at[l].min(nmin)
+        x = hooked
+        for _ in range(4):
+            x = x[x]
+        return x
+
+    def body(state):
+        l, _, it = state
+        new = sweep(l)
+        return new, jnp.any(new != l), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < nsweeps)
+
+    labels, changed, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
+    return labels, changed
+
+
+@jax.jit
+def _active_edge_mask(labels, erow, ecol):
+    """Edges whose endpoints already share a label carry no further
+    information (labels only ever merge) and can be dropped mid-fixpoint."""
+    return labels[erow] != labels[ecol]
+
+
+@partial(jax.jit, static_argnames=("n", "nsweeps", "undirected"))
+def _sweeps_then_shrink(labels, erow, ecol, n: int, nsweeps: int,
+                        undirected: bool):
+    """nsweeps hook+compress rounds, then compact the still-active edges
+    (endpoints with different labels) to the front — one dispatch, one
+    (changed, n_active) fetch.  Dropped edges are final: labels only ever
+    merge, so equal-label endpoints stay equal."""
+    sweeps = _fof_sweeps_sym if undirected else _fof_sweeps
+    labels, changed = sweeps(labels, erow, ecol, n, nsweeps)
+    mask = _active_edge_mask(labels, erow, ecol)
+    erow2, ecol2, ne = compact_edges(erow, ecol, mask, erow.shape[0])
+    return labels, changed, erow2, ecol2, ne
+
+
 def fof_labels_from_edges(erow, ecol, n: int, max_sweeps: int = 64,
-                          sweeps_per_call: int = 16) -> jnp.ndarray:
+                          sweeps_per_call: int = 16,
+                          undirected: bool = False,
+                          shrink: bool = True) -> jnp.ndarray:
     """Label fixed point over an edge list; chunked host-side so a single
     device dispatch stays bounded (the axon TPU tunnel kills long-running
-    programs)."""
+    programs).
+
+    ``undirected``: edge list holds each pair once (half-stencil build);
+    sweeps then scatter the min label in both directions.
+
+    ``shrink``: after the first sweep, compact the edge list to the
+    still-active edges — on clustered FOF inputs ~75% of edges are
+    intra-clump and converge immediately, so the remaining sweeps run on a
+    fraction of the list.  Host syncs: one (changed, count) fetch per
+    shrink + one convergence fetch per chunk of sweeps.
+    """
+    sweeps = _fof_sweeps_sym if undirected else _fof_sweeps
     labels = jnp.arange(n, dtype=jnp.int32)
-    for _ in range(max(1, max_sweeps // sweeps_per_call)):
-        labels, changed = _fof_sweeps(labels, erow, ecol, n, sweeps_per_call)
+    done = 0
+    if shrink and erow.shape[0] > (1 << 18):
+        labels, changed, erow2, ecol2, ne = _sweeps_then_shrink(
+            labels, erow, ecol, n, 1, undirected)
+        done += 1
+        changed, ne = jax.device_get((changed, ne))
+        if not bool(changed):
+            return _compress(labels)
+        keep = _pad_pow2(max(int(ne), 1))
+        if keep <= erow.shape[0] // 2:
+            erow, ecol = erow2[:keep], ecol2[:keep]
+    while done < max_sweeps:
+        labels, changed = sweeps(labels, erow, ecol, n, sweeps_per_call)
+        done += sweeps_per_call
         if not bool(jax.device_get(changed)):
             break
     return _compress(labels)
@@ -469,6 +649,8 @@ class Pred3D:
     (criteria are static arguments of the compiled FOF kernels).
     """
 
+    symmetric = True
+
     b2: float
 
     def __call__(self, d2, own, nbr):
@@ -479,6 +661,8 @@ class Pred3D:
 class Pred3DTypes:
     """FOF3dDM (fofalgo.cxx): both particles must be of the given type for a
     link (baryons may not form links; used when iBaryonSearch>1)."""
+
+    symmetric = True
 
     b2: float
     dark_type: int = 1
@@ -493,6 +677,8 @@ class Pred6D:
     """FOF6d: dx^2/ellx^2 + dv^2/ellv^2 <= 1, optionally restricted to pairs
     in the same parent (3DFOF) group (reference search.cxx:552-576 runs the
     6D search per 3DFOF group)."""
+
+    symmetric = True
 
     b2: float
     v2: float
@@ -510,6 +696,8 @@ class Pred6D:
 class Pred6DScaled:
     """6DFOF on pre-scaled phase coordinates (unit ball), with the velocity
     scale baked into a per-particle field (adaptive variant)."""
+
+    symmetric = True
 
     same_group: bool = True
 
@@ -554,16 +742,20 @@ class FlatEdges:
 
     Built once per search; reused by label fixed points, attach/expansion
     passes and nearest-assignment sweeps (the varying per-iteration state
-    only ever gathers along the fixed edges).
+    only ever gathers along the fixed edges).  ``undirected``: each pair
+    appears once (half-stencil build) — label fixed points must then use
+    the symmetric sweep.
     """
 
-    def __init__(self, erow, ecol, n: int, order, pos_s=None, fields_s=None):
+    def __init__(self, erow, ecol, n: int, order, pos_s=None, fields_s=None,
+                 undirected: bool = False):
         self.erow = erow          # (E_pad,) sorted-particle index
         self.ecol = ecol          # (E_pad,)
         self.n = n                # particle count
         self.order = order        # sorted -> original index map
         self.pos_s = pos_s        # (N,3) sorted positions
         self.fields_s = fields_s  # sorted per-particle fields
+        self.undirected = undirected
 
 
 def build_edges(pos, linking_length: float,
@@ -572,13 +764,19 @@ def build_edges(pos, linking_length: float,
                 predicate: Optional[PairPredicate] = None,
                 bounds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                 target_cells_per_dim: Optional[int] = None,
-                compact: Optional[bool] = None) -> Tuple[FlatEdges, Binning,
-                                                         CellGrid]:
+                compact: Optional[bool] = None,
+                half: Optional[bool] = None) -> Tuple[FlatEdges, Binning,
+                                                      CellGrid]:
     """Bin + candidate table + criterion pass -> compacted edge list.
 
     Host syncs: bounds (unless periodic or given), the total candidate
     count, and (when compacting) the edge count — each a single scalar
     fetch.
+
+    ``half``: build the undirected half-stencil edge list (each pair once;
+    half the table, half the edges).  Default: on when the criterion is
+    symmetric (all shipped criteria are; a custom predicate opts in by
+    defining ``symmetric = True``) and the dense prefix table fits.
     """
     pos = jnp.asarray(pos)
     n = pos.shape[0]
@@ -593,27 +791,39 @@ def build_edges(pos, linking_length: float,
     grid = build_grid(np.asarray(lo), np.asarray(hi), linking_length,
                       periodic=periodic, boxsize=boxsize or 0.0,
                       target_cells_per_dim=target_cells_per_dim)
-    binning = bin_particles(pos, grid)
-    pst, pcn, T = candidate_counts(binning, grid)
+    if predicate is None:
+        predicate = Pred3D(float(linking_length) ** 2)
+    if half is None:
+        half = bool(getattr(predicate, "symmetric", False)) and \
+            grid.total_cells <= _DENSE_TABLE_MAX_CELLS
+    # dense-prefix-table candidate paths never touch the occupied-cell
+    # index; skip building it (unique + searchsorted cost ~20x the sort)
+    lean = grid.total_cells <= _DENSE_TABLE_MAX_CELLS
+    binning = bin_particles(pos, grid, lean=lean)
+    if half:
+        pst, pcn, T = candidate_counts_half(binning, grid)
+    else:
+        pst, pcn, T = candidate_counts(binning, grid)
     T = int(jax.device_get(T))
     t_pad = _pad_pow2(max(T, 1))
-    row, col, valid = flat_candidates(pst, pcn, t_pad)
     order = binning.order
     pos_s = pos[order]
     fields_s = {k: jnp.asarray(v)[order] for k, v in (fields or {}).items()}
-    if predicate is None:
-        predicate = Pred3D(float(linking_length) ** 2)
-    mask = flat_links(pos_s, fields_s, row, col, valid, grid, predicate)
     if compact is None:
         compact = T > (1 << 22)
     if compact:
-        erow, ecol, ne = compact_edges(row, col, mask, t_pad)
+        erow, ecol, ne = _edges_fused(pos_s, fields_s, pst, pcn, grid,
+                                      predicate, t_pad)
         e_pad = _pad_pow2(max(int(jax.device_get(ne)), 1))
-        erow, ecol = erow[:e_pad], ecol[:e_pad]
+        if e_pad < t_pad:
+            erow, ecol = erow[:e_pad], ecol[:e_pad]
     else:
+        row, col, valid = flat_candidates(pst, pcn, t_pad)
+        mask = flat_links(pos_s, fields_s, row, col, valid, grid, predicate)
         erow = jnp.where(mask, row, 0)
         ecol = jnp.where(mask, col, 0)
-    return FlatEdges(erow, ecol, n, order, pos_s, fields_s), binning, grid
+    return FlatEdges(erow, ecol, n, order, pos_s, fields_s,
+                     undirected=half), binning, grid
 
 
 def fof3d(
@@ -645,7 +855,8 @@ def fof3d(
     edges, binning, grid = build_edges(
         pos, linking_length, boxsize=boxsize, fields=fields,
         predicate=predicate, target_cells_per_dim=target_cells_per_dim)
-    labels = fof_labels_from_edges(edges.erow, edges.ecol, n)
+    labels = fof_labels_from_edges(edges.erow, edges.ecol, n,
+                                   undirected=edges.undirected)
     order = edges.order
     pfof_sorted, ngroups = renumber_by_size(labels, min_size,
                                             orig_index=order)
