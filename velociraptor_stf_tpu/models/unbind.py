@@ -193,7 +193,39 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
         W = compute_potential(pos, mass, pfof, num_groups, uinfo.eps, G,
                               boxsize=boxsize)
 
-    mass0 = seg.segment_sum(jnp.where(pfof > 0, mass, 0.0), pfof, ng1)
+    # run the ejection iteration on the tagged subset only: every per-
+    # iteration sort / segment op then scales with the group population
+    # (typically 10-20% of the box), not the full particle count
+    tag = pfof > 0
+    ntag = int(jax.device_get(jnp.sum(tag)))
+    if 0 < ntag < n // 2:
+        tpad = 1024
+        while tpad < ntag:
+            tpad *= 2
+        dest = jnp.cumsum(tag) - 1
+        dest = jnp.where(tag, dest, tpad)
+        sub_idx = jnp.zeros(tpad, jnp.int32).at[dest].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        svalid = jnp.arange(tpad) < ntag
+        sub_idx = jnp.where(svalid, sub_idx, 0)
+        bound_sub = _check_unbound_subset(
+            pos[sub_idx], vel[sub_idx], mass[sub_idx],
+            jnp.where(svalid, pfof[sub_idx], 0), W[sub_idx],
+            num_groups, uinfo, min_size, G, boxsize)
+        bound = jnp.zeros(n, bool).at[sub_idx].set(bound_sub & svalid)
+        return _finalize_unbind(mass, pfof, bound, W, num_groups, uinfo,
+                                min_size)
+
+    bound = _run_ejection(pos, vel, mass, pfof, W, num_groups, uinfo, G,
+                          boxsize, min_size)
+    return _finalize_unbind(mass, pfof, bound, W, num_groups, uinfo,
+                            min_size)
+
+
+def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
+                  uinfo: UnbindInfo, G: float, boxsize, min_size: int):
+    """POTREF frame + host-chunked iterative ejection -> bound mask."""
+    ng1 = num_groups + 1
 
     # POTREF frame: mean velocity of particles near the potential minimum
     if uinfo.cmvelreftype == POTREF:
@@ -233,7 +265,26 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
             W_cur = compute_potential(
                 pos, jnp.where(bound, mass, 0.0), pfof, num_groups,
                 uinfo.eps, G, boxsize=boxsize)
+    return bound
 
+
+def _check_unbound_subset(pos_t, vel_t, mass_t, pfof_t, W_t,
+                          num_groups: int, uinfo: UnbindInfo,
+                          min_size: int, G: float, boxsize):
+    """Ejection on the compacted tagged-particle arrays -> bound mask.
+
+    The subset holds every member of every group, so the bgpot=0 potential
+    recomputes work on it directly (boxsize passed through for the periodic
+    unwrap inside compute_potential)."""
+    return _run_ejection(pos_t, vel_t, mass_t, pfof_t, W_t, num_groups,
+                         uinfo, G, boxsize, min_size)
+
+
+def _finalize_unbind(mass, pfof, bound, W, num_groups: int,
+                     uinfo: UnbindInfo, min_size: int) -> "UnbindResult":
+    """Efrac / USYSANDPART dissolution / renumber by size (full arrays)."""
+    ng1 = num_groups + 1
+    mass0 = seg.segment_sum(jnp.where(pfof > 0, mass, 0.0), pfof, ng1)
     mass1 = seg.segment_sum(jnp.where(bound, mass, 0.0), pfof, ng1)
     Efrac = mass1 / jnp.maximum(mass0, 1e-30)
     if uinfo.unbindtype == USYSANDPART:
