@@ -150,3 +150,72 @@ def test_pipeline_multitype_end_to_end(tmp_path):
     # baryons actually got group ids
     b = ptype != 1
     assert (res.pfof[b] > 0).sum() > 0.5 * (ptype == 0).sum()
+
+
+def test_pertype_full_property_blocks():
+    """Full per-type blocks (reference allvars.h:1322-1528): gas_sf/gas_nsf
+    SFR split, per-type shapes/Krot/dispersion tensors, SO-scoped masses
+    and angular momenta, interloper counts."""
+    import math
+
+    import jax.numpy as jnp
+
+    from velociraptor_stf_tpu.models import properties as P
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    G = 43.0211349
+    Rh = 0.3
+    r = Rh * rng.random(n) ** (1 / 3)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pos = (d * r[:, None]).astype(np.float32)
+    sig = math.sqrt(G * n / Rh) * 0.25
+    vel = rng.normal(0, sig, (n, 3)).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    ptype = np.ones(n, np.int8)
+    ptype[:600] = 0            # gas
+    ptype[600:900] = 4         # stars
+    ptype[900:950] = 5         # BH
+    ptype[950:1000] = 2        # low-res interloper
+    sfr = np.zeros(n, np.float32)
+    sfr[:300] = 1.0            # half the gas is star-forming
+    u = np.full(n, 50.0, np.float32)
+    zmet = np.full(n, 0.02, np.float32)
+    bhmdot = np.full(n, 0.1, np.float32)
+    pfof = np.ones(n, np.int32)
+    rad = np.full(2, Rh, np.float32)
+
+    out = P.compute_pertype_properties(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+        jnp.asarray(ptype), jnp.asarray(pfof), 1,
+        refpos=jnp.zeros((2, 3)), refvel=jnp.zeros((2, 3)),
+        u=jnp.asarray(u), sfr=jnp.asarray(sfr), zmet=jnp.asarray(zmet),
+        tage=None, bhmdot=jnp.asarray(bhmdot),
+        rvmax=jnp.asarray(rad), r200c=jnp.asarray(rad),
+        r200m=jnp.asarray(rad), r500c=jnp.asarray(0.5 * rad),
+        rBN98=None, r30=0.1, r50=0.2)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    assert out["n_gas"][1] == 600
+    assert out["n_gas_sf"][1] == 300
+    assert out["n_gas_nsf"][1] == 300
+    assert out["M_gas_sf"][1] + out["M_gas_nsf"][1] == out["M_gas"][1]
+    assert out["SFR_gas"][1] == 300.0
+    assert out["n_star"][1] == 300
+    assert out["n_bh"][1] == 50
+    assert out["n_interloper"][1] == 50
+    assert out["M_interloper"][1] == 50.0
+    assert abs(out["acc_bh"][1] - 5.0) < 1e-4
+    # shapes / Krot / dispersion tensors exist and are sane
+    assert 0.7 < out["q_gas"][1] <= 1.001       # isotropic mock
+    assert 0.7 < out["s_star"][1] <= 1.001
+    assert 0.0 <= out["Krot_gas"][1] < 0.9
+    assert out["veldisp_gas"][1].shape == (3, 3)
+    assert out["veldisp_gas"][1][0, 0] > 0
+    # SO-scoped: all gas inside r200c sphere (radius Rh covers everything)
+    assert out["M_200crit_gas"][1] == out["M_gas"][1]
+    assert out["M_500c_gas"][1] < out["M_gas"][1]   # half radius cuts some
+    assert out["L_200crit_gas"][1].shape == (3,)
+    # fixed apertures nest
+    assert out["M_gas_30kpc"][1] <= out["M_gas_50kpc"][1]
+    assert out["MassTwiceRhalfmass_gas"][1] >= 0.5 * out["M_gas"][1]

@@ -172,3 +172,76 @@ def test_write_ascii_mode(tmp_path):
     lines = open(out + ".properties").read().splitlines()
     assert lines[1].split()[0] == str(ng)
     assert len(lines) == 3 + ng
+
+
+@pytest.mark.parametrize("convention", [H.HDFEAGLENAMES, H.HDFILLUSTRISNAMES,
+                                        H.HDFGIZMONAMES,
+                                        H.HDFSWIFTEAGLENAMES])
+def test_hdf_naming_conventions(tmp_path, snap, convention):
+    """Per-convention dataset names (reference HDF_Part_Info,
+    hdfitems.h:343-560): EAGLE singular Velocity/Mass, ILLUSTRIS GFM_
+    prefixes, GIZMO Metallicity_00, SWIFT plural names + Cosmology group."""
+    import h5py
+
+    pos, vel, pids, ptype, mass = snap
+    fn = str(tmp_path / "snap.hdf5")
+    names = {
+        H.HDFEAGLENAMES: dict(vel="Velocity", mass="Mass",
+                              u="InternalEnergy", zmet="Metallicity",
+                              tage="StellarFormationTime"),
+        H.HDFILLUSTRISNAMES: dict(vel="Velocities", mass="Masses",
+                                  u="InternalEnergy", zmet="GFM_Metallicity",
+                                  tage="GFM_StellarFormationTime"),
+        H.HDFGIZMONAMES: dict(vel="Velocities", mass="Masses",
+                              u="InternalEnergy", zmet="Metallicity_00",
+                              tage="StellarFormationTime"),
+        H.HDFSWIFTEAGLENAMES: dict(vel="Velocities", mass="Masses",
+                                   u="InternalEnergies",
+                                   zmet="MetalMassFractions",
+                                   tage="BirthScaleFactors"),
+    }[convention]
+    with h5py.File(fn, "w") as f:
+        h = f.create_group("Header")
+        h.attrs["BoxSize"] = 50.0
+        h.attrs["NumFilesPerSnapshot"] = 1
+        npt = np.array([(ptype == t).sum() for t in range(6)], np.uint64)
+        h.attrs["NumPart_Total"] = npt
+        h.attrs["MassTable"] = np.zeros(6)
+        if convention == H.HDFSWIFTEAGLENAMES:
+            h.attrs["Time"] = 1.0
+            cos = f.create_group("Cosmology")
+            cos.attrs["Omega_m"] = 0.3
+            cos.attrs["Omega_lambda"] = 0.7
+            cos.attrs["h"] = 0.7
+        else:
+            h.attrs["Time"] = 1.0
+            h.attrs["Omega0"] = 0.3
+            h.attrs["OmegaLambda"] = 0.7
+            h.attrs["HubbleParam"] = 0.7
+        for t in (0, 1, 4):
+            sel = ptype == t if t != 4 else ptype == 0  # reuse gas as stars
+            if t == 4:
+                sel = np.zeros(len(ptype), bool)
+                sel[:10] = True
+            g = f.create_group(f"PartType{t}")
+            g["Coordinates"] = pos[sel]
+            g[names["vel"]] = vel[sel]
+            g["ParticleIDs"] = pids[sel] + (t << 20)
+            g[names["mass"]] = mass[sel]
+            if t == 0:
+                g[names["u"]] = np.full(sel.sum(), 7.5, np.float32)
+                g[names["zmet"]] = np.full(sel.sum(), 0.02, np.float32)
+            if t == 4:
+                g[names["tage"]] = np.full(sel.sum(), 0.5, np.float32)
+                g[names["zmet"]] = np.full(sel.sum(), 0.01, np.float32)
+    hdr, p2, v2, i2, t2, m2, extras = H.read_hdf(fn, convention=convention)
+    assert hdr.boxsize == 50.0
+    assert hdr.omega0 == pytest.approx(0.3)
+    assert hdr.hubble_param == pytest.approx(0.7)
+    ngas = (ptype == 0).sum()
+    assert np.allclose(extras["u"][t2 == 0], 7.5)
+    assert np.allclose(extras["zmet"][t2 == 0], 0.02)
+    assert np.allclose(extras["tage"][t2 == 4], 0.5)
+    assert np.allclose(extras["zmet"][t2 == 4], 0.01)
+    assert (m2 > 0).all() and len(p2) == ngas + (ptype == 1).sum() + 10
+    assert np.abs(v2).sum() > 0

@@ -28,6 +28,55 @@ HDFSWIFTEAGLENAMES = 6
 HDFEAGLEVERSION2NAMES = 7
 
 
+def _convention_names(convention: int) -> Dict[str, List[str]]:
+    """Primary dataset names per convention (reference HDF_Part_Info,
+    hdfitems.h:343-560), each followed by generic fallbacks so partially
+    conforming snapshots still load.
+
+    EAGLE (classic) uses singular Velocity/Mass; ILLUSTRIS prefixes GFM_;
+    GIZMO stores the total metal fraction as Metallicity_00; SIMBA/MUFASA
+    store an 11-element Metallicity vector (first entry = total); SWIFT
+    uses plural dataset names and birth scale factors for stellar ages.
+    """
+    vel = ["Velocities"]
+    mass = ["Masses"]
+    sfr = ["StarFormationRate"]
+    zmet = ["Metallicity"]
+    tage = ["StellarFormationTime"]
+    u = ["InternalEnergy"]
+    if convention == HDFEAGLENAMES:
+        vel = ["Velocity", "Velocities"]
+        mass = ["Mass", "Masses"]
+    elif convention == HDFILLUSTRISNAMES:
+        zmet = ["GFM_Metallicity", "Metallicity"]
+        tage = ["GFM_StellarFormationTime", "StellarFormationTime"]
+    elif convention == HDFGIZMONAMES:
+        zmet = ["Metallicity_00", "Metallicity"]
+    elif convention in (HDFSIMBANAMES, HDFMUFASANAMES):
+        zmet = ["Metallicity"]
+    elif convention == HDFSWIFTEAGLENAMES:
+        u = ["InternalEnergies", "InternalEnergy"]
+        sfr = ["StarFormationRates", "StarFormationRate"]
+        zmet = ["MetalMassFractions", "SmoothedMetalMassFractions",
+                "Metallicity"]
+        tage = ["BirthScaleFactors", "StellarFormationTime"]
+    elif convention == HDFEAGLEVERSION2NAMES:
+        zmet = ["SmoothedMetallicity", "Metallicity"]
+    # generic fallbacks shared by every convention
+    vel += ["Velocity"] if "Velocity" not in vel else []
+    mass += ["Mass"] if "Mass" not in mass else []
+    u += ["InternalEnergies", "Thermal_Energy"]
+    sfr += ["StarFormationRates", "SFR"]
+    zmet += ["GFM_Metallicity", "MetalMassFractions", "SmoothedMetallicity",
+             "Metallicities"]
+    tage += ["BirthScaleFactors", "GFM_StellarFormationTime", "StellarAge"]
+    bhmdot = ["BH_Mdot", "AccretionRates", "Mdot"]
+    dedup = lambda xs: list(dict.fromkeys(xs))
+    return {"vel": dedup(vel), "mass": dedup(mass), "u": dedup(u),
+            "sfr": dedup(sfr), "zmet": dedup(zmet), "tage": dedup(tage),
+            "bhmdot": dedup(bhmdot)}
+
+
 @dataclass
 class HdfHeader:
     boxsize: float = 0.0
@@ -120,17 +169,19 @@ def read_hdf(fname: str, parttypes: Optional[List[int]] = None,
     files = _snapshot_files(fname)
     hdr = read_hdf_header(files[0], convention)
     types = parttypes if parttypes is not None else list(range(6))
+    names = _convention_names(convention)
     poss, vels, idss, typs, masss = [], [], [], [], []
     extras: Dict[str, List[np.ndarray]] = {k: [] for k in
-                                           ("u", "sfr", "zmet", "tage")}
-    extra_names = {
-        "u": ["InternalEnergy", "InternalEnergies", "Thermal_Energy"],
-        "sfr": ["StarFormationRate", "StarFormationRates", "SFR"],
-        "zmet": ["Metallicity", "Metallicities", "GFM_Metallicity",
-                 "MetalMassFractions", "SmoothedMetallicity"],
-        "tage": ["StellarFormationTime", "BirthScaleFactors",
-                 "GFM_StellarFormationTime", "StellarAge"],
-    }
+                                           ("u", "sfr", "zmet", "tage",
+                                            "bhmdot")}
+
+    def _first(g, cands, dtype=pos_dtype):
+        for c in cands:
+            if c in g:
+                a = np.asarray(g[c], dtype)
+                return a if a.ndim == 1 else a[:, 0]
+        return None
+
     for fn in files:
         with h5py.File(fn, "r") as f:
             for t in types:
@@ -144,15 +195,13 @@ def read_hdf(fname: str, parttypes: Optional[List[int]] = None,
                 n = len(p)
                 if n == 0:
                     continue
-                v = np.asarray(g["Velocities"], pos_dtype) \
-                    if "Velocities" in g else np.zeros_like(p)
+                vname = next((c for c in names["vel"] if c in g), None)
+                v = np.asarray(g[vname], pos_dtype) if vname \
+                    else np.zeros_like(p)
                 pid = np.asarray(g["ParticleIDs"]) if "ParticleIDs" in g \
                     else np.arange(n, dtype=np.int64)
-                if "Masses" in g:
-                    m = np.asarray(g["Masses"], pos_dtype)
-                elif "Mass" in g:
-                    m = np.asarray(g["Mass"], pos_dtype)
-                else:
+                m = _first(g, names["mass"])
+                if m is None:
                     m = np.full(n, hdr.mass_table[t], pos_dtype)
                 poss.append(p)
                 vels.append(v)
@@ -160,13 +209,8 @@ def read_hdf(fname: str, parttypes: Optional[List[int]] = None,
                 typs.append(np.full(n, t, np.int8))
                 masss.append(m)
                 if load_baryon_extras:
-                    for ek, cands in extra_names.items():
-                        arr = None
-                        for c in cands:
-                            if c in g:
-                                a = np.asarray(g[c], pos_dtype)
-                                arr = a if a.ndim == 1 else a[:, 0]
-                                break
+                    for ek in ("u", "sfr", "zmet", "tage", "bhmdot"):
+                        arr = _first(g, names[ek])
                         extras[ek].append(
                             arr if arr is not None else np.zeros(n, pos_dtype))
     if not poss:

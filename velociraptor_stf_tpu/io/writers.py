@@ -169,25 +169,52 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
             tag = f"{thr:g}_rhocrit"
             cols[f"SO_Mass_{tag}"] = np.asarray(props["SO_mass"])[g][:, i]
             cols[f"SO_R_{tag}"] = np.asarray(props["SO_radius"])[g][:, i]
-    # per-type (gas/star/BH) sub-properties (reference PropData
-    # n_gas/M_gas/..., allvars.h:1322-1528)
-    for t in ("gas", "star", "bh"):
+    # per-type (gas/gas_sf/gas_nsf/star/BH/interloper) sub-properties
+    # (reference PropData n_gas/M_gas/L_200crit_gas/q_star/...,
+    # allvars.h:1322-1528).  Vector fields expand to _x/_y/_z (L_* to
+    # Lx_*), 3x3 tensors to _ab component columns.
+    pertype = ("gas", "gas_sf", "gas_nsf", "star", "bh", "interloper")
+    for t in pertype:
         if f"n_{t}" not in props:
             continue
         cols[f"n_{t}"] = np.asarray(props[f"n_{t}"])[g].astype(np.uint64)
-        cols[f"M_{t}"] = np.asarray(props[f"M_{t}"])[g]
-        cmt = np.asarray(props[f"cm_{t}"])[g]
-        cmvt = np.asarray(props[f"cmvel_{t}"])[g]
-        for i, a in enumerate("xyz"):
-            cols[f"{a.upper()}c_{t}"] = cmt[:, i]
-            cols[f"V{a.upper()}c_{t}"] = cmvt[:, i]
-        cols[f"sigV_{t}"] = np.asarray(props[f"sigV_{t}"])[g]
-        Lt = np.asarray(props[f"L_{t}"])[g]
-        cols[f"Lx_{t}"], cols[f"Ly_{t}"], cols[f"Lz_{t}"] = \
-            Lt[:, 0], Lt[:, 1], Lt[:, 2]
-        cols[f"R_HalfMass_{t}"] = np.asarray(props[f"R_HalfMass_{t}"])[g]
-    for k in ("Temp_mean_gas", "SFR_gas", "SFR_mean_gas", "Zmet_gas",
-              "t_mean_star", "Zmet_star", "M_bh_mostmassive"):
+        for key in sorted(props):
+            if not key.endswith(f"_{t}") or key == f"n_{t}":
+                continue
+            if key in (f"cm_{t}", f"cmvel_{t}", f"L_{t}", f"veldisp_{t}",
+                       f"eigvec_{t}"):
+                continue
+            v = np.asarray(props[key])[g]
+            if v.ndim == 1:
+                cols[key] = v
+            elif v.ndim == 2 and v.shape[1] == 3:   # L_<scope>_<t> vectors
+                if key.startswith("L_"):
+                    rest = key[2:]
+                    cols[f"Lx_{rest}"] = v[:, 0]
+                    cols[f"Ly_{rest}"] = v[:, 1]
+                    cols[f"Lz_{rest}"] = v[:, 2]
+                else:
+                    for i, a in enumerate("xyz"):
+                        cols[f"{key}_{a}"] = v[:, i]
+        if f"cm_{t}" in props:
+            cmt = np.asarray(props[f"cm_{t}"])[g]
+            cmvt = np.asarray(props[f"cmvel_{t}"])[g]
+            for i, a in enumerate("xyz"):
+                cols[f"{a.upper()}c_{t}"] = cmt[:, i]
+                cols[f"V{a.upper()}c_{t}"] = cmvt[:, i]
+        if f"L_{t}" in props:
+            Lt = np.asarray(props[f"L_{t}"])[g]
+            cols[f"Lx_{t}"], cols[f"Ly_{t}"], cols[f"Lz_{t}"] = \
+                Lt[:, 0], Lt[:, 1], Lt[:, 2]
+        if f"veldisp_{t}" in props:
+            vdt = np.asarray(props[f"veldisp_{t}"])[g]
+            evt = np.asarray(props[f"eigvec_{t}"])[g]
+            for i, a in enumerate("xyz"):
+                for j, b in enumerate("xyz"):
+                    cols[f"veldisp_{a}{b}_{t}"] = vdt[:, i, j]
+                    cols[f"eig_{a}{b}_{t}"] = evt[:, i, j]
+    for k in ("t_mean_star", "M_bh_mostmassive", "acc_bh",
+              "acc_bh_mostmassive"):
         if k in props:
             cols[k] = np.asarray(props[k])[g]
     # exclusive (member-only) masses when inclusive masses are active

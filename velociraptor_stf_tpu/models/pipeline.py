@@ -244,12 +244,18 @@ def find_structures(opt: C.Options, pos, vel, mass,
             v = ex.get(key)
             return None if v is None else jnp.asarray(v)
 
+        # fixed 30/50 kpc apertures need a configured length unit
+        to_int = 1.0 / opt.lengthtokpc if opt.lengthtokpc > 0 else 0.0
         pr.update(props_mod.compute_pertype_properties(
             jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
             jnp.asarray(ptype_np), jnp.asarray(pfof), ngpad,
             refpos=pr["gcm"], refvel=pr["gcmvel"],
             u=_exf("u"), sfr=_exf("sfr"), zmet=_exf("zmet"),
-            tage=_exf("tage")))
+            tage=_exf("tage"), bhmdot=_exf("bhmdot"),
+            rvmax=pr.get("gRmaxvel"), r200c=pr.get("gR200c"),
+            r200m=pr.get("gR200m"), r500c=pr.get("gR500c"),
+            rBN98=pr.get("gRBN98"),
+            r30=30.0 * to_int, r50=50.0 * to_int))
 
     # extended properties: apertures / profiles / RVmax / energies
     if opt.iaperturecalc or opt.iprofilecalc:

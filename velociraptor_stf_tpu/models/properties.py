@@ -396,22 +396,36 @@ def compute_rvmax_properties(pos, vel, mass, pfof, num_groups: int, *,
 GASTYPE, DARKTYPE, STARTYPE, BHTYPE = 0, 1, 4, 5
 
 
-@partial(jax.jit, static_argnames=("num_groups", "types"))
+LOWRESTYPES = (2, 3)  # zoom low-res DM ("interloper", reference HIGHRES)
+
+
+@partial(jax.jit, static_argnames=("num_groups", "types", "full",
+                                   "r30", "r50"))
 def compute_pertype_properties(
     pos, vel, mass, ptype, pfof, num_groups: int, *,
     refpos, refvel,
     types: Tuple[Tuple[str, int], ...] = (("gas", GASTYPE),
                                           ("star", STARTYPE),
                                           ("bh", BHTYPE)),
-    u=None, sfr=None, zmet=None, tage=None,
+    u=None, sfr=None, zmet=None, tage=None, bhmdot=None,
+    rvmax=None, r200c=None, r200m=None, r500c=None, rBN98=None,
+    r30: float = 0.0, r50: float = 0.0,
+    full: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Per-particle-type bulk properties (gas/star/BH sub-properties).
 
     Reference: the GASON/STARON/BHON blocks of ``GetProperties``
     (/root/reference/src/substructureproperties.cxx:266+, fields
-    ``PropData.n_gas/M_gas/Temp_mean_gas/SFR_gas/...``, allvars.h:1322-1528).
-    All quantities are segment reductions keyed by (group, type); the
-    half-mass radii reuse one global (group, radius) sort.
+    ``PropData.n_gas/M_gas/.../L_200crit_gas/q_gas/Krot_star/...``,
+    allvars.h:1322-1528).  All quantities are segment reductions keyed by
+    (group, type); the half-mass radii reuse one global (group, radius)
+    sort.  ``full``: also compute the velocity-dispersion tensor, shape
+    (q/s/eigvec), Krot, 2x-half-mass masses, the fixed-aperture masses
+    (``r30``/``r50`` = 30/50 kpc in internal units) and the SO-scoped
+    masses / angular momenta (M_200crit_gas, L_200mean_star, ...) for
+    whichever SO radii are provided.  The star-forming / non-star-forming
+    gas split (gas_sf/gas_nsf, SFR > 0) and the zoom low-res "interloper"
+    block are included when the relevant inputs exist.
     """
     n = pos.shape[0]
     ng1 = num_groups + 1
@@ -421,10 +435,19 @@ def compute_pertype_properties(
     perm = jnp.lexsort((r2, pfof)).astype(jnp.int32)
     g_s = pfof[perm]
     offsets = seg.group_offsets(g_s, num_groups)
+    r_s = jnp.sqrt(jnp.maximum(r2[perm], 1e-30))
+    m_s = mass[perm]
+
+    # SO scopes available for M_<scope>_<type> / L_<scope>_<type>
+    scopes = []
+    for sname, rad in (("200crit", r200c), ("200mean", r200m),
+                       ("500c", r500c), ("BN98", rBN98)):
+        if rad is not None:
+            scopes.append((sname, rad))
 
     out: Dict[str, jnp.ndarray] = {}
-    for tname, tval in types:
-        sel = (ptype == tval) & (pfof > 0)
+
+    def _block(tname, sel, with_temp_sfr=False, with_age=False):
         w = jnp.where(sel, mass, 0.0)
         msum = seg.segment_sum(w, pfof, ng1)
         msafe = jnp.maximum(msum, 1e-30)
@@ -438,37 +461,126 @@ def compute_pertype_properties(
         out[f"sigV_{tname}"] = jnp.sqrt(
             seg.segment_sum(jnp.where(sel, dv2 * mass, 0.0), pfof, ng1) /
             msafe / 3.0)
-        out[f"L_{tname}"] = seg.segment_sum(
-            jnp.cross(dx, dv) * w[:, None], pfof, ng1)
+        L = seg.segment_sum(jnp.cross(dx, dv) * w[:, None], pfof, ng1)
+        out[f"L_{tname}"] = L
         # half-mass radius of this type (radius-sorted masked cumsum)
-        m_t_s = jnp.where(sel[perm], mass[perm], 0.0)
+        sel_s = sel[perm]
+        m_t_s = jnp.where(sel_s, m_s, 0.0)
         Mcum_t = seg.segment_cumsum(m_t_s, g_s, offsets)
         khalf = _first_crossing(
             (Mcum_t > 0.5 * msum[g_s]) & (g_s > 0), g_s, ng1, n)
         khc = jnp.minimum(khalf, n - 1)
-        r_s = jnp.sqrt(jnp.maximum(r2[perm], 1e-30))
-        out[f"R_HalfMass_{tname}"] = jnp.where(khalf < n, r_s[khc], 0.0)
-        if tname == "gas":
+        rhalf = jnp.where(khalf < n, r_s[khc], 0.0)
+        out[f"R_HalfMass_{tname}"] = rhalf
+        if full:
+            # mass within twice the half-mass radius
+            k2h = _first_crossing(
+                (r_s > 2.0 * rhalf[g_s]) & (g_s > 0), g_s, ng1, n)
+            k2c = jnp.minimum(jnp.maximum(k2h - 1, 0), n - 1)
+            out[f"MassTwiceRhalfmass_{tname}"] = jnp.where(
+                k2h < n, Mcum_t[k2c], msum)
+            # velocity dispersion tensor (3x3) about the type CM velocity
+            dvt = vel - cmv[pfof]
+            vv = dvt[:, :, None] * dvt[:, None, :]
+            out[f"veldisp_{tname}"] = seg.segment_sum(
+                vv.reshape(n, 9) * w[:, None], pfof, ng1).reshape(ng1, 3, 3) \
+                / msafe[:, None, None]
+            # shape from the mass-weighted inertia tensor about the halo CM
+            xx = dx[:, :, None] * dx[:, None, :]
+            itens = seg.segment_sum(
+                xx.reshape(n, 9) * w[:, None], pfof, ng1).reshape(ng1, 3, 3) \
+                / msafe[:, None, None]
+            evals, evecs = jnp.linalg.eigh(itens)
+            lam_a = jnp.maximum(evals[:, 2], 1e-30)
+            out[f"q_{tname}"] = jnp.sqrt(jnp.maximum(evals[:, 1], 0.0)
+                                         / lam_a)
+            out[f"s_{tname}"] = jnp.sqrt(jnp.maximum(evals[:, 0], 0.0)
+                                         / lam_a)
+            out[f"eigvec_{tname}"] = evecs
+            # Krot: rotational kinetic-energy fraction about the type L axis
+            jhat = L / jnp.maximum(
+                jnp.linalg.norm(L, axis=-1, keepdims=True), 1e-30)
+            jz = jnp.sum(jnp.cross(dx, dvt) * jhat[pfof], -1)
+            Rperp2 = jnp.maximum(
+                r2 - jnp.sum(dx * jhat[pfof], -1) ** 2, 1e-30)
+            ek_rot = seg.segment_sum(
+                jnp.where(sel, 0.5 * mass * jz * jz / Rperp2, 0.0),
+                pfof, ng1)
+            ek_tot = seg.segment_sum(
+                jnp.where(sel, 0.5 * mass * jnp.sum(dvt * dvt, -1), 0.0),
+                pfof, ng1)
+            out[f"Krot_{tname}"] = ek_rot / jnp.maximum(ek_tot, 1e-30)
+            # radius-scoped masses: RVmax / fixed apertures / SO radii
+            if rvmax is not None:
+                out[f"M_{tname}_rvmax"] = seg.segment_sum(
+                    jnp.where(sel & (r2 < rvmax[pfof] ** 2), mass, 0.0),
+                    pfof, ng1)
+            if r30 > 0.0:
+                out[f"M_{tname}_30kpc"] = seg.segment_sum(
+                    jnp.where(sel & (r2 < r30 * r30), mass, 0.0), pfof, ng1)
+            if r50 > 0.0:
+                out[f"M_{tname}_50kpc"] = seg.segment_sum(
+                    jnp.where(sel & (r2 < r50 * r50), mass, 0.0), pfof, ng1)
+            for sname, rad in scopes:
+                insph = sel & (r2 < rad[pfof] ** 2)
+                out[f"M_{sname}_{tname}"] = seg.segment_sum(
+                    jnp.where(insph, mass, 0.0), pfof, ng1)
+                out[f"L_{sname}_{tname}"] = seg.segment_sum(
+                    jnp.cross(dx, dv) * jnp.where(insph, mass, 0.0)[:, None],
+                    pfof, ng1)
+        if with_temp_sfr:
             if u is not None:
-                out["Temp_mean_gas"] = seg.segment_sum(
-                    jnp.where(sel, u * mass, 0.0), pfof, ng1) / msafe
-            if sfr is not None:
-                out["SFR_gas"] = seg.segment_sum(
+                out[f"Temp_{tname}"] = seg.segment_sum(
+                    jnp.where(sel, u * mass, 0.0), pfof, ng1)
+                out[f"Temp_mean_{tname}"] = out[f"Temp_{tname}"] / msafe
+            if sfr is not None and not tname.endswith("nsf"):
+                out[f"SFR_{tname}"] = seg.segment_sum(
                     jnp.where(sel, sfr, 0.0), pfof, ng1)
-                out["SFR_mean_gas"] = out["SFR_gas"] / msafe
+                out[f"SFR_mean_{tname}"] = out[f"SFR_{tname}"] / msafe
             if zmet is not None:
-                out["Zmet_gas"] = seg.segment_sum(
+                out[f"Zmet_{tname}"] = seg.segment_sum(
                     jnp.where(sel, zmet * mass, 0.0), pfof, ng1) / msafe
-        if tname == "star":
-            if tage is not None:
-                out["t_mean_star"] = seg.segment_sum(
-                    jnp.where(sel, tage * mass, 0.0), pfof, ng1) / msafe
-            if zmet is not None:
-                out["Zmet_star"] = seg.segment_sum(
-                    jnp.where(sel, zmet * mass, 0.0), pfof, ng1) / msafe
+        if with_age and tage is not None:
+            out["t_mean_star"] = seg.segment_sum(
+                jnp.where(sel, tage * mass, 0.0), pfof, ng1) / msafe
+        return msum
+
+    for tname, tval in types:
+        sel = (ptype == tval) & (pfof > 0)
+        msum_t = _block(tname, sel, with_temp_sfr=(tname == "gas"),
+                        with_age=(tname == "star"))
+        if tname == "star" and zmet is not None:
+            out["Zmet_star"] = seg.segment_sum(
+                jnp.where(sel, zmet * mass, 0.0), pfof, ng1) / \
+                jnp.maximum(msum_t, 1e-30)
+        if tname == "gas" and sfr is not None and full:
+            # star-forming / non-star-forming gas split (reference
+            # gas_sf/gas_nsf blocks, allvars.h:1385-1460)
+            _block("gas_sf", sel & (sfr > 0), with_temp_sfr=True)
+            _block("gas_nsf", sel & (sfr <= 0), with_temp_sfr=True)
         if tname == "bh":
             out["M_bh_mostmassive"] = seg.segment_max(
                 jnp.where(sel, mass, 0.0), pfof, ng1)
+            if bhmdot is not None:
+                out["acc_bh"] = seg.segment_sum(
+                    jnp.where(sel, bhmdot, 0.0), pfof, ng1)
+                # accretion rate of the most massive BH in the group
+                ismax = sel & (mass >= out["M_bh_mostmassive"][pfof]) & \
+                    (out["M_bh_mostmassive"][pfof] > 0)
+                out["acc_bh_mostmassive"] = seg.segment_max(
+                    jnp.where(ismax, bhmdot, 0.0), pfof, ng1)
+    # zoom low-res "interloper" block (reference n_interloper fields)
+    if full:
+        sel_lr = ((ptype == LOWRESTYPES[0]) | (ptype == LOWRESTYPES[1])) & \
+            (pfof > 0)
+        out["n_interloper"] = seg.segment_sum(sel_lr.astype(jnp.int32),
+                                              pfof, ng1)
+        out["M_interloper"] = seg.segment_sum(
+            jnp.where(sel_lr, mass, 0.0), pfof, ng1)
+        for sname, rad in scopes:
+            out[f"M_{sname}_interloper"] = seg.segment_sum(
+                jnp.where(sel_lr & (r2 < rad[pfof] ** 2), mass, 0.0),
+                pfof, ng1)
     for k, v in out.items():
         out[k] = v.at[0].set(jnp.zeros_like(v[0]))
     return out
