@@ -193,3 +193,117 @@ def test_separate_output_files(snapshot, tmp_path):
             assert (np.asarray(f["Structuretype"]) > 10).all()
     with h5py.File(out + ".subproperties") as f:
         assert int(f["Num_of_groups"][()]) == nf + ns
+
+
+def test_zoom_multires_input(tmp_path):
+    """Zoom (HIGHRES) handling: low-res heavy DM marks a multi-resolution
+    run — the linking-length scale comes from the high-res interparticle
+    spacing and heavy particles count as interlopers (reference
+    gadgetio.cxx:1370-1412, substructureproperties.cxx:931)."""
+    import math
+
+    from velociraptor_stf_tpu import cli as cli_mod
+    from velociraptor_stf_tpu.io import gadget as G_io
+
+    rng = np.random.default_rng(19)
+    boxsize = 10.0
+    Gconst = 43.0211349
+    # high-res halo at centre
+    n = 5000
+    Rh = 0.25
+    r = Rh * rng.random(n) ** (1 / 3)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    sig = math.sqrt(Gconst * n / Rh) * 0.25
+    pos_h = np.array([5.0, 5, 5]) + d * r[:, None]
+    vel_h = rng.normal(0, sig, (n, 3))
+    # low-res background (8x heavier, type 2) + a few inside the halo
+    nlr = 2000
+    pos_l = rng.random((nlr, 3)) * boxsize
+    pos_l[:50] = np.array([5.0, 5, 5]) + \
+        Rh * rng.random((50, 3)) * 0.5
+    vel_l = rng.normal(0, sig, (nlr, 3))
+    pos = np.concatenate([pos_h, pos_l]).astype(np.float32)
+    vel = np.concatenate([vel_h, vel_l]).astype(np.float32)
+    mass = np.concatenate([np.ones(n), np.full(nlr, 8.0)]).astype(np.float32)
+    ptype = np.concatenate([np.ones(n, np.int8), np.full(nlr, 2, np.int8)])
+    pids = np.arange(1, len(pos) + 1)
+    fn = str(tmp_path / "zoomsnap")
+    G_io.write_gadget(fn, pos, vel, pids, ptype, mass, boxsize=boxsize)
+
+    opt = C.Options()
+    opt.fname = fn
+    opt.inputtype = 1
+    opt.outname = str(tmp_path / "zoomout")
+    opt.ellphys = 0.2
+    opt.fofbgtype = C.FOF3D
+    opt.MinSize = 32
+    opt.uinfo.unbindflag = 1
+    opt.G = Gconst
+    opt.iSubSearch = 0
+    opt.iBaryonSearch = 1
+    opt.partsearchtype = C.PSTALL
+    opt.icosmologicalin = 1
+    C.config_check(opt)
+    rpos, rvel, rpids, rptype, rmass, rbox, extras = \
+        cli_mod.read_snapshot(opt)
+    # zoom detected: interloper threshold set, ellxscale from the high-res
+    # particle mass (total DM mass / m_highres)^(1/3) spacing
+    assert opt.zoomlowmassdm > 1.0
+    assert opt.zoomlowmassdm < 8.0
+    neff = (n + 8.0 * nlr) ** (1 / 3)
+    assert abs(opt.ellxscale - boxsize / neff) < 1e-4
+    from velociraptor_stf_tpu.models.pipeline import find_structures
+    res = find_structures(opt, rpos, rvel, rmass, boxsize=rbox,
+                          ptype=rptype, extras=extras)
+    assert res.ngroups >= 1
+    assert "n_interloper" in res.props
+    # the low-res particles planted inside the halo are counted
+    assert res.props["n_interloper"][1] > 0
+
+
+def test_library_api_particleset():
+    """Library API accepts a ParticleSet (the in-memory container replacing
+    NBodylib's Particle array, SURVEY §2.9) and runs the multi-type path."""
+    import math
+
+    from velociraptor_stf_tpu.api import VelociraptorSession, SimInfo
+    from velociraptor_stf_tpu.particles import ParticleSet
+
+    rng = np.random.default_rng(29)
+    boxsize = 10.0
+    Gc = 43.0211349
+    n = 4000
+    Rh = 0.25
+    r = Rh * rng.random(n) ** (1 / 3)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    sig = math.sqrt(Gc * n / Rh) * 0.25
+    pos = np.concatenate([np.array([5.0, 5, 5]) + d * r[:, None],
+                          rng.random((8000, 3)) * boxsize]).astype(np.float32)
+    vel = np.concatenate([rng.normal(0, sig, (n, 3)),
+                          rng.normal(0, 500.0, (8000, 3))]).astype(np.float32)
+    ptype = np.ones(len(pos), np.int8)
+    ptype[:n // 4] = 0  # some gas in the halo
+    u = np.where(ptype == 0, 60.0, 0.0).astype(np.float32)
+    ps = ParticleSet.from_numpy(pos, vel, np.ones(len(pos), np.float32),
+                                pid=np.arange(1, len(pos) + 1), ptype=ptype)
+    ps = ps.replace(u=ps.pos[:, 0] * 0 + u)
+
+    s = VelociraptorSession()
+    s.opt.ellphys = 0.2
+    s.opt.fofbgtype = 5  # FOF3D
+    s.opt.MinSize = 32
+    s.opt.uinfo.unbindflag = 1
+    s.opt.G = Gc
+    s.opt.iSubSearch = 0
+    s.opt.iBaryonSearch = 1
+    s.opt.partsearchtype = 0  # PSTALL
+    out = s.invoke(ps, sim=SimInfo(
+        period=boxsize, interparticlespacing=boxsize / len(pos) ** (1 / 3),
+        icosmologicalsim=0))
+    assert out["ngroups"] >= 1
+    assert (out["group_id"] > 0).sum() > 0.5 * n
+    assert "n_gas" in out["properties"]
+    assert out["properties"]["n_gas"][1] > 0
+    assert out["properties"]["Temp_mean_gas"][1] > 0

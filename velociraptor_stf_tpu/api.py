@@ -82,22 +82,41 @@ class VelociraptorSession:
         o.icosmologicalin = sim.icosmologicalsim
         units.calc_cosmo_params(o, o.a)
 
-    def invoke(self, pos, vel, mass, pids=None, ptype=None,
+    def invoke(self, pos, vel=None, mass=None, pids=None, ptype=None,
                cosmo: Optional[CosmoInfo] = None,
                sim: Optional[SimInfo] = None,
                snapnum: int = 0,
                outname: Optional[str] = None,
+               extras: Optional[Dict] = None,
                write_output: bool = False) -> Dict[str, np.ndarray]:
         """Run the finder on in-memory particles; returns a dict with
         ``group_id`` in the caller's particle order (0 = unassigned) plus
         the property arrays — the reference returns groupinfo{index,
-        groupid}[] to SWIFT (swiftinterface.h:120)."""
+        groupid}[] to SWIFT (swiftinterface.h:120).
+
+        ``pos`` may be a :class:`~velociraptor_stf_tpu.particles.ParticleSet`
+        (the in-memory analog of the reference's swift_vel_part conversion,
+        swiftinterface.cxx:345-380) — its fields then supply vel/mass/pids/
+        ptype and the hydro extras.
+        """
+        from .particles import ParticleSet
+
+        if isinstance(pos, ParticleSet):
+            ps = pos
+            pos, vel, mass = ps.pos, ps.vel, ps.masses()
+            pids = ps.pid if pids is None else pids
+            ptype = ps.ptype if ptype is None else ptype
+            if extras is None:
+                extras = {k: getattr(ps, k) for k in
+                          ("u", "sfr", "zmet", "tage")
+                          if getattr(ps, k) is not None}
         if cosmo is not None or sim is not None:
             self.set_simulation_state(cosmo or CosmoInfo(), sim or SimInfo())
         opt = self.opt
         opt.snapshotvalue = snapnum
         boxsize = opt.p if opt.p > 0 else None
-        res = pipeline.find_structures(opt, pos, vel, mass, boxsize=boxsize)
+        res = pipeline.find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                                       ptype=ptype, extras=extras)
         out = {
             "group_id": res.pfof,
             "ngroups": res.ngroups,

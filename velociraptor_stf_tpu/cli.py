@@ -138,6 +138,30 @@ def read_snapshot(opt: C.Options):
     if opt.icosmologicalin and boxsize > 0:
         opt.ellxscale = units.interparticle_spacing(boxsize, ntot)
         opt.p = boxsize
+    # zoom (HIGHRES) multi-resolution input: low-res DM types (2/3) or a DM
+    # mass spread marks a zoom run — the linking-length scale then comes
+    # from the HIGH-RES interparticle spacing (Effective_resolution, or the
+    # spacing implied by the lightest DM particle), and heavier DM counts
+    # as interloper (reference gadgetio.cxx:1370-1412, zoomlowmassdm)
+    if ptype is not None:
+        pt = np.asarray(ptype)
+        dm = pt == 1
+        lowres = (pt == 2) | (pt == 3)
+        if dm.any():
+            mp_dm = float(np.min(mass[dm]))
+            multires = bool(lowres.any()) or \
+                float(np.max(mass[dm])) > mp_dm * (1 + 1e-4)
+            if multires:
+                opt.zoomlowmassdm = mp_dm * (1 + 1e-4)
+                if opt.icosmologicalin and boxsize > 0:
+                    if opt.Neff > 0:
+                        opt.ellxscale = boxsize / opt.Neff
+                    else:
+                        # total DM mass / high-res particle mass = effective
+                        # uniform-resolution particle count
+                        mtot_dm = float(mass[dm | lowres].sum())
+                        neff = max(mtot_dm / mp_dm, 1.0) ** (1.0 / 3.0)
+                        opt.ellxscale = boxsize / neff
     return (pos, vel, pids, ptype, mass,
             boxsize if boxsize > 0 else None, extras)
 

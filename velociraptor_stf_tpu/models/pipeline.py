@@ -255,7 +255,8 @@ def find_structures(opt: C.Options, pos, vel, mass,
             rvmax=pr.get("gRmaxvel"), r200c=pr.get("gR200c"),
             r200m=pr.get("gR200m"), r500c=pr.get("gR500c"),
             rBN98=pr.get("gRBN98"),
-            r30=30.0 * to_int, r50=50.0 * to_int))
+            r30=30.0 * to_int, r50=50.0 * to_int,
+            zoomlowmassdm=float(opt.zoomlowmassdm)))
 
     # extended properties: apertures / profiles / RVmax / energies
     if opt.iaperturecalc or opt.iprofilecalc:

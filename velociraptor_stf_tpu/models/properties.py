@@ -400,7 +400,7 @@ LOWRESTYPES = (2, 3)  # zoom low-res DM ("interloper", reference HIGHRES)
 
 
 @partial(jax.jit, static_argnames=("num_groups", "types", "full",
-                                   "r30", "r50"))
+                                   "r30", "r50", "zoomlowmassdm"))
 def compute_pertype_properties(
     pos, vel, mass, ptype, pfof, num_groups: int, *,
     refpos, refvel,
@@ -410,6 +410,7 @@ def compute_pertype_properties(
     u=None, sfr=None, zmet=None, tage=None, bhmdot=None,
     rvmax=None, r200c=None, r200m=None, r500c=None, rBN98=None,
     r30: float = 0.0, r50: float = 0.0,
+    zoomlowmassdm: float = 0.0,
     full: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Per-particle-type bulk properties (gas/star/BH sub-properties).
@@ -569,10 +570,15 @@ def compute_pertype_properties(
                     (out["M_bh_mostmassive"][pfof] > 0)
                 out["acc_bh_mostmassive"] = seg.segment_max(
                     jnp.where(ismax, bhmdot, 0.0), pfof, ng1)
-    # zoom low-res "interloper" block (reference n_interloper fields)
+    # zoom low-res "interloper" block (reference n_interloper fields;
+    # heavier-than-zoomlowmassdm DM also counts,
+    # substructureproperties.cxx:931)
     if full:
         sel_lr = ((ptype == LOWRESTYPES[0]) | (ptype == LOWRESTYPES[1])) & \
             (pfof > 0)
+        if zoomlowmassdm > 0.0:
+            sel_lr = sel_lr | ((ptype == DARKTYPE) &
+                               (mass > zoomlowmassdm) & (pfof > 0))
         out["n_interloper"] = seg.segment_sum(sel_lr.astype(jnp.int32),
                                               pfof, ng1)
         out["M_interloper"] = seg.segment_sum(

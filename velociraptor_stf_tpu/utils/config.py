@@ -336,6 +336,9 @@ class Options:
     num3dfof: int = 0
     iLargerCellSearch: int = 0
     Neff: int = -1
+    # zoom (HIGHRES): DM heavier than this is low-res interloper
+    # (reference allvars.h:600, set at read time from the lightest DM mass)
+    zoomlowmassdm: float = 0.0
     iScaleLengths: int = 0
 
     # halo core search
