@@ -140,3 +140,40 @@ def test_fof_6d_criterion():
     assert len(np.unique(pfof[:n])) == 1
     assert len(np.unique(pfof[n:])) == 1
     assert pfof[0] != pfof[n]
+
+
+def test_slab_edge_builder_matches_dense(monkeypatch):
+    """The slab-chunked edge builder (grids beyond packed int32 / dense
+    table budget, the 256^3+ path) produces identical FOF groups to the
+    dense half-stencil path."""
+    from velociraptor_stf_tpu.ops import fof as F
+
+    rng = np.random.default_rng(31)
+    n = 20000
+    boxsize = 20.0
+    # clustered mock with periodic wrap straddlers
+    pos = (rng.random((n, 3)) * boxsize).astype(np.float32)
+    pos[-3000:] = (np.asarray((0.5, 10.0, 10.0)) +
+                   rng.normal(0, 0.3, (3000, 3))) % boxsize
+    pos[-5000:-3000] = (np.asarray((19.8, 2.0, 19.9)) +
+                        rng.normal(0, 0.3, (2000, 3))) % boxsize
+    pos = pos.astype(np.float32)
+    b = 0.2 * boxsize / len(pos) ** (1 / 3)
+
+    pf_dense, ng_dense = F.fof3d(pos, b, boxsize=boxsize, min_size=20)
+    ng_dense = int(ng_dense)
+
+    # force the slab path (small dense-table budget -> a handful of
+    # x-slabs) with small expansion chunks
+    monkeypatch.setattr(F, "_DENSE_TABLE_MAX_CELLS", 1 << 20)
+    monkeypatch.setattr(F, "_SLAB_T_BUDGET", 1 << 18)
+    edges, binning, grid = F.build_edges(pos, b, boxsize=boxsize)
+    assert binning is None          # slab path marker
+    assert edges.undirected
+    labels = F.fof_labels_from_edges(edges.erow, edges.ecol, len(pos),
+                                     undirected=True)
+    pf_s, ng_s = F.renumber_by_size(labels, 20, orig_index=edges.order)
+    pfof_slab = np.zeros(len(pos), np.int32)
+    pfof_slab[np.asarray(edges.order)] = np.asarray(pf_s)
+    assert int(ng_s) == ng_dense
+    assert np.array_equal(pfof_slab, np.asarray(pf_dense))

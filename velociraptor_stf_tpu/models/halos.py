@@ -80,7 +80,7 @@ def velocity_scale_per_group(vel, mass, pfof, num_segments: int,
     """(num_segments,) per-group mass-weighted velocity dispersion^2 x fac^2
     (FOF6DADAPTIVE, reference search.cxx:472-499)."""
     vmean = segments.segment_mean(vel, mass, pfof, num_segments)
-    dv2 = jnp.sum((vel - vmean[pfof]) ** 2, axis=-1)
+    dv2 = jnp.sum((vel - segments.gather_rows(vmean, pfof)) ** 2, axis=-1)
     vscale2 = segments.segment_mean(dv2, mass, pfof, num_segments)
     return vscale2 * ellhalo6dvfac ** 2
 

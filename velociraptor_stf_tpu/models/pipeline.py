@@ -107,12 +107,19 @@ def find_structures(opt: C.Options, pos, vel, mass,
     pfof, ng = fres.pfof, fres.ngroups
     jax.block_until_ready(pfof)
     timings["fof"] = time.time() - t0
+    # free the field-search device intermediates before the memory-heavy
+    # stages (at 256^3 every extra live (N,)/(N,3) buffer counts toward
+    # the per-program HBM budget); only host copies are needed downstream
+    pfof3d_np = None if fres.pfof3d is None else \
+        np.asarray(jax.device_get(fres.pfof3d))
+    num3dfof_host, parent3d_host = fres.num3dfof, fres.parent3d
+    fres = None
 
     # iKeepFOF: split off the 3DFOF envelopes — the halo pipeline
     # (unbinding / substructure) runs on the 6DFOF structures only and the
     # envelopes are re-attached before properties (reference
     # search.cxx:582-655, envelopes are never unbound)
-    keepfof = fres.num3dfof
+    keepfof = num3dfof_host
     env_pfof = None
     if keepfof > 0:
         p_np = np.asarray(jax.device_get(pfof))
@@ -200,10 +207,10 @@ def find_structures(opt: C.Options, pos, vel, mass,
         new_parent = np.zeros(ng_final + 1, np.int64)
         new_host = np.full(ng_final + 1, -1, np.int64)
         new_level = np.zeros(ng_final + 1, np.int32)
-        for old6 in range(1, len(fres.parent3d) - keepfof):
+        for old6 in range(1, len(parent3d_host) - keepfof):
             newid = gm[old6] if old6 < len(gm) else 0
             if 0 < newid <= ng:
-                env = fres.parent3d[keepfof + old6]
+                env = parent3d_host[keepfof + old6]
                 new_parent[keepfof + newid] = env
                 new_host[keepfof + newid] = env if env > 0 else -1
                 new_level[keepfof + newid] = 1
@@ -299,7 +306,7 @@ def find_structures(opt: C.Options, pos, vel, mass,
     return CatalogResult(
         pfof=np.asarray(pfof), ngroups=ng, props=props_np,
         W=None if W is None else np.asarray(W),
-        pfof3d=None if fres.pfof3d is None else np.asarray(fres.pfof3d),
+        pfof3d=pfof3d_np,
         timings=timings, hostid=hostid,
         hierarchy_level=level, parent=parent,
         so_offsets=so_offsets, so_indices=so_indices, stype=stype)

@@ -40,10 +40,23 @@ def _first_crossing(cond: jnp.ndarray, g_s: jnp.ndarray, ng1: int,
     return seg.segment_min(idx, g_s, ng1)
 
 
+def compute_properties(pos, vel, mass, pfof, num_groups, **kw):
+    """Two-dispatch wrapper: geometry (CM/sort/SO/Vmax/half-mass) then
+    kinematics (dispersion/J/Krot/shape/cNFW).  One fused program at
+    256^3 scale holds both phases' transients live simultaneously and
+    exceeds HBM; splitting halves the peak."""
+    props, ref, vref, posu, gsize = _props_geom(pos, vel, mass, pfof,
+                                                num_groups, **kw)
+    calc_shape = kw.get("calc_shape", True)
+    G = kw.get("G", 43.0211349)
+    return _props_kin(posu, vel, mass, pfof, num_groups,
+                      props, ref, vref, gsize, G=G, calc_shape=calc_shape)
+
+
 @partial(jax.jit, static_argnames=(
     "num_groups", "so_thresholds", "iIterateCM", "boxsize", "min_size",
     "so_minhalofac", "cmfrac", "cmadjustfac", "calc_shape"))
-def compute_properties(
+def _props_geom(
     pos: jnp.ndarray,
     vel: jnp.ndarray,
     mass: jnp.ndarray,
@@ -87,7 +100,7 @@ def compute_properties(
     gcmvel = seg.segment_mean(vel, m, pfof, ng1)
 
     # --- iterative shrinking-sphere CM (reference GetCM:60-116) -----------
-    r2_all = jnp.sum((pos - gcm[pfof]) ** 2, axis=-1)
+    r2_all = jnp.sum((pos - seg.gather_rows(gcm, pfof)) ** 2, axis=-1)
     gsize2 = seg.segment_max(jnp.where(pfof > 0, r2_all, 0.0), pfof, ng1)
     if iIterateCM:
         fac2 = cmadjustfac ** 2
@@ -99,7 +112,7 @@ def compute_properties(
         def body_fn(state):
             cmold, ri2, rcmv2, active = state
             ri2 = ri2 * fac2
-            d2 = jnp.sum((pos - cmold[pfof]) ** 2, axis=-1)
+            d2 = jnp.sum((pos - seg.gather_rows(cmold, pfof)) ** 2, axis=-1)
             inside = (d2 <= ri2[pfof]) & (pfof > 0) & active[pfof]
             w = jnp.where(inside, m, 0.0)
             enc = seg.segment_sum(w, pfof, ng1)
@@ -116,7 +129,7 @@ def compute_properties(
         gcm, _, rcmv2, _ = jax.lax.while_loop(
             cond_fn, body_fn, (gcm, gsize2, gsize2, active0))
         # cm velocity from particles inside the final sphere
-        d2 = jnp.sum((pos - gcm[pfof]) ** 2, axis=-1)
+        d2 = jnp.sum((pos - seg.gather_rows(gcm, pfof)) ** 2, axis=-1)
         inside = (d2 <= rcmv2[pfof]) & (pfof > 0)
         w = jnp.where(inside, m, 0.0)
         enc = jnp.maximum(seg.segment_sum(w, pfof, ng1), 1e-30)
@@ -128,7 +141,7 @@ def compute_properties(
     vref = refvel if refvel is not None else gcmvel
 
     # --- radius sort + segmented cumulative mass --------------------------
-    dx = pos - ref[pfof]
+    dx = pos - seg.gather_rows(ref, pfof)
     r2 = jnp.sum(dx * dx, axis=-1)
     perm = jnp.lexsort((r2, pfof)).astype(jnp.int32)
     g_s = pfof[perm]
@@ -216,12 +229,31 @@ def compute_properties(
     k2c = jnp.minimum(jnp.maximum(k2h - 1, 0), n - 1)
     props["gMassTwiceRhalfmass"] = jnp.where(k2h < n, Mcum[k2c], gmass)
 
-    # --- kinematics (reference :370-430) ----------------------------------
-    dv = vel - vref[pfof]
+    props["num"] = num
+    props["gmass"] = gmass
+    props["gcm"] = gcm
+    props["gcmvel"] = gcmvel
+    return props, ref, vref, pos, gsize
+
+
+@partial(jax.jit, static_argnames=("num_groups", "G", "calc_shape"))
+def _props_kin(pos, vel, mass, pfof, num_groups: int, props, ref, vref,
+               gsize, *, G: float, calc_shape: bool = True):
+    """Kinematics / shape / concentration phase on unwrapped positions."""
+    n = pos.shape[0]
+    ng1 = num_groups + 1
+    m = mass if mass.ndim == 1 else jnp.full((n,), mass)
+    props = dict(props)
+    num = props["num"]
+    gmass = props["gmass"]
+    gcm = props["gcm"]
+    gcmvel = props["gcmvel"]
+    dx = pos - seg.gather_rows(ref, pfof)
+    r2 = jnp.sum(dx * dx, axis=-1)
+    dv = vel - seg.gather_rows(vref, pfof)
     w = m
-    vouter = dv[:, :, None] * dv[:, None, :] * w[:, None, None]
-    gveldisp = seg.segment_sum(
-        jnp.where((pfof > 0)[:, None, None], vouter, 0.0), pfof, ng1)
+    gveldisp = seg.segment_outer(dv, dv, jnp.where(pfof > 0, w, 0.0),
+                                 pfof, ng1)
     gveldisp = gveldisp / jnp.maximum(gmass, 1e-30)[:, None, None]
     props["gveldisp"] = gveldisp
     props["gsigma_v"] = jnp.power(
@@ -235,9 +267,9 @@ def compute_properties(
     # rotational support: Krot = sum 0.5 m (j_z/R)^2 about gJ axis (ref :430)
     jhat = props["gJ"] / jnp.maximum(
         jnp.linalg.norm(props["gJ"], axis=-1, keepdims=True), 1e-30)
-    zdist = jnp.sum(dx * jhat[pfof], axis=-1)
+    zdist = jnp.sum(dx * seg.gather_rows(jhat, pfof), axis=-1)
     Rdist2 = jnp.maximum(r2 - zdist ** 2, 1e-30)
-    jz = jnp.sum(jnp.cross(dx, dv) * jhat[pfof], axis=-1)
+    jz = jnp.sum(jnp.cross(dx, dv) * seg.gather_rows(jhat, pfof), axis=-1)
     krot_i = 0.5 * w * jz ** 2 / Rdist2
     props["Krot"] = seg.segment_sum(
         jnp.where(pfof > 0, krot_i, 0.0), pfof, ng1) / \
@@ -245,10 +277,9 @@ def compute_properties(
 
     # --- shape (one-shot mass distribution tensor eigenvalues) ------------
     if calc_shape:
-        iten = seg.segment_sum(
-            jnp.where((pfof > 0)[:, None, None],
-                      dx[:, :, None] * dx[:, None, :] * w[:, None, None], 0.0),
-            pfof, ng1) / jnp.maximum(gmass, 1e-30)[:, None, None]
+        iten = seg.segment_outer(dx, dx, jnp.where(pfof > 0, w, 0.0),
+                                 pfof, ng1) / \
+            jnp.maximum(gmass, 1e-30)[:, None, None]
         evals, evecs = jnp.linalg.eigh(iten)  # ascending
         lam_a = jnp.maximum(evals[:, 2], 1e-30)
         props["gq"] = jnp.sqrt(evals[:, 1] / lam_a)
@@ -277,10 +308,6 @@ def compute_properties(
                               jnp.where(use_newton, c, ratio_fallback))
     props["VmaxVvir2"] = VmaxVvir2
 
-    props["num"] = num
-    props["gmass"] = gmass
-    props["gcm"] = gcm
-    props["gcmvel"] = gcmvel
     props["gsize"] = gsize
     # zero out the untagged row
     for k_, v in props.items():
@@ -313,8 +340,8 @@ def compute_aperture_properties(
     n = pos.shape[0]
     ng1 = num_groups + 1
     out: Dict[str, jnp.ndarray] = {}
-    dx = pos - refpos[pfof]
-    dv = vel - refvel[pfof]
+    dx = pos - seg.gather_rows(refpos, pfof)
+    dv = vel - seg.gather_rows(refvel, pfof)
     r2 = jnp.sum(dx * dx, -1)
     ing = pfof > 0
 
@@ -324,7 +351,7 @@ def compute_aperture_properties(
         m_ap = seg.segment_sum(w, pfof, ng1)
         n_ap = seg.segment_sum(sel.astype(jnp.int32), pfof, ng1)
         vm = seg.segment_mean(vel, w, pfof, ng1)
-        dv2 = jnp.sum((vel - vm[pfof]) ** 2, -1)
+        dv2 = jnp.sum((vel - seg.gather_rows(vm, pfof)) ** 2, -1)
         sig = jnp.sqrt(jnp.maximum(
             seg.segment_sum(jnp.where(sel, dv2 * mass, 0.0), pfof, ng1) /
             jnp.maximum(m_ap, 1e-30) / 3.0, 0.0))
@@ -368,17 +395,15 @@ def compute_rvmax_properties(pos, vel, mass, pfof, num_groups: int, *,
     momentum, shape within the radius of maximum circular velocity."""
     n = pos.shape[0]
     ng1 = num_groups + 1
-    dx = pos - refpos[pfof]
-    dv = vel - refvel[pfof]
+    dx = pos - seg.gather_rows(refpos, pfof)
+    dv = vel - seg.gather_rows(refvel, pfof)
     r2 = jnp.sum(dx * dx, -1)
     sel = (pfof > 0) & (r2 < rmax[pfof] ** 2)
     w = jnp.where(sel, mass, 0.0)
     msum = jnp.maximum(seg.segment_sum(w, pfof, ng1), 1e-30)
-    vouter = dv[:, :, None] * dv[:, None, :] * w[:, None, None]
-    vd = seg.segment_sum(vouter, pfof, ng1) / msum[:, None, None]
+    vd = seg.segment_outer(dv, dv, w, pfof, ng1) / msum[:, None, None]
     J = seg.segment_sum(jnp.cross(dx, dv) * w[:, None], pfof, ng1)
-    iten = seg.segment_sum(dx[:, :, None] * dx[:, None, :] *
-                           w[:, None, None], pfof, ng1) / msum[:, None, None]
+    iten = seg.segment_outer(dx, dx, w, pfof, ng1) / msum[:, None, None]
     evals, evecs = jnp.linalg.eigh(iten)
     lam = jnp.maximum(evals[:, 2], 1e-30)
     return {
@@ -430,8 +455,8 @@ def compute_pertype_properties(
     """
     n = pos.shape[0]
     ng1 = num_groups + 1
-    dx = pos - refpos[pfof]
-    dv = vel - refvel[pfof]
+    dx = pos - seg.gather_rows(refpos, pfof)
+    dv = vel - seg.gather_rows(refvel, pfof)
     r2 = jnp.sum(dx * dx, -1)
     perm = jnp.lexsort((r2, pfof)).astype(jnp.int32)
     g_s = pfof[perm]
@@ -458,7 +483,7 @@ def compute_pertype_properties(
         cmv = seg.segment_sum(vel * w[:, None], pfof, ng1) / msafe[:, None]
         out[f"cm_{tname}"] = cm
         out[f"cmvel_{tname}"] = cmv
-        dv2 = jnp.sum((vel - cmv[pfof]) ** 2, -1)
+        dv2 = jnp.sum((vel - seg.gather_rows(cmv, pfof)) ** 2, -1)
         out[f"sigV_{tname}"] = jnp.sqrt(
             seg.segment_sum(jnp.where(sel, dv2 * mass, 0.0), pfof, ng1) /
             msafe / 3.0)
@@ -481,16 +506,12 @@ def compute_pertype_properties(
             out[f"MassTwiceRhalfmass_{tname}"] = jnp.where(
                 k2h < n, Mcum_t[k2c], msum)
             # velocity dispersion tensor (3x3) about the type CM velocity
-            dvt = vel - cmv[pfof]
-            vv = dvt[:, :, None] * dvt[:, None, :]
-            out[f"veldisp_{tname}"] = seg.segment_sum(
-                vv.reshape(n, 9) * w[:, None], pfof, ng1).reshape(ng1, 3, 3) \
-                / msafe[:, None, None]
+            dvt = vel - seg.gather_rows(cmv, pfof)
+            out[f"veldisp_{tname}"] = seg.segment_outer(
+                dvt, dvt, w, pfof, ng1) / msafe[:, None, None]
             # shape from the mass-weighted inertia tensor about the halo CM
-            xx = dx[:, :, None] * dx[:, None, :]
-            itens = seg.segment_sum(
-                xx.reshape(n, 9) * w[:, None], pfof, ng1).reshape(ng1, 3, 3) \
-                / msafe[:, None, None]
+            itens = seg.segment_outer(dx, dx, w, pfof, ng1) / \
+                msafe[:, None, None]
             evals, evecs = jnp.linalg.eigh(itens)
             lam_a = jnp.maximum(evals[:, 2], 1e-30)
             out[f"q_{tname}"] = jnp.sqrt(jnp.maximum(evals[:, 1], 0.0)
@@ -501,9 +522,9 @@ def compute_pertype_properties(
             # Krot: rotational kinetic-energy fraction about the type L axis
             jhat = L / jnp.maximum(
                 jnp.linalg.norm(L, axis=-1, keepdims=True), 1e-30)
-            jz = jnp.sum(jnp.cross(dx, dvt) * jhat[pfof], -1)
+            jz = jnp.sum(jnp.cross(dx, dvt) * seg.gather_rows(jhat, pfof), -1)
             Rperp2 = jnp.maximum(
-                r2 - jnp.sum(dx * jhat[pfof], -1) ** 2, 1e-30)
+                r2 - jnp.sum(dx * seg.gather_rows(jhat, pfof), -1) ** 2, 1e-30)
             ek_rot = seg.segment_sum(
                 jnp.where(sel, 0.5 * mass * jz * jz / Rperp2, 0.0),
                 pfof, ng1)
@@ -598,7 +619,7 @@ def compute_energies(vel, mass, pfof, W, num_groups: int, gcmvel,
     """Efrac (bound mass fraction) and Epot/Ekin totals per group
     (reference GetBindingEnergy, substructureproperties.cxx:3884)."""
     ng1 = num_groups + 1
-    dv = vel - gcmvel[pfof]
+    dv = vel - seg.gather_rows(gcmvel, pfof)
     T = 0.5 * mass * jnp.sum(dv * dv, -1)
     E = Eratio * T + W
     ing = pfof > 0

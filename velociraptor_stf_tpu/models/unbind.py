@@ -134,7 +134,7 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
     def body_fn(state):
         bound, _, it = state
         vref = ref_vel(bound)
-        dv = vel - vref[pfof]
+        dv = vel - seg.gather_rows(vref, pfof)
         T = 0.5 * mass * jnp.sum(dv * dv, axis=-1)
         E = Eratio * T + W
         unbound = (E > 0) & bound
@@ -316,7 +316,7 @@ def sort_by_binding_energy(vel, mass, pfof, W, num_groups: int,
     bound particle and of the potential minimum."""
     n = vel.shape[0]
     ng1 = num_groups + 1
-    dv = vel - gcmvel[pfof]
+    dv = vel - seg.gather_rows(gcmvel, pfof)
     E = 0.5 * mass * jnp.sum(dv * dv, -1) + W
     key = jnp.where(pfof > 0, E, jnp.inf)
     perm = jnp.lexsort((key, pfof)).astype(jnp.int32)

@@ -96,8 +96,9 @@ def build_grid(
     nc = np.maximum(1, np.floor(extent / max(min_width, 1e-30)).astype(np.int64))
     if target_cells_per_dim is not None:
         nc = np.minimum(nc, target_cells_per_dim)
-    # cap total cells to fit packed int32 (and any user cap)
-    cap = min(max_total_cells, 2**31 - 2)
+    # default cap keeps packed int32 ids valid; callers that use the
+    # slab-chunked edge builder may pass a larger cap (it never packs ids)
+    cap = min(max_total_cells, 2**62)
     while int(np.prod(nc)) > cap:
         nc = np.maximum(1, nc // 2)
     width = extent / nc
@@ -124,8 +125,15 @@ def cell_coords(pos: jnp.ndarray, grid: CellGrid) -> jnp.ndarray:
 
 
 def pack_cells(coords: jnp.ndarray, grid: CellGrid) -> jnp.ndarray:
-    """Pack (.., 3) integer cell coords into int32 linear ids."""
+    """Pack (.., 3) integer cell coords into int32 linear ids.
+
+    Grids beyond int32 range must use the slab-chunked edge builder
+    (ops/fof.py), which keys on (x-plane, within-plane) int32 pairs instead
+    of one packed id (JAX int64 is unavailable without global x64 mode).
+    """
     _, ny, nz = grid.ncells
+    assert grid.total_cells <= 2**31 - 2, \
+        "packed int32 cell ids overflow; use the slab-chunked path"
     return (coords[..., 0] * ny + coords[..., 1]) * nz + coords[..., 2]
 
 

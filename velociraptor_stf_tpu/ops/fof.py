@@ -337,6 +337,298 @@ def _edges_fused(pos_s, fields_s, pst, pcn, grid: CellGrid,
     return compact_edges(row, col, mask, t_pad)
 
 
+# ---------------------------------------------------------------------------
+# Slab-chunked half-stencil edge build for grids beyond int32 packed ids
+# (cell width stays = linking length; a coarser grid would inflate the
+# candidate count 8x).  Particles are keyed by (x-plane, within-plane id)
+# int32 pairs; x-slabs small enough for a local dense prefix table are
+# processed one dispatch-bounded chunk at a time.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("grid",))
+def _xplane_binning(pos, grid: CellGrid):
+    """Sort particles by (x-plane, y*nz+z); returns (order, x_s, lo_s)."""
+    from .cells import cell_coords
+    coords = cell_coords(pos, grid)
+    _, ny, nz = grid.ncells
+    x = coords[..., 0]
+    lo = coords[..., 1] * nz + coords[..., 2]
+    order = jnp.lexsort((lo, x)).astype(jnp.int32)
+    return order, x[order], lo[order]
+
+
+@partial(jax.jit, static_argnames=("grid", "x_wpl", "ext_cap", "rpad"))
+def _slab_windows(x_s, lo_s, p_lo, p_hi, p_ext, x0, grid: CellGrid,
+                  x_wpl: int, ext_cap: int, rpad: int):
+    """Half-stencil windows for one x-slab via a local dense prefix table.
+
+    Core particles: sorted range [p_lo, p_hi); candidates come from the
+    extended range [p_lo, p_ext) covering planes [x0, x0+x_wpl].  Window
+    starts are GLOBAL sorted indices.  The periodic x-wrap (x = nx-1 ->
+    x = 0) is handled by a separate wrap pass, not here.
+    Returns (pst, pcn, T) with shapes (rpad, 10).
+    """
+    n = x_s.shape[0]
+    nx, ny, nz = grid.ncells
+    plane = ny * nz
+    tbl = (x_wpl + 1) * plane
+    # local prefix table over the extended range
+    eids = p_lo + jnp.arange(ext_cap, dtype=jnp.int32)
+    evalid = eids < p_ext
+    eidc = jnp.minimum(eids, n - 1)
+    lcid = (x_s[eidc] - x0) * plane + lo_s[eidc]
+    lcid = jnp.where(evalid & (lcid >= 0) & (lcid < tbl), lcid, tbl)
+    hist = jnp.zeros(tbl + 2, jnp.int32).at[lcid + 1].add(1, mode="drop")
+    pstart = jnp.cumsum(hist[: tbl + 1])        # local ext-range offsets
+
+    rows = jnp.arange(rpad, dtype=jnp.int32)
+    rids = p_lo + rows
+    rvalid = rids < p_hi
+    ridc = jnp.minimum(rids, n - 1)
+    x = x_s[ridc]
+    lo = lo_s[ridc]
+    y = lo // nz
+    z = lo % nz
+    zero = jnp.zeros_like(x)
+
+    if grid.periodic and nz >= 3:
+        zlo = jnp.where(z == 0, 0, z - 1)
+        zhi = jnp.where(z == nz - 1, nz - 1, z + 1)
+        wrap_lo = z == 0
+        wrap_hi = z == nz - 1
+    else:
+        zlo = jnp.maximum(z - 1, 0)
+        zhi = jnp.minimum(z + 1, nz - 1)
+        wrap_lo = jnp.zeros_like(x, bool)
+        wrap_hi = jnp.zeros_like(x, bool)
+
+    psts, pcns, bsts, bcns = [], [], [], []
+    # own column forward window [i+1, end of z+1 cell]
+    base0 = (x - x0) * plane + y * nz
+    e0 = p_lo + pstart[jnp.clip(base0 + zhi + 1, 0, tbl)]
+    psts.append(rids + 1)
+    pcns.append(jnp.where(rvalid, jnp.maximum(e0 - (rids + 1), 0), 0))
+    sb0 = p_lo + pstart[jnp.clip(base0, 0, tbl)]
+    cb0 = pstart[jnp.clip(base0 + 1, 0, tbl)] - pstart[jnp.clip(base0, 0, tbl)]
+    bsts.append(sb0)
+    bcns.append(jnp.where(rvalid & wrap_hi, cb0, 0))
+
+    for dx, dy in _OFFSETS_XY_HALF:
+        xq = x + dx
+        if grid.periodic:
+            # xq == nx is the x-wrap (handled by the wrap pass) -> drop
+            ok = xq < nx
+            yq = jnp.mod(y + dy, ny)
+        else:
+            ok = (xq < nx)
+            yq = y + dy
+            ok = ok & (yq >= 0) & (yq < ny)
+            yq = jnp.clip(yq, 0, ny - 1)
+        ok = ok & rvalid
+        base = (xq - x0) * plane + yq * nz
+        s = pstart[jnp.clip(base + zlo, 0, tbl)]
+        e = pstart[jnp.clip(base + zhi + 1, 0, tbl)]
+        psts.append(p_lo + s)
+        pcns.append(jnp.where(ok, e - s, 0))
+        zb = jnp.where(wrap_lo, nz - 1, zero)
+        idb = base + zb
+        sb = pstart[jnp.clip(idb, 0, tbl)]
+        cb = pstart[jnp.clip(idb + 1, 0, tbl)] - sb
+        cb = jnp.where(ok & (wrap_lo | wrap_hi), cb, 0)
+        bsts.append(p_lo + sb)
+        bcns.append(cb)
+
+    pst = jnp.stack(psts + bsts, axis=1)
+    pcn = jnp.stack(pcns + bcns, axis=1)
+    return pst, pcn, jnp.sum(pcn.sum(axis=1))
+
+
+@partial(jax.jit, static_argnames=("grid", "wpad", "q_cap"))
+def _wrap_windows(x_s, lo_s, wstart, q1, grid: CellGrid, wpad: int,
+                  q_cap: int):
+    """Periodic x-wrap windows: particles in plane x = nx-1 against the
+    particles of plane x = 0 (sorted indices [0, q1)).  (wpad, 6) windows:
+    3 (dy) z-run a-windows + 3 z-wrap cells, global indices."""
+    n = x_s.shape[0]
+    nx, ny, nz = grid.ncells
+    plane = ny * nz
+    qids = jnp.arange(q_cap, dtype=jnp.int32)
+    qvalid = qids < q1
+    lq = jnp.where(qvalid, lo_s[jnp.minimum(qids, n - 1)], plane)
+    hist = jnp.zeros(plane + 2, jnp.int32).at[
+        jnp.clip(lq, 0, plane) + 1].add(qvalid.astype(jnp.int32),
+                                        mode="drop")
+    pstart = jnp.cumsum(hist[: plane + 1])
+
+    rows = jnp.arange(wpad, dtype=jnp.int32)
+    rids = wstart + rows
+    rvalid = rids < n
+    ridc = jnp.minimum(rids, n - 1)
+    lo = lo_s[ridc]
+    y = lo // nz
+    z = lo % nz
+    zero = jnp.zeros_like(y)
+    if nz >= 3:
+        zlo = jnp.where(z == 0, 0, z - 1)
+        zhi = jnp.where(z == nz - 1, nz - 1, z + 1)
+        wrap_lo = z == 0
+        wrap_hi = z == nz - 1
+    else:
+        zlo, zhi = zero, jnp.full_like(z, nz - 1)
+        wrap_lo = jnp.zeros_like(y, bool)
+        wrap_hi = jnp.zeros_like(y, bool)
+    psts, pcns, bsts, bcns = [], [], [], []
+    for dy in (-1, 0, 1):
+        yq = jnp.mod(y + dy, ny)
+        base = yq * nz
+        s = pstart[jnp.clip(base + zlo, 0, plane)]
+        e = pstart[jnp.clip(base + zhi + 1, 0, plane)]
+        psts.append(s)
+        pcns.append(jnp.where(rvalid, e - s, 0))
+        zb = jnp.where(wrap_lo, nz - 1, zero)
+        idb = base + zb
+        sb = pstart[jnp.clip(idb, 0, plane)]
+        cb = pstart[jnp.clip(idb + 1, 0, plane)] - sb
+        bsts.append(sb)
+        bcns.append(jnp.where(rvalid & (wrap_lo | wrap_hi), cb, 0))
+    pst = jnp.stack(psts + bsts, axis=1)
+    pcn = jnp.stack(pcns + bcns, axis=1)
+    return pst, pcn, jnp.sum(pcn.sum(axis=1))
+
+
+@partial(jax.jit, static_argnames=("grid", "predicate", "t_pad", "rchunk"))
+def _edges_fused_offset(pos_s, fields_s, pst, pcn, r0, r1, row_offset,
+                        grid: CellGrid, predicate: PairPredicate,
+                        t_pad: int, rchunk: int):
+    """Expand + evaluate + compact for window rows [r0, r1) of a (R, W)
+    window table whose row r corresponds to global sorted particle
+    row_offset + r.  ``rchunk`` >= r1 - r0 is the static slice length; the
+    table is zero-padded so the dynamic slice never clamps (a clamped
+    start would silently mis-map rows).  Returns (erow, ecol, ne) with
+    global indices."""
+    W = pst.shape[1]
+    pstp = jnp.pad(pst, ((0, rchunk), (0, 0)))
+    pcnp = jnp.pad(pcn, ((0, rchunk), (0, 0)))
+    pstc = jax.lax.dynamic_slice(pstp, (r0, 0), (rchunk, W))
+    pcnc = jax.lax.dynamic_slice(pcnp, (r0, 0), (rchunk, W))
+    rvalid = (r0 + jnp.arange(rchunk, dtype=jnp.int32)) < r1
+    pcnc = jnp.where(rvalid[:, None], pcnc, 0)
+    row, col, valid = flat_candidates(pstc, pcnc, t_pad,
+                                      ncols=pos_s.shape[0])
+    grow = jnp.clip(row_offset + r0 + row, 0, pos_s.shape[0] - 1)
+    mask = flat_links(pos_s, fields_s, grow, col, valid, grid, predicate)
+    return compact_edges(grow, col, mask, t_pad)
+
+
+def _pad_class(x: int, lo: int = 1024) -> int:
+    return _pad_pow2(max(int(x), 1), lo)
+
+
+_SLAB_T_BUDGET = 1 << 25   # flat candidate slots per expansion dispatch
+
+
+def build_edges_slabbed(pos, linking_length: float, boxsize: float,
+                        fields: Optional[Dict[str, jnp.ndarray]],
+                        predicate: PairPredicate,
+                        grid: CellGrid,
+                        t_budget: Optional[int] = None):
+    """Half-stencil undirected edge list for grids too large for packed
+    int32 cell ids (the 256^3+ path): x-slab local tables + dispatch-bounded
+    expansion chunks.  Returns (FlatEdges, grid)."""
+    if t_budget is None:
+        t_budget = _SLAB_T_BUDGET
+    pos = jnp.asarray(pos)
+    n = pos.shape[0]
+    nx, ny, nz = grid.ncells
+    plane = ny * nz
+    order, x_s, lo_s = _xplane_binning(pos, grid)
+    pos_s = pos[order]
+    fields_s = {k: jnp.asarray(v)[order] for k, v in (fields or {}).items()}
+
+    wx = max(1, min(nx, _DENSE_TABLE_MAX_CELLS // plane - 1))
+    nslab = -(-nx // wx)
+    xbounds = np.minimum(np.arange(nslab + 1) * wx, nx)
+    # particle index of each slab boundary plane (+ x=1 and x=nx-1 for the
+    # wrap pass) in one device searchsorted
+    queries = np.concatenate([xbounds, [1, nx - 1]]).astype(np.int32)
+    qpos = np.asarray(jax.device_get(
+        jnp.searchsorted(x_s, jnp.asarray(queries), side="left")))
+    pbounds, q1, wstart = qpos[:nslab + 1], int(qpos[-2]), int(qpos[-1])
+
+    erows, ecols, counts = [], [], []
+
+    def _expand_rows(pst, pcn, T, row_offset):
+        """Chunk the (R, W) window table into t_budget expansions."""
+        R = pst.shape[0]
+        rowsum = jnp.sum(pcn, axis=1)
+        cum = jnp.cumsum(rowsum)
+        nchunk = max(1, -(-int(T) // t_budget))
+        marks = np.asarray(jax.device_get(jnp.searchsorted(
+            cum, jnp.asarray([(k + 1) * t_budget for k in range(nchunk)],
+                             jnp.int32), side="left")))
+        starts = np.concatenate([[0], np.minimum(marks[:-1] + 1, R)])
+        ends = np.concatenate([np.minimum(marks[:-1] + 1, R), [R]])
+        # per-chunk slot totals (cumulative row sums at the chunk ends)
+        cum_ends = np.asarray(jax.device_get(
+            cum[jnp.asarray(np.maximum(ends - 1, 0), jnp.int32)]))
+        cum_starts = np.asarray(jax.device_get(
+            cum[jnp.asarray(np.maximum(starts - 1, 0), jnp.int32)]))
+        totals = cum_ends - np.where(starts > 0, cum_starts, 0)
+        for r0, r1, tot in zip(starts, ends, totals):
+            if r1 <= r0 or tot <= 0:
+                continue
+            rchunk = _pad_class(r1 - r0)
+            t_pad = _pad_class(int(tot), lo=1 << 16)
+            erow, ecol, ne = _edges_fused_offset(
+                pos_s, fields_s, pst, pcn, int(r0), int(r1), row_offset,
+                grid, predicate, t_pad, rchunk)
+            nev = int(jax.device_get(ne))
+            keep = _pad_class(nev)
+            erows.append(erow[:keep])
+            ecols.append(ecol[:keep])
+            counts.append((nev, keep))
+
+    # extended range of slab i ends at the particle boundary of plane
+    # x0 + wx + 1 (one plane beyond the core, for the forward dx=+1 windows)
+    ext_queries = np.minimum(xbounds[:-1] + wx + 1, nx).astype(np.int32)
+    ext_pos = np.asarray(jax.device_get(
+        jnp.searchsorted(x_s, jnp.asarray(ext_queries), side="left")))
+    for i in range(nslab):
+        p_lo, p_hi = int(pbounds[i]), int(pbounds[i + 1])
+        p_ext = int(ext_pos[i])
+        if p_hi <= p_lo:
+            continue
+        rpad = _pad_class(p_hi - p_lo)
+        ext_cap = _pad_class(p_ext - p_lo)
+        pst, pcn, T = _slab_windows(
+            x_s, lo_s, jnp.int32(p_lo), jnp.int32(p_hi), jnp.int32(p_ext),
+            jnp.int32(int(xbounds[i])), grid, wx, ext_cap, rpad)
+        Tv = int(jax.device_get(T))
+        if Tv == 0:
+            continue
+        _expand_rows(pst[: rpad], pcn[: rpad], Tv, p_lo)
+
+    if grid.periodic and nx >= 2 and wstart < n and q1 > 0:
+        wpad = _pad_class(n - wstart)
+        q_cap = _pad_class(q1)
+        pstw, pcnw, Tw = _wrap_windows(x_s, lo_s, jnp.int32(wstart),
+                                       jnp.int32(q1), grid, wpad, q_cap)
+        Twv = int(jax.device_get(Tw))
+        if Twv > 0:
+            _expand_rows(pstw, pcnw, Twv, wstart)
+
+    if not erows:
+        erow = jnp.zeros(1024, jnp.int32)
+        ecol = jnp.zeros(1024, jnp.int32)
+    else:
+        # concatenate chunk buffers; padded tails hold (0,0) self-edges,
+        # which are no-ops for min-label propagation
+        erow = jnp.concatenate(erows)
+        ecol = jnp.concatenate(ecols)
+    return FlatEdges(erow, ecol, n, order, pos_s, fields_s,
+                     undirected=True)
+
+
 @partial(jax.jit, static_argnames=("grid", "radius"))
 def candidate_counts_radius(binning: Binning, grid: CellGrid, radius: int):
     """Non-periodic stencil windows of radius r ((2r+1)^3 cells) per sorted
@@ -788,14 +1080,25 @@ def build_edges(pos, linking_length: float,
         lo, hi = bounds
     else:
         lo, hi = jax.device_get((jnp.min(pos, 0), jnp.max(pos, 0)))
+    if predicate is None:
+        predicate = Pred3D(float(linking_length) ** 2)
+    symmetric = bool(getattr(predicate, "symmetric", False))
+    # grids beyond the dense-table budget: keep cell width = linking length
+    # and use the slab-chunked builder (a coarser grid would inflate the
+    # candidate count ~8x per halving)
+    grid_full = build_grid(np.asarray(lo), np.asarray(hi), linking_length,
+                           periodic=periodic, boxsize=boxsize or 0.0,
+                           max_total_cells=1 << 62,
+                           target_cells_per_dim=target_cells_per_dim)
+    if symmetric and grid_full.total_cells > _DENSE_TABLE_MAX_CELLS:
+        edges = build_edges_slabbed(pos, linking_length, boxsize or 0.0,
+                                    fields, predicate, grid_full)
+        return edges, None, grid_full
     grid = build_grid(np.asarray(lo), np.asarray(hi), linking_length,
                       periodic=periodic, boxsize=boxsize or 0.0,
                       target_cells_per_dim=target_cells_per_dim)
-    if predicate is None:
-        predicate = Pred3D(float(linking_length) ** 2)
     if half is None:
-        half = bool(getattr(predicate, "symmetric", False)) and \
-            grid.total_cells <= _DENSE_TABLE_MAX_CELLS
+        half = symmetric and grid.total_cells <= _DENSE_TABLE_MAX_CELLS
     # dense-prefix-table candidate paths never touch the occupied-cell
     # index; skip building it (unique + searchsorted cost ~20x the sort)
     lean = grid.total_cells <= _DENSE_TABLE_MAX_CELLS

@@ -29,7 +29,43 @@ def group_sizes(pfof: jnp.ndarray, num_groups: int) -> jnp.ndarray:
 
 def segment_sum(values: jnp.ndarray, seg: jnp.ndarray,
                 num_segments: int) -> jnp.ndarray:
+    """Per-segment sum; (N, k) inputs with small k reduce column-wise.
+
+    A scatter-add whose operand is (N, 3) can be materialised by XLA:TPU
+    with the minor dim lane-padded 3 -> 128 (a ~43x HBM blowup that OOMs
+    at 256^3 scale); per-column (N,) reductions avoid that layout."""
+    if values.ndim == 2 and values.shape[1] <= 4:
+        return jnp.stack(
+            [jax.ops.segment_sum(values[:, j], seg,
+                                 num_segments=num_segments)
+             for j in range(values.shape[1])], axis=-1)
     return jax.ops.segment_sum(values, seg, num_segments=num_segments)
+
+
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` for (k, d) tables with small minor dim, gathered
+    component-wise: the XLA:TPU row-gather of such tables can pick a
+    (8, 128)-tiled result layout that lane-pads d -> 128 (~43x HBM blowup,
+    OOM at 256^3 scale)."""
+    if table.ndim == 2 and table.shape[1] <= 4:
+        return jnp.stack([table[:, j][idx] for j in range(table.shape[1])],
+                         axis=-1)
+    return table[idx]
+
+
+def segment_outer(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray,
+                  seg: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    """Per-segment weighted outer-product sum: (nseg, 3, 3) of
+    sum_i w_i a_i (x) b_i — computed as nine (N,) component reductions.
+    A direct (N, 3, 3) intermediate is never formed: XLA pads the minor
+    (3, 3) dims to hardware tiles (4, 128), a ~38x memory blowup that
+    OOMs at 256^3 scale."""
+    rows = []
+    for i in range(3):
+        cols = [segment_sum(a[:, i] * b[:, j] * w, seg, num_segments)
+                for j in range(3)]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
 
 
 def segment_mean(values: jnp.ndarray, weights: jnp.ndarray, seg: jnp.ndarray,
@@ -39,7 +75,7 @@ def segment_mean(values: jnp.ndarray, weights: jnp.ndarray, seg: jnp.ndarray,
         w = weights[:, None]
     else:
         w = weights
-    num = jax.ops.segment_sum(values * w, seg, num_segments=num_segments)
+    num = segment_sum(values * w, seg, num_segments)
     den = jax.ops.segment_sum(weights, seg, num_segments=num_segments)
     den = jnp.maximum(den, 1e-30)
     if values.ndim > 1:
