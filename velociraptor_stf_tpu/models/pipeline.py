@@ -231,9 +231,37 @@ def find_structures(opt: C.Options, pos, vel, mass,
 
     t0 = time.time()
     ngpad = _pad_pow2(max(ng, 1))
+    # property stages run on the tagged subset: all their sorts / segment
+    # reductions scale with the group population, not the box
+    pfof_d = jnp.asarray(pfof)
+    tag = pfof_d > 0
+    ntag = int(jax.device_get(jnp.sum(tag)))
+    n_all = pfof_d.shape[0]
+    if 0 < ntag < n_all // 2:
+        tpad = _pad_pow2(max(ntag, 16), 1024)
+        dest = jnp.cumsum(tag) - 1
+        dest = jnp.where(tag, dest, tpad)
+        sub_idx = jnp.zeros(tpad, jnp.int32).at[dest].set(
+            jnp.arange(n_all, dtype=jnp.int32), mode="drop")
+        svalid = jnp.arange(tpad) < ntag
+        sub_idx = jnp.where(svalid, sub_idx, 0)
+        p_pos = jnp.asarray(pos)[sub_idx]
+        p_vel = jnp.asarray(vel)[sub_idx]
+        p_mass = jnp.where(svalid, jnp.asarray(mass)[sub_idx], 0.0)
+        p_pfof = jnp.where(svalid, pfof_d[sub_idx], 0)
+        p_W = None if W is None else jnp.asarray(W)[sub_idx]
+        p_ptype = None if ptype_np is None else ptype_np[
+            np.asarray(jax.device_get(sub_idx))]
+        p_sub = np.asarray(jax.device_get(sub_idx))
+    else:
+        p_pos, p_vel = jnp.asarray(pos), jnp.asarray(vel)
+        p_mass, p_pfof = jnp.asarray(mass), pfof_d
+        p_W = None if W is None else jnp.asarray(W)
+        p_ptype = ptype_np
+        p_sub = None
     pr = props_mod.compute_properties(
-        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
-        jnp.asarray(pfof), ngpad,
+        p_pos, p_vel, p_mass,
+        p_pfof, ngpad,
         G=opt.G, boxsize=boxsize,
         rhocrit=opt.rhocrit, rhobg=opt.rhobg,
         virlevel=opt.virlevel if opt.virlevel > 0 else 200.0,
@@ -247,18 +275,25 @@ def find_structures(opt: C.Options, pos, vel, mass,
     if ptype_np is not None and len(np.unique(ptype_np)) > 1:
         ex = extras or {}
 
-        def _exf(key):
+        def _exf2(key):
             v = ex.get(key)
-            return None if v is None else jnp.asarray(v)
+            if v is None:
+                return None
+            v = np.asarray(v)
+            if p_sub is not None:
+                v = v[p_sub]
+            return jnp.asarray(v)
 
         # fixed 30/50 kpc apertures need a configured length unit
         to_int = 1.0 / opt.lengthtokpc if opt.lengthtokpc > 0 else 0.0
+        ex_sub = (lambda v: None if v is None else
+                  (v[p_sub] if p_sub is not None else v))
         pr.update(props_mod.compute_pertype_properties(
-            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
-            jnp.asarray(ptype_np), jnp.asarray(pfof), ngpad,
+            p_pos, p_vel, p_mass,
+            jnp.asarray(p_ptype), p_pfof, ngpad,
             refpos=pr["gcm"], refvel=pr["gcmvel"],
-            u=_exf("u"), sfr=_exf("sfr"), zmet=_exf("zmet"),
-            tage=_exf("tage"), bhmdot=_exf("bhmdot"),
+            u=_exf2("u"), sfr=_exf2("sfr"), zmet=_exf2("zmet"),
+            tage=_exf2("tage"), bhmdot=_exf2("bhmdot"),
             rvmax=pr.get("gRmaxvel"), r200c=pr.get("gR200c"),
             r200m=pr.get("gR200m"), r500c=pr.get("gR500c"),
             rBN98=pr.get("gRBN98"),
@@ -274,20 +309,20 @@ def find_structures(opt: C.Options, pos, vel, mass,
             if opt.iaperturecalc else ()
         edges = tuple(opt.profile_bin_edges) if opt.iprofilecalc else ()
         extra = props_mod.compute_aperture_properties(
-            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
-            jnp.asarray(pfof), ngpad, refpos=pr["gcm"], refvel=pr["gcmvel"],
+            p_pos, p_vel, p_mass,
+            p_pfof, ngpad, refpos=pr["gcm"], refvel=pr["gcmvel"],
             apertures=aps, apertures_proj=aps_proj, profile_edges=edges,
             iprofilenorm=opt.iprofilenorm, R200c=pr["gR200c"])
         pr.update(extra)
     if opt.iextrahalooutput:
         pr.update(props_mod.compute_rvmax_properties(
-            jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
-            jnp.asarray(pfof), ngpad, refpos=pr["gcm"],
+            p_pos, p_vel, p_mass,
+            p_pfof, ngpad, refpos=pr["gcm"],
             refvel=pr["gcmvel"], rmax=pr["gRmaxvel"]))
     if W is not None:
         pr.update(props_mod.compute_energies(
-            jnp.asarray(vel), jnp.asarray(mass), jnp.asarray(pfof),
-            jnp.asarray(W), ngpad, pr["gcmvel"],
+            p_vel, p_mass, p_pfof,
+            p_W, ngpad, pr["gcmvel"],
             jnp.asarray(opt.uinfo.Eratio, jnp.float32)))
     jax.block_until_ready(pr["gmass"])
     timings["properties"] = time.time() - t0

@@ -189,12 +189,8 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
     n = pos.shape[0]
     ng1 = num_groups + 1
 
-    if W is None:
-        W = compute_potential(pos, mass, pfof, num_groups, uinfo.eps, G,
-                              boxsize=boxsize)
-
-    # run the ejection iteration on the tagged subset only: every per-
-    # iteration sort / segment op then scales with the group population
+    # run potentials AND the ejection iteration on the tagged subset only:
+    # every sort / segment / scatter then scales with the group population
     # (typically 10-20% of the box), not the full particle count
     tag = pfof > 0
     ntag = int(jax.device_get(jnp.sum(tag)))
@@ -208,14 +204,26 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
             jnp.arange(n, dtype=jnp.int32), mode="drop")
         svalid = jnp.arange(tpad) < ntag
         sub_idx = jnp.where(svalid, sub_idx, 0)
+        pos_t, vel_t, mass_t = pos[sub_idx], vel[sub_idx], mass[sub_idx]
+        pfof_t = jnp.where(svalid, pfof[sub_idx], 0)
+        if W is None:
+            W_t = compute_potential(pos_t, jnp.where(svalid, mass_t, 0.0),
+                                    pfof_t, num_groups, uinfo.eps, G,
+                                    boxsize=boxsize)
+            W = jnp.zeros(n, pos.dtype).at[sub_idx].set(
+                jnp.where(svalid, W_t, 0.0))
+        else:
+            W_t = W[sub_idx]
         bound_sub = _check_unbound_subset(
-            pos[sub_idx], vel[sub_idx], mass[sub_idx],
-            jnp.where(svalid, pfof[sub_idx], 0), W[sub_idx],
+            pos_t, vel_t, mass_t, pfof_t, W_t,
             num_groups, uinfo, min_size, G, boxsize)
         bound = jnp.zeros(n, bool).at[sub_idx].set(bound_sub & svalid)
         return _finalize_unbind(mass, pfof, bound, W, num_groups, uinfo,
                                 min_size)
 
+    if W is None:
+        W = compute_potential(pos, mass, pfof, num_groups, uinfo.eps, G,
+                              boxsize=boxsize)
     bound = _run_ejection(pos, vel, mass, pfof, W, num_groups, uinfo, G,
                           boxsize, min_size)
     return _finalize_unbind(mass, pfof, bound, W, num_groups, uinfo,
