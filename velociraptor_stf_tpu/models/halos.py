@@ -144,20 +144,50 @@ def search_full_set(opt: C.Options, pos, vel, mass,
 
     if reuse_edges:
         # 6D links are a subset of the 3D edges (ell6d <= ell3d): filter the
-        # existing edge list instead of rebuilding the candidate table.
+        # existing edge list instead of rebuilding the candidate table, and
+        # run the label fixed point on the 3DFOF-tagged subset only (6D can
+        # only link within a 3D group, so labels of untagged particles
+        # never change)
         fields6 = dict(edges.fields_s)
         fields6["vscale2"] = vs_per_particle[edges.order]
         fields6["group"] = pfof3_s
         mask6 = fof.refine_edge_mask(edges.pos_s, fields6, edges.erow,
                                      edges.ecol, grid,
                                      Pred6DRefine(float(ell6d) ** 2))
-        erow6 = jnp.where(mask6, edges.erow, 0)
-        ecol6 = jnp.where(mask6, edges.ecol, 0)
-        labels6 = fof.fof_labels_from_edges(erow6, ecol6, n,
-                                            undirected=edges.undirected)
-        pfof6_s, ng6 = fof.renumber_by_size(labels6, minsize,
-                                            orig_index=edges.order)
-        pfof6 = jnp.zeros(n, jnp.int32).at[edges.order].set(pfof6_s)
+        tag = pfof3_s > 0
+        ntag = int(jax.device_get(jnp.sum(tag)))
+        tpad = 1024
+        while tpad < max(ntag, 1):
+            tpad *= 2
+        if 0 < ntag < n // 2:
+            # sorted-index -> subset-index map; remap the masked edges
+            dest = jnp.cumsum(tag) - 1
+            inv = jnp.where(tag, dest, 0).astype(jnp.int32)
+            sub_idx = jnp.zeros(tpad, jnp.int32).at[
+                jnp.where(tag, dest, tpad)].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")
+            svalid = jnp.arange(tpad) < ntag
+            erow6 = jnp.where(mask6, inv[edges.erow], 0)
+            ecol6 = jnp.where(mask6, inv[edges.ecol], 0)
+            labels6_t = fof.fof_labels_from_edges(
+                erow6, ecol6, tpad, undirected=edges.undirected)
+            orig_t = jnp.where(svalid, edges.order[
+                jnp.where(svalid, sub_idx, 0)], n)
+            pfof6_t, ng6 = fof.renumber_by_size(
+                jnp.where(svalid, labels6_t, jnp.arange(tpad)), minsize,
+                orig_index=orig_t)
+            scatter_to = jnp.where(
+                svalid, edges.order[jnp.where(svalid, sub_idx, 0)], n)
+            pfof6 = jnp.zeros(n, jnp.int32).at[scatter_to].set(
+                pfof6_t, mode="drop")
+        else:
+            erow6 = jnp.where(mask6, edges.erow, 0)
+            ecol6 = jnp.where(mask6, edges.ecol, 0)
+            labels6 = fof.fof_labels_from_edges(erow6, ecol6, n,
+                                                undirected=edges.undirected)
+            pfof6_s, ng6 = fof.renumber_by_size(labels6, minsize,
+                                                orig_index=edges.order)
+            pfof6 = jnp.zeros(n, jnp.int32).at[edges.order].set(pfof6_s)
     else:
         spos = pos / ell6d
         svel = vel / jnp.sqrt(vs_per_particle)[:, None]

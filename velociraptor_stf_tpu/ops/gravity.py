@@ -196,7 +196,7 @@ def _bucket_far_pass(pos_s, bcm, bmass, direct, q: int, eps2, G,
     return jax.lax.map(do_rows, idxs).reshape(-1)[:npad]
 
 
-def bucket_tree_potential_batch(posb, massb, eps2, G, q: int = 256,
+def bucket_tree_potential_batch(posb, massb, eps2, G, q: int = 1024,
                                 theta: float = 0.4) -> jnp.ndarray:
     """Batched bucket-tree potential: (B, K, 3)/(B, K) -> (B, K).
 
@@ -226,7 +226,7 @@ def bucket_tree_potential_batch(posb, massb, eps2, G, q: int = 256,
 
 
 def grid_monopole_potential(pos: np.ndarray, mass: np.ndarray, eps2: float,
-                            G: float, q: int = 256, theta: float = 0.4
+                            G: float, q: int = 1024, theta: float = 0.4
                             ) -> jnp.ndarray:
     """Potential for one large group: equal-count Morton-bucket tree.
 
