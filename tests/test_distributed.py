@@ -75,3 +75,42 @@ def test_distributed_fof_group_spanning_many_slabs():
     assert len(np.unique(lab)) == 1
     pfof_s, ng_s = fof.fof3d(pos, b, boxsize=boxsize, min_size=20)
     assert _partition_equal(pfof_d, np.asarray(jax.device_get(pfof_s)))
+
+
+def test_distributed_fof6d_matches_single_device():
+    """Distributed 6DFOF (velocity payloads riding the ghost exchange)
+    reproduces the single-device FOF6DADAPTIVE partition."""
+    import jax.numpy as jnp
+
+    from velociraptor_stf_tpu.models import halos
+    from velociraptor_stf_tpu.parallel.distributed_fof import \
+        distributed_fof6d
+    from velociraptor_stf_tpu.utils import config as C
+
+    n = 1 << 15
+    boxsize = 20.0
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=12, seed=23)
+    b = 0.2 * boxsize / n ** (1 / 3)
+    mesh = M.make_mesh(8)
+
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = boxsize / n ** (1 / 3)
+    opt.fofbgtype = C.FOF6DADAPTIVE
+    opt.MinSize = 20
+    opt.HaloMinSize = 20
+    C.config_check(opt)
+    sres = halos.search_full_set(opt, jnp.asarray(pos), jnp.asarray(vel),
+                                 jnp.asarray(mass), boxsize=boxsize)
+    pfof_s = np.asarray(jax.device_get(sres.pfof))
+
+    pfof_d, ng_d, pfof3_d, ng3_d = distributed_fof6d(
+        pos, vel, mass, b, opt.ellhalo6dxfac, opt.ellhalo6dvfac,
+        boxsize, mesh, min_size=20, adaptive=True)
+    assert ng3_d == sres.ngroups3d
+    assert ng_d == sres.ngroups
+    # velocity-scale estimates differ at float rounding; demand a near-
+    # perfect particle-level match rather than bit equality
+    both = (pfof_s > 0) | (pfof_d > 0)
+    agree = (pfof_s > 0) & (pfof_d > 0)
+    assert agree.sum() / max(both.sum(), 1) > 0.995

@@ -102,11 +102,18 @@ def _take_first_k(mask: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def distributed_fof3d(pos, linking_length: float, boxsize: float,
                       mesh: Mesh, min_size: int = 8,
-                      max_outer: int = 64):
-    """3DFOF over a periodic box, sharded by x-slab over the mesh.
+                      max_outer: int = 64,
+                      vel=None, vscale2=None, group=None):
+    """FOF over a periodic box, sharded by x-slab over the mesh.
 
     Returns (pfof, ngroups): pfof in the ORIGINAL particle order (host
     numpy), group ids 1..ngroups by decreasing size (matching fof.fof3d).
+
+    With ``vel``/``vscale2``/``group`` given, pairs link under the 6D
+    phase-space criterion  d2/ell^2 + dv2/vscale2 <= 1  restricted to the
+    same nonzero parent ``group`` (the distributed analog of the 6DFOF
+    refinement, reference search.cxx:552-576) — the velocity and parent-id
+    payloads ride the same ppermute ghost exchange as the positions.
     """
     ndev = mesh.devices.size
     pos = np.asarray(pos)
@@ -132,14 +139,20 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
     order = np.argsort(dev, kind="stable")
     counts = np.bincount(dev, minlength=ndev)
     npad = int(1 << math.ceil(math.log2(max(counts.max(), 1))))
+    sixd = vel is not None
     pos_b = np.zeros((ndev, npad, 3), dt)
     gid_b = np.full((ndev, npad), n, np.int32)   # n = invalid sentinel
+    pay_b = np.zeros((ndev, npad, 5), dt)        # vel(3) + vscale2 + group
     off = 0
     for d in range(ndev):
         c = counts[d]
         sel = order[off:off + c]
         pos_b[d, :c] = pos[sel]
         gid_b[d, :c] = sel
+        if sixd:
+            pay_b[d, :c, :3] = np.asarray(vel)[sel]
+            pay_b[d, :c, 3] = np.maximum(np.asarray(vscale2)[sel], 1e-30)
+            pay_b[d, :c, 4] = np.asarray(group)[sel]
         off += c
     valid_b = gid_b < n
 
@@ -174,11 +187,12 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
     box = jnp.asarray(boxsize, dt)
     nslot = npad + 2 * B
 
-    def shard_body(pos_blk, gid_blk, valid_blk):
+    def shard_body(pos_blk, gid_blk, valid_blk, pay_blk):
         # pos_blk (1, npad, 3) etc. — leading mesh axis of size 1 per device
         pos_l = pos_blk[0]
         gid_l = gid_blk[0]
         valid_l = valid_blk[0]
+        pay_l = pay_blk[0]
         d = jax.lax.axis_index(PARTS_AXIS)
         x0 = d * W
 
@@ -196,14 +210,16 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
             g = jax.lax.ppermute(jnp.where(ok, gid_l[idx], n), PARTS_AXIS,
                                  perm)
             o = jax.lax.ppermute(ok, PARTS_AXIS, perm)
-            return p, g, o
+            y = jax.lax.ppermute(pay_l[idx], PARTS_AXIS, perm)
+            return p, g, o, y
 
-        gLp, gLg, gLo = send(idxR, okR, fwd)   # left ghosts = left nbr's R
-        gRp, gRg, gRo = send(idxL, okL, bwd)   # right ghosts = right nbr's L
+        gLp, gLg, gLo, gLy = send(idxR, okR, fwd)  # left ghosts = nbr's R
+        gRp, gRg, gRo, gRy = send(idxL, okL, bwd)  # right ghosts = nbr's L
 
         cpos = jnp.concatenate([pos_l, gLp, gRp])
         cgid = jnp.concatenate([gid_l, gLg, gRg])
         cvalid = jnp.concatenate([valid_l, gLo, gRo])
+        cpay = jnp.concatenate([pay_l, gLy, gRy])
 
         # slab-relative cell coords: local x-columns 1..W, ghosts 0 / W+1
         cx = jnp.floor(cpos[:, 0] / wx).astype(jnp.int32) % nx
@@ -219,12 +235,21 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
         valid_s = cvalid[sorder]
         coords_s = jnp.stack([xrel[sorder], cy[sorder], cz[sorder]], axis=1)
 
+        pay_s = cpay[sorder]
+
         pst, pcn = _windows_dense_xclip(cid_s, coords_s, dims)
         row, col, vslot = fof.flat_candidates(pst, pcn, t_pad, ncols=nslot)
         dvec = pos_s[row] - pos_s[col]
         dvec = dvec - box * jnp.round(dvec / box)
         d2 = jnp.sum(dvec * dvec, axis=-1)
-        mask = vslot & (d2 <= b2) & valid_s[row] & valid_s[col]
+        if sixd:
+            dv = pay_s[row, :3] - pay_s[col, :3]
+            dv2 = jnp.sum(dv * dv, axis=-1)
+            ok6 = (d2 / b2 + dv2 / pay_s[row, 3] <= 1.0) & \
+                (pay_s[row, 4] == pay_s[col, 4]) & (pay_s[row, 4] > 0)
+            mask = vslot & ok6 & valid_s[row] & valid_s[col]
+        else:
+            mask = vslot & (d2 <= b2) & valid_s[row] & valid_s[col]
         erow = jnp.where(mask, row, 0)
         ecol = jnp.where(mask, col, 0)
 
@@ -304,12 +329,14 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
     pos_d = jax.device_put(pos_b, sh)
     gid_d = jax.device_put(gid_b, sh)
     val_d = jax.device_put(valid_b, sh)
+    pay_d = jax.device_put(pay_b, sh)
 
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(PARTS_AXIS), P(PARTS_AXIS), P(PARTS_AXIS)),
+        in_specs=(P(PARTS_AXIS), P(PARTS_AXIS), P(PARTS_AXIS),
+                  P(PARTS_AXIS)),
         out_specs=(P(PARTS_AXIS), P(PARTS_AXIS)))
-    labels_b, gid_out = jax.jit(mapped)(pos_d, gid_d, val_d)
+    labels_b, gid_out = jax.jit(mapped)(pos_d, gid_d, val_d, pay_d)
 
     labels_flat = np.asarray(jax.device_get(labels_b)).reshape(-1)
     gid_flat = np.asarray(jax.device_get(gid_out)).reshape(-1)
@@ -330,3 +357,43 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
             gid_of_root[s] = rank
     pfof = gid_of_root[np.searchsorted(roots, raw)]
     return pfof.astype(np.int32), ngroups
+
+
+def distributed_fof6d(pos, vel, mass, linking_length: float,
+                      ell6dxfac: float, ell6dvfac: float,
+                      boxsize: float, mesh: Mesh,
+                      min_size: int = 8,
+                      adaptive: bool = True):
+    """Distributed 3DFOF + 6DFOF refinement (the sharded analog of
+    SearchFullSet with FoF_search_type FOF6D/FOF6DADAPTIVE,
+    reference search.cxx:24-580).
+
+    Phase 1 finds 3DFOF parents with the slab halo-exchange fixed point;
+    the per-group velocity dispersion scales are then reduced globally and
+    phase 2 re-links each parent's particles under the 6D criterion with
+    the same machinery (velocities riding the ghost exchange).
+    Returns (pfof6, ng6, pfof3, ng3) in original particle order.
+    """
+    pos = np.asarray(pos)
+    vel = np.asarray(vel)
+    mass = np.asarray(mass)
+    pfof3, ng3 = distributed_fof3d(pos, linking_length, boxsize, mesh,
+                                   min_size=min_size)
+    if ng3 == 0:
+        return pfof3, 0, pfof3, 0
+    ng1 = ng3 + 1
+    w = np.where(pfof3 > 0, mass, 0.0)
+    msum = np.maximum(np.bincount(pfof3, weights=w, minlength=ng1), 1e-30)
+    vmean = np.stack([np.bincount(pfof3, weights=w * vel[:, j],
+                                  minlength=ng1) for j in range(3)], -1) \
+        / msum[:, None]
+    dv2 = np.sum((vel - vmean[pfof3]) ** 2, -1)
+    sig2 = np.bincount(pfof3, weights=w * dv2, minlength=ng1) / msum
+    if not adaptive:
+        sig2 = np.full_like(sig2, sig2[1])   # largest group's scale
+    vscale2 = np.where(pfof3 > 0,
+                       np.maximum(sig2[pfof3] * ell6dvfac ** 2, 1e-30), 1.0)
+    pfof6, ng6 = distributed_fof3d(
+        pos, linking_length * ell6dxfac, boxsize, mesh, min_size=min_size,
+        vel=vel, vscale2=vscale2, group=pfof3)
+    return pfof6, ng6, pfof3, ng3
