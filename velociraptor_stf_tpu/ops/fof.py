@@ -855,10 +855,15 @@ def fof_labels_from_edges(erow, ecol, n: int, max_sweeps: int = 64,
     sweeps = _fof_sweeps_sym if undirected else _fof_sweeps
     labels = jnp.arange(n, dtype=jnp.int32)
     done = 0
-    if shrink and erow.shape[0] > (1 << 18):
+    # two shrink rounds: ~75% of edges converge in sweep 1 and ~95% within
+    # three sweeps on clustered inputs, so the tail sweeps run on a tiny
+    # list; each round costs one compaction + one (changed, count) fetch
+    for k in (1, 2):
+        if not (shrink and erow.shape[0] > (1 << 18) and done < max_sweeps):
+            break
         labels, changed, erow2, ecol2, ne = _sweeps_then_shrink(
-            labels, erow, ecol, n, 1, undirected)
-        done += 1
+            labels, erow, ecol, n, k, undirected)
+        done += k
         changed, ne = jax.device_get((changed, ne))
         if not bool(changed):
             return _compress(labels)
