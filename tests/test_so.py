@@ -131,11 +131,11 @@ def test_cli_so_catalog_and_profiles(tmp_path):
     from velociraptor_stf_tpu.io import gadget as G
     from velociraptor_stf_tpu.io.synthetic import make_cosmo_mock
 
-    n = 32768
-    pos, vel, mass = make_cosmo_mock(n, boxsize=20.0, nhalos=10, seed=12)
+    n = 16384
+    pos, vel, mass = make_cosmo_mock(n, boxsize=16.0, nhalos=8, seed=12)
     fn = str(tmp_path / "snap.gdt")
     G.write_gadget(fn, pos, vel, np.arange(1, n + 1),
-                   np.ones(n, np.int8), mass, boxsize=20.0,
+                   np.ones(n, np.int8), mass, boxsize=16.0,
                    time=1.0, omega0=0.3, omega_lambda=0.7, hubble=0.7)
     out = str(tmp_path / "cat")
     cfg = str(tmp_path / "run.cfg")
