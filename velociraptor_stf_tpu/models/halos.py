@@ -161,12 +161,8 @@ def search_full_set(opt: C.Options, pos, vel, mass,
             tpad *= 2
         if 0 < ntag < n // 2:
             # sorted-index -> subset-index map; remap the masked edges
-            dest = jnp.cumsum(tag) - 1
-            inv = jnp.where(tag, dest, 0).astype(jnp.int32)
-            sub_idx = jnp.zeros(tpad, jnp.int32).at[
-                jnp.where(tag, dest, tpad)].set(
-                jnp.arange(n, dtype=jnp.int32), mode="drop")
-            svalid = jnp.arange(tpad) < ntag
+            inv = jnp.where(tag, jnp.cumsum(tag) - 1, 0).astype(jnp.int32)
+            sub_idx, svalid, _ = segments.compact_mask(tag, tpad)
             erow6 = jnp.where(mask6, inv[edges.erow], 0)
             ecol6 = jnp.where(mask6, inv[edges.ecol], 0)
             labels6_t = fof.fof_labels_from_edges(

@@ -238,13 +238,9 @@ def find_structures(opt: C.Options, pos, vel, mass,
     ntag = int(jax.device_get(jnp.sum(tag)))
     n_all = pfof_d.shape[0]
     if 0 < ntag < n_all // 2:
+        from ..ops import segments as seg_ops
         tpad = _pad_pow2(max(ntag, 16), 1024)
-        dest = jnp.cumsum(tag) - 1
-        dest = jnp.where(tag, dest, tpad)
-        sub_idx = jnp.zeros(tpad, jnp.int32).at[dest].set(
-            jnp.arange(n_all, dtype=jnp.int32), mode="drop")
-        svalid = jnp.arange(tpad) < ntag
-        sub_idx = jnp.where(svalid, sub_idx, 0)
+        sub_idx, svalid, _ = seg_ops.compact_mask(tag, tpad)
         p_pos = jnp.asarray(pos)[sub_idx]
         p_vel = jnp.asarray(vel)[sub_idx]
         p_mass = jnp.where(svalid, jnp.asarray(mass)[sub_idx], 0.0)

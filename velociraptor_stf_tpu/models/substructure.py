@@ -300,13 +300,19 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
     costh = math.cos(opt.thetaopen * math.pi)
     minsize = opt.MinSize
 
-    mref = float(np.mean(np.asarray(jax.device_get(mass)))) or 1.0
+    needs_mass = opt.foftype in (C.FOFSTPROBSCALEELL, C.FOFSTPROBSCALEELLNN)
+    needs_pos = opt.foftype in (C.FOFSTPROBLX, C.FOFSTPROBNNLX)
+    mref = 1.0
+    if needs_mass:
+        mv = float(np.mean(np.asarray(jax.device_get(mass))))
+        mref = mv if np.isfinite(mv) and mv > 0 else 1.0
     sigmav2 = 1.0
     if opt.foftype == C.FOF6DSUBSET:
         v_np = np.asarray(jax.device_get(vel))
         w = None if active is None else np.asarray(jax.device_get(active))
         vv = v_np if w is None else v_np[w]
-        sigmav2 = float(np.mean(np.var(vv, axis=0))) or 1.0
+        sv = float(np.mean(np.var(vv, axis=0))) if len(vv) else float("nan")
+        sigmav2 = sv if np.isfinite(sv) and sv > 0 else 1.0
     if opt.iiterflag:
         pred0 = subset_predicate(
             opt, ellx2, opt.Vratio * opt.vfac,
@@ -320,10 +326,14 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
         minsize0 = opt.MinSize
 
     b = math.sqrt(ellx2)
+    # only the criteria that read them pay for the extra per-slot gathers
+    extra = {"ell": ell}
+    if needs_mass:
+        extra["mass"] = jnp.asarray(mass)
+    if needs_pos:
+        extra["pos"] = jnp.asarray(pos)
     pfof, ng = fof.fof3d(pos, b, boxsize=None, min_size=minsize0, vel=vel,
-                         extra_fields={"ell": ell, "mass": jnp.asarray(mass),
-                                       "pos": jnp.asarray(pos)},
-                         predicate=pred0)
+                         extra_fields=extra, predicate=pred0)
     ng = int(jax.device_get(ng))
     if ng == 0:
         return pfof, 0

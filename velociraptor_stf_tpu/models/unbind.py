@@ -198,26 +198,22 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
         tpad = 1024
         while tpad < ntag:
             tpad *= 2
-        dest = jnp.cumsum(tag) - 1
-        dest = jnp.where(tag, dest, tpad)
-        sub_idx = jnp.zeros(tpad, jnp.int32).at[dest].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop")
-        svalid = jnp.arange(tpad) < ntag
-        sub_idx = jnp.where(svalid, sub_idx, 0)
+        sub_idx, svalid, scatter_to = seg.compact_mask(tag, tpad)
         pos_t, vel_t, mass_t = pos[sub_idx], vel[sub_idx], mass[sub_idx]
         pfof_t = jnp.where(svalid, pfof[sub_idx], 0)
         if W is None:
             W_t = compute_potential(pos_t, jnp.where(svalid, mass_t, 0.0),
                                     pfof_t, num_groups, uinfo.eps, G,
                                     boxsize=boxsize)
-            W = jnp.zeros(n, pos.dtype).at[sub_idx].set(
-                jnp.where(svalid, W_t, 0.0))
+            W = jnp.zeros(n, pos.dtype).at[scatter_to].set(
+                W_t, mode="drop")
         else:
             W_t = W[sub_idx]
         bound_sub = _check_unbound_subset(
             pos_t, vel_t, mass_t, pfof_t, W_t,
             num_groups, uinfo, min_size, G, boxsize)
-        bound = jnp.zeros(n, bool).at[sub_idx].set(bound_sub & svalid)
+        bound = jnp.zeros(n, bool).at[scatter_to].set(bound_sub,
+                                                      mode="drop")
         return _finalize_unbind(mass, pfof, bound, W, num_groups, uinfo,
                                 min_size)
 

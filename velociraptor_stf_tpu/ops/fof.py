@@ -555,7 +555,7 @@ def build_edges_slabbed(pos, linking_length: float, boxsize: float,
         jnp.searchsorted(x_s, jnp.asarray(queries), side="left")))
     pbounds, q1, wstart = qpos[:nslab + 1], int(qpos[-2]), int(qpos[-1])
 
-    erows, ecols, counts = [], [], []
+    erows, ecols = [], []
 
     def _expand_rows(pst, pcn, T, row_offset):
         """Chunk the (R, W) window table into t_budget expansions."""
@@ -586,7 +586,6 @@ def build_edges_slabbed(pos, linking_length: float, boxsize: float,
             keep = _pad_class(nev)
             erows.append(erow[:keep])
             ecols.append(ecol[:keep])
-            counts.append((nev, keep))
 
     # extended range of slab i ends at the particle boundary of plane
     # x0 + wx + 1 (one plane beyond the core, for the forward dx=+1 windows)
@@ -1095,7 +1094,8 @@ def build_edges(pos, linking_length: float,
                            periodic=periodic, boxsize=boxsize or 0.0,
                            max_total_cells=1 << 62,
                            target_cells_per_dim=target_cells_per_dim)
-    if symmetric and grid_full.total_cells > _DENSE_TABLE_MAX_CELLS:
+    if symmetric and half is not False and \
+            grid_full.total_cells > _DENSE_TABLE_MAX_CELLS:
         edges = build_edges_slabbed(pos, linking_length, boxsize or 0.0,
                                     fields, predicate, grid_full)
         return edges, None, grid_full

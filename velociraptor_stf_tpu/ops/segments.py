@@ -42,6 +42,26 @@ def segment_sum(values: jnp.ndarray, seg: jnp.ndarray,
     return jax.ops.segment_sum(values, seg, num_segments=num_segments)
 
 
+def compact_mask(mask: jnp.ndarray, pad: int):
+    """Compact the True positions of ``mask`` to the front of a ``pad``-
+    length index array.  Returns (sub_idx, svalid, scatter_to):
+    ``sub_idx`` (pad,) = source index per subset slot (0 on padding,
+    safe for gathers), ``svalid`` = slot validity, ``scatter_to`` =
+    per-slot destination for scatter-back (n on padding, for use with
+    mode='drop' — plain scatters with duplicate destinations are
+    order-unspecified and would clobber index 0)."""
+    n = mask.shape[0]
+    dest = jnp.cumsum(mask) - 1
+    dest = jnp.where(mask, dest, pad)
+    sub_idx = jnp.zeros(pad, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    nsub = jnp.sum(mask)
+    svalid = jnp.arange(pad) < nsub
+    sub_idx = jnp.where(svalid, sub_idx, 0)
+    scatter_to = jnp.where(svalid, sub_idx, n)
+    return sub_idx, svalid, scatter_to
+
+
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table[idx]`` for (k, d) tables with small minor dim, gathered
     component-wise: the XLA:TPU row-gather of such tables can pick a

@@ -142,7 +142,11 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
     sixd = vel is not None
     pos_b = np.zeros((ndev, npad, 3), dt)
     gid_b = np.full((ndev, npad), n, np.int32)   # n = invalid sentinel
-    pay_b = np.zeros((ndev, npad, 5), dt)        # vel(3) + vscale2 + group
+    # 6D payloads: float vel(3)+vscale2, parent ids as int32 (a float
+    # payload would collapse distinct ids above 2^24); zero-width when the
+    # plain 3D criterion runs so no payload rides the ghost exchange
+    pay_b = np.zeros((ndev, npad, 4 if sixd else 0), dt)
+    grp_b = np.zeros((ndev, npad), np.int32)
     off = 0
     for d in range(ndev):
         c = counts[d]
@@ -152,7 +156,7 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
         if sixd:
             pay_b[d, :c, :3] = np.asarray(vel)[sel]
             pay_b[d, :c, 3] = np.maximum(np.asarray(vscale2)[sel], 1e-30)
-            pay_b[d, :c, 4] = np.asarray(group)[sel]
+            grp_b[d, :c] = np.asarray(group)[sel]
         off += c
     valid_b = gid_b < n
 
@@ -187,12 +191,13 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
     box = jnp.asarray(boxsize, dt)
     nslot = npad + 2 * B
 
-    def shard_body(pos_blk, gid_blk, valid_blk, pay_blk):
+    def shard_body(pos_blk, gid_blk, valid_blk, pay_blk, grp_blk):
         # pos_blk (1, npad, 3) etc. — leading mesh axis of size 1 per device
         pos_l = pos_blk[0]
         gid_l = gid_blk[0]
         valid_l = valid_blk[0]
         pay_l = pay_blk[0]
+        grp_l = grp_blk[0]
         d = jax.lax.axis_index(PARTS_AXIS)
         x0 = d * W
 
@@ -210,16 +215,22 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
             g = jax.lax.ppermute(jnp.where(ok, gid_l[idx], n), PARTS_AXIS,
                                  perm)
             o = jax.lax.ppermute(ok, PARTS_AXIS, perm)
-            y = jax.lax.ppermute(pay_l[idx], PARTS_AXIS, perm)
-            return p, g, o, y
+            if sixd:
+                y = jax.lax.ppermute(pay_l[idx], PARTS_AXIS, perm)
+                r = jax.lax.ppermute(grp_l[idx], PARTS_AXIS, perm)
+            else:
+                y = pay_l[idx]
+                r = grp_l[idx]
+            return p, g, o, y, r
 
-        gLp, gLg, gLo, gLy = send(idxR, okR, fwd)  # left ghosts = nbr's R
-        gRp, gRg, gRo, gRy = send(idxL, okL, bwd)  # right ghosts = nbr's L
+        gLp, gLg, gLo, gLy, gLr = send(idxR, okR, fwd)  # left = nbr's R
+        gRp, gRg, gRo, gRy, gRr = send(idxL, okL, bwd)  # right = nbr's L
 
         cpos = jnp.concatenate([pos_l, gLp, gRp])
         cgid = jnp.concatenate([gid_l, gLg, gRg])
         cvalid = jnp.concatenate([valid_l, gLo, gRo])
         cpay = jnp.concatenate([pay_l, gLy, gRy])
+        cgrp = jnp.concatenate([grp_l, gLr, gRr])
 
         # slab-relative cell coords: local x-columns 1..W, ghosts 0 / W+1
         cx = jnp.floor(cpos[:, 0] / wx).astype(jnp.int32) % nx
@@ -236,6 +247,7 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
         coords_s = jnp.stack([xrel[sorder], cy[sorder], cz[sorder]], axis=1)
 
         pay_s = cpay[sorder]
+        grp_s = cgrp[sorder]
 
         pst, pcn = _windows_dense_xclip(cid_s, coords_s, dims)
         row, col, vslot = fof.flat_candidates(pst, pcn, t_pad, ncols=nslot)
@@ -246,7 +258,7 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
             dv = pay_s[row, :3] - pay_s[col, :3]
             dv2 = jnp.sum(dv * dv, axis=-1)
             ok6 = (d2 / b2 + dv2 / pay_s[row, 3] <= 1.0) & \
-                (pay_s[row, 4] == pay_s[col, 4]) & (pay_s[row, 4] > 0)
+                (grp_s[row] == grp_s[col]) & (grp_s[row] > 0)
             mask = vslot & ok6 & valid_s[row] & valid_s[col]
         else:
             mask = vslot & (d2 <= b2) & valid_s[row] & valid_s[col]
@@ -330,13 +342,14 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
     gid_d = jax.device_put(gid_b, sh)
     val_d = jax.device_put(valid_b, sh)
     pay_d = jax.device_put(pay_b, sh)
+    grp_d = jax.device_put(grp_b, sh)
 
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(PARTS_AXIS), P(PARTS_AXIS), P(PARTS_AXIS),
-                  P(PARTS_AXIS)),
+                  P(PARTS_AXIS), P(PARTS_AXIS)),
         out_specs=(P(PARTS_AXIS), P(PARTS_AXIS)))
-    labels_b, gid_out = jax.jit(mapped)(pos_d, gid_d, val_d, pay_d)
+    labels_b, gid_out = jax.jit(mapped)(pos_d, gid_d, val_d, pay_d, grp_d)
 
     labels_flat = np.asarray(jax.device_get(labels_b)).reshape(-1)
     gid_flat = np.asarray(jax.device_get(gid_out)).reshape(-1)
