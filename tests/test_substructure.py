@@ -266,3 +266,36 @@ def test_foftype_variants_find_subhalo(foftype):
     overlap = (main & member).sum()
     assert overlap > 0.3 * member.sum()
     assert (main & ~member).sum() < 0.25 * max(main.sum(), 1)
+
+
+def test_phaseengrid_background_grid():
+    """Grid_type=2 (PHASEENGRID, reference allvars.h:171) splits background
+    cells in 6D phase space: a spatially overlapping cold stream separates
+    into its own cells, which the physical grid cannot do."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    pos = rng.random((n, 3)).astype(np.float32)
+    vel = rng.normal(0, 100.0, (n, 3)).astype(np.float32)
+    # cold co-spatial stream
+    vel[:512] = np.array([500.0, 0, 0]) + rng.normal(0, 2.0, (512, 3))
+    mass = np.ones(n, np.float32)
+
+    from velociraptor_stf_tpu.models import bgfield as B
+
+    cp1, gv1, gi1, ok1 = B.background_grid(jnp.asarray(pos),
+                                           jnp.asarray(vel),
+                                           jnp.asarray(mass), 256,
+                                           gridtype=1)
+    cp2, gv2, gi2, ok2 = B.background_grid(jnp.asarray(pos),
+                                           jnp.asarray(vel),
+                                           jnp.asarray(mass), 256,
+                                           gridtype=2)
+    gv2 = np.asarray(gv2)
+    gv1 = np.asarray(gv1)
+    # phase grid concentrates the stream into far fewer cells, pulling
+    # those cells' mean vx toward the bulk (vx ~ 500); the physical grid
+    # dilutes it evenly (mean vx ~ stream fraction x 500 ~ 60)
+    assert gv2[np.asarray(ok2), 0].max() > 150.0
+    assert gv1[np.asarray(ok1), 0].max() < 100.0

@@ -40,13 +40,18 @@ from ..utils.config import MINSUBSIZE
 MAXNGRID = 6  # reference allvars.h:185 (interpolation uses MAXNGRID+1 cells)
 
 
-@partial(jax.jit, static_argnames=("cellsize",))
-def background_grid(pos, vel, mass, cellsize: int):
+@partial(jax.jit, static_argnames=("cellsize", "gridtype"))
+def background_grid(pos, vel, mass, cellsize: int, gridtype: int = 1):
     """Equal-count background cells from the Morton-sorted particle array.
 
     Returns (cellpos (C,3), gvel (C,3), gveldisp_inv (C,3,3), cell_ok (C,)).
     ``cellsize`` = particles per cell (reference Ncell = max(MINCELLSIZE,
     Ncellfac*N), bgfield.cxx:21).
+
+    ``gridtype`` (reference Grid_type, allvars.h:170-172): 1/3 =
+    physical-space cells (PHYSENGRID/PHYSGRID — both equal-count here);
+    2 = PHASEENGRID, cells split in 6D phase space with velocities scaled
+    to the positional extent (the reference's phase-space tree grid).
     """
     n = pos.shape[0]
     npad = 1
@@ -64,7 +69,14 @@ def background_grid(pos, vel, mass, cellsize: int):
     pos_ext = jnp.concatenate([pos, farpos])
     vel_ext = jnp.concatenate([vel, jnp.zeros((extra, 3), vel.dtype)])
     mass_ext = jnp.concatenate([mass, jnp.zeros(extra, mass.dtype)])
-    pad_idx = median_partition(pos_ext, levels)
+    if gridtype == 2:  # PHASEENGRID: split on scaled 6D phase coordinates
+        vext = jnp.maximum(jnp.max(vel, 0) - jnp.min(vel, 0), 1e-30)
+        xext = jnp.maximum(hi - lo, 1e-30)
+        scale = jnp.max(xext) / jnp.maximum(jnp.max(vext), 1e-30)
+        phase_ext = jnp.concatenate([pos_ext, vel_ext * scale], axis=1)
+        pad_idx = median_partition(phase_ext, levels)
+    else:
+        pad_idx = median_partition(pos_ext, levels)
     valid = (pad_idx < n).reshape(C, chunk)
     P = pos_ext[pad_idx].reshape(C, chunk, 3)
     V = vel_ext[pad_idx].reshape(C, chunk, 3)

@@ -617,7 +617,8 @@ def structure_outliers(opt: C.Options, pos, vel, mass, valid,
     cellsize = int(max(C.MINCELLSIZE, opt.Ncellfac * nsub))
     cellsize = min(cellsize, max(32, nsub // 2))
     cellpos, gvel, gdispinv, cok = bgfield.background_grid(
-        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass), cellsize)
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass), cellsize,
+        gridtype=opt.gridtype)
     R = bgfield.denv_ratio(jnp.asarray(pos), jnp.asarray(vel), dens,
                            cellpos, gvel, gdispinv, opt.Nsearch)
     ell, stats = bgfield.outlier_values(R, jnp.asarray(mass),

@@ -48,8 +48,9 @@ def median_partition(pos: jnp.ndarray, levels: int,
         p = pos[order]
         # segment bounding boxes -> longest axis per segment
         big = jnp.asarray(3.4e38, pos.dtype)
-        mins = jnp.full((nseg, 3), big).at[seg].min(p)
-        maxs = jnp.full((nseg, 3), -big).at[seg].max(p)
+        d = pos.shape[1]
+        mins = jnp.full((nseg, d), big).at[seg].min(p)
+        maxs = jnp.full((nseg, d), -big).at[seg].max(p)
         axis = jnp.argmax(maxs - mins, axis=-1)            # (nseg,)
         coord = jnp.take_along_axis(p, axis[seg][:, None], axis=1)[:, 0]
         # sort within segments by the chosen coordinate
