@@ -17,4 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# VR_TEST_TPU=1 keeps the real backend (for the TPU-only parity tests in
+# tests/test_pallas_fof.py); default is the virtual 8-device CPU mesh.
+if os.environ.get("VR_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import fof, segments
+from ..ops import fof, pallas_fof, segments
 from ..utils import config as C
 
 
@@ -116,6 +116,33 @@ def search_full_set(opt: C.Options, pos, vel, mass,
     run6d = opt.fofbgtype in (C.FOF6D, C.FOF6DADAPTIVE)
     reuse_edges = run6d and opt.ellhalo6dxfac <= 1.0
 
+    # Pallas block-range sweep path (TPU): same criteria, same renumbering
+    # semantics, ~3x faster than the edge pipeline at bench scales
+    reach = b3d * max(1.0, opt.ellhalo6dxfac if run6d else 1.0)
+    if pallas_fof.pallas_fof_available(n, boxsize, reach):
+        pf = pallas_fof.PallasFof(pos, vel, boxsize, reach)
+        pfof3, ng3_d = pf.fof3d(b3d, minsize)
+        ng3 = int(jax.device_get(ng3_d))
+        if not (run6d and ng3 > 0):
+            return FieldSearchResult(pfof=pfof3, ngroups=ng3)
+        ell6d = b3d * opt.ellhalo6dxfac
+        nseg = ng3 + 1
+        if opt.fofbgtype == C.FOF6D and not opt.iKeepFOF:
+            vscale2 = velocity_scale_largest_group(vel, mass, pfof3, nseg,
+                                                   opt.ellhalo6dvfac)
+            vs_per_particle = jnp.where(pfof3 > 0, vscale2, 1.0)
+        else:
+            vs_group = velocity_scale_per_group(vel, mass, pfof3, nseg,
+                                                opt.ellhalo6dvfac)
+            vs_per_particle = jnp.where(
+                pfof3 > 0,
+                jnp.maximum(vs_group[jnp.clip(pfof3, 0, nseg - 1)], 1e-30),
+                1.0)
+        pfof6, ng6_d = pf.fof6d(ell6d, pfof3, vs_per_particle, minsize)
+        ng6 = int(jax.device_get(ng6_d))
+        return _finish_6d(opt, pfof3, ng3, pfof6, ng6, vs_per_particle,
+                          minsize)
+
     fields = {"vel": vel} if reuse_edges else None
     edges, binning, grid = fof.build_edges(pos, b3d, boxsize=boxsize,
                                            fields=fields)
@@ -192,7 +219,11 @@ def search_full_set(opt: C.Options, pos, vel, mass,
             spos, 1.0, boxsize=sbox, min_size=minsize, vel=svel,
             extra_fields={"group": pfof3}, predicate=_pred_unit6d_samegroup)
     ng6 = int(jax.device_get(ng6))
+    return _finish_6d(opt, pfof3, ng3, pfof6, ng6, vs_per_particle, minsize)
 
+
+def _finish_6d(opt: C.Options, pfof3, ng3: int, pfof6, ng6: int,
+               vs_per_particle, minsize: int) -> FieldSearchResult:
     if opt.iKeepFOF:
         # keep 3DFOF envelopes as parents of the 6DFOF structures
         # (reference search.cxx:582-655): an envelope survives when it has
