@@ -138,7 +138,12 @@ def search_full_set(opt: C.Options, pos, vel, mass,
                 pfof3 > 0,
                 jnp.maximum(vs_group[jnp.clip(pfof3, 0, nseg - 1)], 1e-30),
                 1.0)
-        pfof6, ng6_d = pf.fof6d(ell6d, pfof3, vs_per_particle, minsize)
+        # 6D links only connect 3DFOF-tagged particles; sweep a compacted
+        # subset context when the tagged fraction is small
+        tag = pfof3 > 0
+        ntag = int(jax.device_get(jnp.sum(tag)))
+        pf6 = pf.subset(tag) if 0 < ntag <= n // 4 else pf
+        pfof6, ng6_d = pf6.fof6d(ell6d, pfof3, vs_per_particle, minsize)
         ng6 = int(jax.device_get(ng6_d))
         return _finish_6d(opt, pfof3, ng3, pfof6, ng6, vs_per_particle,
                           minsize)

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import gravity, segments as seg
+from ..ops import gravity, pallas_gravity, segments as seg
 from ..utils.config import CMVELREF, POTREF, UPART, USYSANDPART, UnbindInfo
 
 _DIRECT_CLASSES = (64, 256, 1024, 4096)
@@ -60,28 +60,44 @@ def compute_potential(pos, mass, pfof, num_groups: int, eps: float,
     g_s = pfof[perm]
     pos_s, mass_s = pos[perm], mass[perm]
     offsets = seg.group_offsets(g_s, num_groups)
-    sizes = np.asarray(jax.device_get(offsets[1:] - offsets[:-1]))  # per gid
-    starts = np.asarray(jax.device_get(offsets[:-1]))
-
-    w_s = jnp.zeros(n, pos.dtype)
+    offs_h = np.asarray(jax.device_get(offsets))     # one tunnel sync
+    sizes = offs_h[1:] - offs_h[:-1]                 # per gid
+    starts = offs_h[:-1]
     gids = np.arange(num_groups + 1)
-    prev_cap = 0
-    for cap in _DIRECT_CLASSES:
-        sel = gids[(gids > 0) & (sizes > prev_cap) & (sizes <= cap)]
-        prev_cap = cap
-        if len(sel) == 0:
-            continue
-        st = jnp.asarray(starts[sel], jnp.int32)
-        cnt = jnp.asarray(sizes[sel], jnp.int32)
-        wb = gravity.potential_class(pos_s, mass_s, st, cnt, cap, eps2, G)
-        karange = jnp.arange(cap, dtype=jnp.int32)
-        idx = jnp.minimum(st[:, None] + karange[None, :], n - 1)
-        valid = karange[None, :] < cnt[:, None]
-        w_s = w_s.at[jnp.where(valid, idx, n).reshape(-1)].add(
-            wb.reshape(-1), mode="drop")
+
+    if pallas_gravity.pallas_potential_available():
+        # single Pallas dense-tile pass over every group up to MAX_DIRECT;
+        # only larger ones fall through to the bucket-tree classes
+        direct_cut = pallas_gravity.MAX_DIRECT
+        gid_direct = g_s
+        if np.any(sizes[1:] > direct_cut):
+            big_mask = jnp.asarray(sizes > direct_cut)
+            gid_direct = jnp.where(big_mask[g_s], 0, g_s)
+        ns_pad = -(-n // pallas_gravity.R_BLOCK) * pallas_gravity.R_BLOCK
+        # kernel returns Sigma m_j / sqrt(d^2+eps^2); Phi = -G * that
+        w_s = (-G) * pallas_gravity.potential_group_sorted(
+            pos_s, mass_s, gid_direct, offsets, ns_pad,
+            float(eps * eps)).astype(pos.dtype)
+        big = gids[(gids > 0) & (sizes > direct_cut)]
+    else:
+        w_s = jnp.zeros(n, pos.dtype)
+        prev_cap = 0
+        for cap in _DIRECT_CLASSES:
+            sel = gids[(gids > 0) & (sizes > prev_cap) & (sizes <= cap)]
+            prev_cap = cap
+            if len(sel) == 0:
+                continue
+            st = jnp.asarray(starts[sel], jnp.int32)
+            cnt = jnp.asarray(sizes[sel], jnp.int32)
+            wb = gravity.potential_class(pos_s, mass_s, st, cnt, cap, eps2, G)
+            karange = jnp.arange(cap, dtype=jnp.int32)
+            idx = jnp.minimum(st[:, None] + karange[None, :], n - 1)
+            valid = karange[None, :] < cnt[:, None]
+            w_s = w_s.at[jnp.where(valid, idx, n).reshape(-1)].add(
+                wb.reshape(-1), mode="drop")
+        big = gids[(gids > 0) & (sizes > _DIRECT_CLASSES[-1])]
     # very large groups: bucket-tree approximation, batched per pow2 size
     # class (zero-mass padding) so the tree kernels run once per class
-    big = gids[(gids > 0) & (sizes > _DIRECT_CLASSES[-1])]
     by_class: dict = {}
     for g in big:
         cpad = 1 << int(np.ceil(np.log2(sizes[g])))
@@ -255,7 +271,7 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
     # is recomputed from the bound survivors between device chunks (<= 4
     # ejection rounds per recompute).
     W_cur = W
-    chunk_iters = 4 if uinfo.bgpot == 0 else 8
+    chunk_iters = 4 if uinfo.bgpot == 0 else 16
     for _ in range(64):  # host-chunked: bounded device time per dispatch
         bound, changed = _unbind_loop(
             vel, mass, pfof, W_cur, potref_vel, num_groups,

@@ -57,7 +57,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cells import CellGrid, build_grid, cell_coords, pack_cells
+from .cells import CellGrid, build_grid, cell_coords
 
 BIG_I32 = np.int32(2**31 - 1)
 SENTINEL = np.float32(1e15)
@@ -109,11 +109,23 @@ def _ghost_pass(pos, vel, src, axis: int, boxsize: float, reach: float,
 # ---------------------------------------------------------------------------
 
 class FofSortCtx(NamedTuple):
-    """Device arrays shared by the 3D and 6D sweeps (built once)."""
+    """Device arrays shared by the 3D and 6D sweeps (built once).
 
+    Cell ids use a two-level (cx, r) pair representation
+    (r = cy*nz + cz) so grids beyond 2^31 cells — 256^3+ boxes at FOF
+    linking lengths — need no int64: the sort is lexicographic on the
+    pair and coverage ranges come from a per-stripe binary search.
+    Velocity arrays are built lazily (``rows_vel``/``cols_v`` are
+    zero-size placeholders until a 6D sweep needs them) — 3D-only
+    contexts at 512^3 scale would otherwise double HBM use.
+    """
+
+    ccx: jnp.ndarray         # (Ns_pad,) i32 x-cell index (pad = nx)
+    ccr: jnp.ndarray         # (Ns_pad,) i32 within-stripe id cy*nz+cz
     rows_pos: jnp.ndarray    # (Ns_pad, 4) f32 sorted positions (row layout)
-    rows_vel: jnp.ndarray    # (Ns_pad, 4) f32 sorted velocities
-    cols_pv: jnp.ndarray     # (8, Ns_pad + CH) f32 [x y z 0 vx vy vz 0]
+    rows_vel: jnp.ndarray    # (Ns_pad, 4) f32 sorted velocities (lazy)
+    cols_p: jnp.ndarray      # (4, Ns_pad + CH) f32 [x y z 0] lane-major
+    cols_v: jnp.ndarray      # (4, Ns_pad + CH) f32 [vx vy vz 0] (lazy)
     ranges: jnp.ndarray      # (nb8, 128) i32 chunk-aligned coverage windows
     src: jnp.ndarray         # (Ns_pad,) i32 original index, -1 = padding
     is_real: jnp.ndarray     # (Ns_pad,) bool (not ghost, not padding)
@@ -126,9 +138,10 @@ class FofSortCtx(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("grid", "cap_total", "ns_pad", "caps",
-                                   "boxsize", "reach"))
+                                   "boxsize", "reach", "with_vel"))
 def _build_ctx(pos, vel, grid: CellGrid, caps: Tuple[int, int, int],
-               cap_total: int, ns_pad: int, boxsize: float, reach: float):
+               cap_total: int, ns_pad: int, boxsize: float, reach: float,
+               with_vel: bool):
     n = pos.shape[0]
     src = jnp.arange(n, dtype=jnp.int32)
     overflow = jnp.bool_(False)
@@ -139,25 +152,40 @@ def _build_ctx(pos, vel, grid: CellGrid, caps: Tuple[int, int, int],
             overflow = overflow | (cnt > caps[axis])
     ntot = pos.shape[0]
     assert ntot == cap_total
-    cid = pack_cells(cell_coords(pos, grid), grid)
-    cid = jnp.where(src >= 0, cid, BIG_I32 // 2)     # padding sorts last
-    order = jnp.argsort(cid).astype(jnp.int32)
-    cid_s = cid[order]
+    nx, ny, nz = grid.ncells
+    c = cell_coords(pos, grid)
+    ccx = jnp.where(src >= 0, c[:, 0], nx)          # padding sorts last
+    ccr = jnp.where(src >= 0, c[:, 1] * nz + c[:, 2], 0)
+    if grid.total_cells <= 2**31 - 2:
+        # flat key fits int32: one sort
+        order = jnp.argsort(ccx * (ny * nz) + ccr).astype(jnp.int32)
+    else:
+        # lexicographic (cx, r) via two stable sorts (int64-free)
+        o1 = jnp.argsort(ccr, stable=True).astype(jnp.int32)
+        order = o1[jnp.argsort(ccx[o1], stable=True).astype(jnp.int32)]
+    cx_s = ccx[order]
+    cr_s = ccr[order]
     pos_s = pos[order]
-    vel_s = vel[order]
     src_s = src[order]
 
     pad = ns_pad - ntot
     rows_pos = jnp.zeros((ns_pad, 4), jnp.float32)
     rows_pos = rows_pos.at[:ntot, :3].set(pos_s)
     rows_pos = rows_pos.at[ntot:, :3].set(SENTINEL)
-    rows_vel = jnp.zeros((ns_pad, 4), jnp.float32)
-    rows_vel = rows_vel.at[:ntot, :3].set(vel_s)
-    cols_pv = jnp.full((8, ns_pad + CH), SENTINEL, jnp.float32)
-    cols_pv = cols_pv.at[0:3, :ntot].set(pos_s.T)
-    cols_pv = cols_pv.at[3, :].set(0.0)
-    cols_pv = cols_pv.at[4:7, :ntot].set(vel_s.T)
-    cols_pv = cols_pv.at[7, :].set(0.0)
+    cols_p = jnp.full((4, ns_pad + CH), SENTINEL, jnp.float32)
+    cols_p = cols_p.at[0:3, :ntot].set(pos_s.T)
+    cols_p = cols_p.at[3, :].set(0.0)
+    if with_vel:
+        vel_s = vel[order]
+        rows_vel = jnp.zeros((ns_pad, 4), jnp.float32)
+        rows_vel = rows_vel.at[:ntot, :3].set(vel_s)
+        cols_v = jnp.zeros((4, ns_pad + CH), jnp.float32)
+        cols_v = cols_v.at[0:3, :ntot].set(vel_s.T)
+    else:
+        # lazy: 3D-only sweeps never touch velocities; _fill_vel
+        # materialises them on the first 6D use
+        rows_vel = jnp.zeros((0, 4), jnp.float32)
+        cols_v = jnp.zeros((4, 0), jnp.float32)
 
     src_pad = jnp.concatenate([src_s, jnp.full(pad, -1, jnp.int32)])
     # a slot is a ghost iff its pre-sort index >= n
@@ -181,38 +209,82 @@ def _build_ctx(pos, vel, grid: CellGrid, caps: Tuple[int, int, int],
     grs = jnp.where(gvalid, real_slot[jnp.where(gsrc >= 0, gsrc, 0)], 0)
     gslots = jnp.where(gvalid, gslots, 0)
 
-    # block coverage ranges (chunk-aligned)
+    cx_pad = jnp.concatenate([cx_s, jnp.full(pad, nx, jnp.int32)])
+    cr_pad = jnp.concatenate([cr_s, jnp.zeros(pad, jnp.int32)])
+    ranges = _block_ranges(cx_pad, cr_pad, grid)
+    return FofSortCtx(cx_pad, cr_pad, rows_pos, rows_vel, cols_p, cols_v,
+                      ranges, src_pad, is_real, real_slot, gslots, grs,
+                      overflow, n, ns_pad)
+
+
+def _locate_pair(cx_pad, cr_pad, stripe_start, qx, qr, nx: int, right: bool):
+    """Vectorised lexicographic searchsorted over the (cx, r) pair arrays:
+    position of (qx, qr) in the sorted real data (padding excluded).
+    ``stripe_start[k]`` = first slot with cx >= k (size nx+1; [nx] = end of
+    real data).  Per-stripe branchless binary search on ``cr_pad``."""
+    ns_pad = cr_pad.shape[0]
+    qxc = jnp.clip(qx, 0, nx - 1)
+    lo = stripe_start[qxc]
+    hi = stripe_start[qxc + 1]
+    for _ in range(max(int(ns_pad).bit_length(), 1)):
+        mid = jnp.minimum((lo + hi) // 2, ns_pad - 1)
+        v = cr_pad[mid]
+        go = (v <= qr) if right else (v < qr)
+        active = lo < hi
+        lo = jnp.where(active & go, mid + 1, lo)
+        hi = jnp.where(active & ~go, mid, hi)
+    return jnp.where(qx < 0, 0,
+                     jnp.where(qx >= nx, stripe_start[nx], lo))
+
+
+def _block_ranges(cx_pad, cr_pad, grid: CellGrid):
+    """(nb8, 128) chunk-aligned coverage windows per R_BLOCK of sorted
+    (cx, r) cell pairs (cols 0-5 = [c0ch, nch] per dx in (-1, 0, +1)).
+
+    Pair representation + per-stripe binary search instead of a flat
+    packed id keeps everything int32 for grids beyond 2^31 cells."""
+    ns_pad = cr_pad.shape[0]
     nblocks = ns_pad // R_BLOCK
     nx, ny, nz = grid.ncells
-    total = grid.total_cells
-    cid_pad = jnp.concatenate(
-        [cid_s, jnp.full(pad, BIG_I32 // 2, jnp.int32)])
+    nynz = ny * nz
+    stripe_start = jnp.searchsorted(
+        cx_pad, jnp.arange(nx + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
     bidx = jnp.arange(nblocks, dtype=jnp.int32)
-    c0 = jnp.minimum(cid_pad[bidx * R_BLOCK], total - 1)
-    c1 = jnp.minimum(cid_pad[jnp.minimum((bidx + 1) * R_BLOCK, ns_pad) - 1],
-                     total - 1)
-    cols = []
-    for dx in (-1, 0, 1):
-        delta = dx * ny * nz
-        lo_q = c0 + (delta - nz - 1)
-        hi_q = c1 + (delta + nz + 1)
-        s = jnp.searchsorted(cid_pad, lo_q, side="left").astype(jnp.int32)
-        e = jnp.searchsorted(cid_pad, hi_q, side="right").astype(jnp.int32)
-        c0ch = s // CH
-        nch = jnp.maximum(-(-(e - c0ch * CH) // CH), 0)
-        nch = jnp.where(e > s, nch, 0)
-        cols.extend([c0ch, nch])
+    x0 = cx_pad[bidx * R_BLOCK]
+    r0 = cr_pad[bidx * R_BLOCK]
+    last = jnp.minimum((bidx + 1) * R_BLOCK, ns_pad) - 1
+    x1 = cx_pad[last]
+    r1 = cr_pad[last]
+    # lo query: (x0+dx, r0-(nz+1)); hi query: (x1+dx, r1+nz+1); normalise
+    # the mixed radix (|offset| < nynz so one borrow/carry suffices)
+    dxs = jnp.array([-1, 0, 1], jnp.int32)[:, None]
+    qr_lo = r0[None, :] - (nz + 1)
+    borrow = (qr_lo < 0).astype(jnp.int32)
+    qx_lo = x0[None, :] + dxs - borrow
+    qr_lo = qr_lo + borrow * nynz
+    qr_hi = r1[None, :] + (nz + 1)
+    carry = (qr_hi >= nynz).astype(jnp.int32)
+    qx_hi = x1[None, :] + dxs + carry
+    qr_hi = qr_hi - carry * nynz
+    s = _locate_pair(cx_pad, cr_pad, stripe_start, qx_lo, qr_lo, nx, False)
+    e = _locate_pair(cx_pad, cr_pad, stripe_start, qx_hi, qr_hi, nx, True)
+    c0ch = s // CH
+    nch = jnp.maximum(-(-(e - c0ch * CH) // CH), 0)
+    # blocks that start in padding scan nothing (their rows can't link)
+    nch = jnp.where((e > s) & (x0[None, :] < nx), nch, 0)
+    cols = [c0ch[0], nch[0], c0ch[1], nch[1], c0ch[2], nch[2]]
     # SMEM arrays are lane-padded to 128 and capped at ~1 MB; ship ranges
     # as (8, 128) pipelined blocks instead of one whole-array allocation
     nb8 = -(-nblocks // 8) * 8
     ranges = jnp.zeros((nb8, 128), jnp.int32)
     ranges = ranges.at[:nblocks, : len(cols)].set(jnp.stack(cols, axis=1))
-    return FofSortCtx(rows_pos, rows_vel, cols_pv, ranges, src_pad, is_real,
-                      real_slot, gslots, grs, overflow, n, ns_pad)
+    return ranges
 
 
 def build_fof_ctx(pos, vel, boxsize: Optional[float], reach: float,
-                  ghost_fac: float = 3.0) -> FofSortCtx:
+                  ghost_fac: float = 3.0, return_grid: bool = False,
+                  with_vel: bool = False):
     """Host wrapper: pick static capacities / grid, build the device ctx.
 
     ``reach`` must be >= every linking length later swept on this ctx.
@@ -237,18 +309,95 @@ def build_fof_ctx(pos, vel, boxsize: Optional[float], reach: float,
         cap_total = n
         box = 0.0
     grid = build_grid(np.asarray(lo, np.float64), np.asarray(hi, np.float64),
-                      reach, periodic=False, boxsize=0.0)
-    # packed-id headroom so block queries c1 + ny*nz + nz + 1 cannot
-    # overflow int32
+                      reach, periodic=False, boxsize=0.0,
+                      max_total_cells=2**62)
+    # the (cx, r) pair representation only needs r = cy*nz + cz and the
+    # query offset nz+1 to fit int32 (grids beyond 2^31 TOTAL cells are fine)
     _, ny, nz = grid.ncells
-    assert grid.total_cells <= 2**31 - 2 * (ny * nz + nz + 2), \
-        "grid too large for the pallas FOF path"
+    assert ny * nz + nz + 2 <= 2**31 - 1, \
+        "grid stripe too large for the pallas FOF path"
     ns_pad = -(-cap_total // R_BLOCK) * R_BLOCK
     ctx = _build_ctx(pos, vel, grid, caps, cap_total, ns_pad,
-                     box, float(reach))
+                     box, float(reach), with_vel)
     # jit turns the int fields into device scalars; restore host ints so
     # they can serve as static jit arguments downstream
-    return ctx._replace(n=n, ns_pad=ns_pad)
+    ctx = ctx._replace(n=n, ns_pad=ns_pad)
+    if return_grid:
+        return ctx, grid
+    return ctx
+
+
+@jax.jit
+def _fill_vel(ctx: FofSortCtx, vel_orig):
+    """Materialise the lazy velocity arrays on an existing ctx (ghost slots
+    take their source particle's velocity — ghost shifts are position-only)."""
+    ns_pad = ctx.src.shape[0]
+    valid = ctx.src >= 0
+    safe_src = jnp.clip(ctx.src, 0, vel_orig.shape[0] - 1)
+    vel_s = jnp.where(valid[:, None], vel_orig[safe_src], 0.0).astype(
+        jnp.float32)
+    rows_vel = jnp.zeros((ns_pad, 4), jnp.float32).at[:, :3].set(vel_s)
+    cols_v = jnp.zeros((4, ns_pad + CH), jnp.float32)
+    cols_v = cols_v.at[0:3, :ns_pad].set(vel_s.T)
+    return ctx._replace(rows_vel=rows_vel, cols_v=cols_v)
+
+
+@partial(jax.jit, static_argnames=("ns_pad_new", "grid"))
+def _subset_ctx(ctx: FofSortCtx, keep_orig, vel_orig, ns_pad_new: int,
+                grid: CellGrid):
+    """Compact the ctx to the slots whose ORIGINAL particle is in
+    ``keep_orig`` (ghost slots follow their source), preserving cell-sort
+    order.  Valid when the criterion swept on the subset can only link kept
+    particles (e.g. 6DFOF within 3DFOF groups: all members are tagged).
+    Velocities are always materialised (subsets exist for 6D sweeps),
+    gathered from ``vel_orig`` so the parent ctx may be position-only."""
+    ns_pad = ctx.src.shape[0]
+    n = keep_orig.shape[0]
+    safe_src = jnp.clip(ctx.src, 0, n - 1)
+    keep = jnp.where(ctx.src >= 0, keep_orig[safe_src], False)
+    dest = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep, dest, ns_pad_new)
+    slot_ids = jnp.arange(ns_pad, dtype=jnp.int32)
+    sub_idx = jnp.zeros(ns_pad_new, jnp.int32).at[dest].set(
+        slot_ids, mode="drop")
+    count = jnp.sum(keep)
+    svalid = jnp.arange(ns_pad_new) < count
+    overflow = ctx.overflow | (count > ns_pad_new)
+    sub_idx = jnp.where(svalid, sub_idx, 0)
+
+    nx = grid.ncells[0]
+    ccx = jnp.where(svalid, ctx.ccx[sub_idx], nx)
+    ccr = jnp.where(svalid, ctx.ccr[sub_idx], 0)
+    rows_pos = jnp.where(svalid[:, None], ctx.rows_pos[sub_idx], SENTINEL)
+    src = jnp.where(svalid, ctx.src[sub_idx], -1)
+    vel_sub = jnp.where((src >= 0)[:, None],
+                        vel_orig[jnp.clip(src, 0, n - 1)], 0.0).astype(
+        jnp.float32)
+    rows_vel = jnp.zeros((ns_pad_new, 4), jnp.float32).at[:, :3].set(vel_sub)
+    cols_p = jnp.full((4, ns_pad_new + CH), SENTINEL, jnp.float32)
+    cols_p = cols_p.at[0:3, :ns_pad_new].set(rows_pos[:, :3].T)
+    cols_p = cols_p.at[3, :].set(0.0)
+    cols_v = jnp.zeros((4, ns_pad_new + CH), jnp.float32)
+    cols_v = cols_v.at[0:3, :ns_pad_new].set(vel_sub.T)
+    is_real = jnp.where(svalid, ctx.is_real[sub_idx], False)
+    new_slots = jnp.arange(ns_pad_new, dtype=jnp.int32)
+    real_slot = jnp.zeros(n, jnp.int32).at[
+        jnp.where(is_real, src, n)].set(new_slots, mode="drop")
+    is_ghost = svalid & ~is_real & (src >= 0)
+    g_cap = ctx.gslots.shape[0]
+    gdest = jnp.cumsum(is_ghost) - 1
+    gdest = jnp.where(is_ghost, gdest, g_cap)
+    gslots = jnp.zeros(g_cap, jnp.int32).at[gdest].set(
+        new_slots, mode="drop")
+    gcount = jnp.sum(is_ghost)
+    gvalid = jnp.arange(g_cap) < gcount
+    gslots = jnp.where(gvalid, gslots, 0)
+    gsrc = src[gslots]
+    grs = jnp.where(gvalid, real_slot[jnp.clip(gsrc, 0, n - 1)], 0)
+    ranges = _block_ranges(ccx, ccr, grid)
+    return FofSortCtx(ccx, ccr, rows_pos, rows_vel, cols_p, cols_v, ranges,
+                      src, is_real, real_slot, gslots, grs, overflow,
+                      ctx.n, ns_pad_new)
 
 
 # ---------------------------------------------------------------------------
@@ -295,22 +444,22 @@ def _run_chunks(rng_ref, br, nm0, get_dmas, compute):
     return jax.lax.fori_loop(0, ntot, body, nm0)
 
 
-def _sweep_kernel_3d(b2, rng_ref, rpos_ref, rlab_ref, pv_hbm, lab_hbm,
-                     out_ref, cpv, clab, sem_pv, sem_int):
+def _sweep_kernel_3d(b2, rng_ref, rpos_ref, rlab_ref, p_hbm, lab_hbm,
+                     out_ref, cp_, clab, sem_p, sem_int):
     b = pl.program_id(0)
     br = jax.lax.rem(b, 8)
     nm0 = rlab_ref[:]                              # (R,1)
 
     def get_dmas(off, slot):
         return (
-            pltpu.make_async_copy(pv_hbm.at[:, pl.ds(off, CH)],
-                                  cpv.at[slot], sem_pv.at[slot]),
+            pltpu.make_async_copy(p_hbm.at[:, pl.ds(off, CH)],
+                                  cp_.at[slot], sem_p.at[slot]),
             pltpu.make_async_copy(lab_hbm.at[:, pl.ds(off, CH)],
                                   clab.at[slot], sem_int.at[slot]),
         )
 
     def compute(nm, slot):
-        cp = cpv[slot]                             # (8,CH)
+        cp = cp_[slot]                             # (4,CH)
         cl = clab[slot]                            # (1,CH)
         dx = rpos_ref[:, 0:1] - cp[0:1, :]
         d2 = dx * dx
@@ -325,8 +474,8 @@ def _sweep_kernel_3d(b2, rng_ref, rpos_ref, rlab_ref, pv_hbm, lab_hbm,
 
 
 def _sweep_kernel_6d(inv_b2, rng_ref, rpos_ref, rvel_ref, rivs_ref, rgrp_ref,
-                     rlab_ref, pv_hbm, gl_hbm, out_ref, cpv, cgl,
-                     sem_pv, sem_int):
+                     rlab_ref, p_hbm, v_hbm, gl_hbm, out_ref, cp_, cv_, cgl,
+                     sem_p, sem_v, sem_int):
     """6D criterion: d2/b6^2 + dv2/vscale2_row <= 1, same nonzero 3D group
     (reference search.cxx:552-576 per-group TPHS-tree FOF)."""
     b = pl.program_id(0)
@@ -335,14 +484,17 @@ def _sweep_kernel_6d(inv_b2, rng_ref, rpos_ref, rvel_ref, rivs_ref, rgrp_ref,
 
     def get_dmas(off, slot):
         return (
-            pltpu.make_async_copy(pv_hbm.at[:, pl.ds(off, CH)],
-                                  cpv.at[slot], sem_pv.at[slot]),
+            pltpu.make_async_copy(p_hbm.at[:, pl.ds(off, CH)],
+                                  cp_.at[slot], sem_p.at[slot]),
+            pltpu.make_async_copy(v_hbm.at[:, pl.ds(off, CH)],
+                                  cv_.at[slot], sem_v.at[slot]),
             pltpu.make_async_copy(gl_hbm.at[:, pl.ds(off, CH)],
                                   cgl.at[slot], sem_int.at[slot]),
         )
 
     def compute(nm, slot):
-        cp = cpv[slot]                             # (8,CH)
+        cp = cp_[slot]                             # (4,CH)
+        cv = cv_[slot]                             # (4,CH)
         cg = cgl[slot]                             # (2,CH) [group, label]
         dx = rpos_ref[:, 0:1] - cp[0:1, :]
         d2 = dx * dx
@@ -350,11 +502,11 @@ def _sweep_kernel_6d(inv_b2, rng_ref, rpos_ref, rvel_ref, rivs_ref, rgrp_ref,
         d2 += dy * dy
         dz = rpos_ref[:, 2:3] - cp[2:3, :]
         d2 += dz * dz
-        du = rvel_ref[:, 0:1] - cp[4:5, :]
+        du = rvel_ref[:, 0:1] - cv[0:1, :]
         dv2 = du * du
-        du = rvel_ref[:, 1:2] - cp[5:6, :]
+        du = rvel_ref[:, 1:2] - cv[1:2, :]
         dv2 += du * du
-        du = rvel_ref[:, 2:3] - cp[6:7, :]
+        du = rvel_ref[:, 2:3] - cv[2:3, :]
         dv2 += du * du
         phase = d2 * inv_b2 + dv2 * rivs_ref[:]
         ok = (phase <= 1.0) & (rgrp_ref[:] == cg[0:1, :]) & \
@@ -389,7 +541,7 @@ def _make_sweep_3d(ns_pad: int, b2: float):
         ],
         out_specs=_row_spec(1),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, CH), jnp.float32),
+            pltpu.VMEM((2, 4, CH), jnp.float32),
             pltpu.VMEM((2, 1, CH), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -413,11 +565,14 @@ def _make_sweep_6d(ns_pad: int, inv_b2: float):
             _row_spec(1),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=_row_spec(1),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, CH), jnp.float32),
+            pltpu.VMEM((2, 4, CH), jnp.float32),
+            pltpu.VMEM((2, 4, CH), jnp.float32),
             pltpu.VMEM((2, 2, CH), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -476,7 +631,7 @@ def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
         lab_col = jnp.concatenate(
             [labels, jnp.full(CH, BIG_I32, jnp.int32)])[None, :]
         nm = sweep(ctx.ranges, ctx.rows_pos, labels[:, None],
-                   ctx.cols_pv, lab_col)
+                   ctx.cols_p, lab_col)
         return nm[:, 0]
 
     return _fixpoint(sweep_fn, ctx, max_sweeps)
@@ -500,7 +655,8 @@ def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
             jnp.concatenate([labels, jnp.full(CH, BIG_I32, jnp.int32)]),
         ])
         nm = sweep(ctx.ranges, ctx.rows_pos, ctx.rows_vel, ivs_s[:, None],
-                   grp_s[:, None], labels[:, None], ctx.cols_pv, gl_col)
+                   grp_s[:, None], labels[:, None], ctx.cols_p, ctx.cols_v,
+                   gl_col)
         return nm[:, 0]
 
     return _fixpoint(sweep_fn, ctx, max_sweeps)
@@ -538,7 +694,9 @@ def _renumber_masked(labels, ctx: FofSortCtx, n: int, min_size: int):
 
 def pallas_fof_available(n: int, boxsize: Optional[float],
                          reach: float) -> bool:
-    """Host check: TPU backend + grid fits packed int32 with headroom."""
+    """Host check: TPU backend + one grid stripe fits int32 (the (cx, r)
+    pair keys need ny*nz + nz + 2 < 2^31 — i.e. up to ~46000 cells/dim,
+    far beyond any single-chip HBM anyway)."""
     env = os.environ.get("VR_FOF_PALLAS")
     if env == "0":
         return False
@@ -550,15 +708,34 @@ def pallas_fof_available(n: int, boxsize: Optional[float],
         ncell = int(np.floor((boxsize + 2 * reach) / reach))
     else:
         return env == "1"  # non-periodic: only when forced (rarely hot)
-    nynz = ncell * ncell
-    return ncell ** 3 <= 2**31 - 2 * (nynz + ncell + 2)
+    return ncell * (ncell + 1) + 2 <= 2**31 - 1
 
 
 class PallasFof:
-    """Per-snapshot FOF context: build once, sweep 3D and 6D criteria."""
+    """Per-snapshot FOF context: build once, sweep 3D and 6D criteria.
+
+    The context is built position-only; velocity arrays are materialised
+    on the first 6D sweep (or gathered into a subset context), halving
+    steady HBM for the dominant 3D phase at 512^3 scale."""
 
     def __init__(self, pos, vel, boxsize: Optional[float], reach: float):
-        self.ctx = build_fof_ctx(pos, vel, boxsize, reach)
+        self._vel = jnp.asarray(vel, jnp.float32)
+        self.ctx, self.grid = build_fof_ctx(pos, vel, boxsize, reach,
+                                            return_grid=True)
+
+    def subset(self, keep_orig) -> "PallasFof":
+        """Compacted context over the kept particles (e.g. 3DFOF-tagged
+        before the 6D sweep); ~(N/ntag)x cheaper per sweep."""
+        count = int(jax.device_get(jnp.sum(keep_orig)))
+        ns_pad_new = _pad_pow2(max(count, R_BLOCK), lo=R_BLOCK)
+        sub = object.__new__(PallasFof)
+        sub._vel = self._vel
+        sub.ctx = _subset_ctx(self.ctx, jnp.asarray(keep_orig), self._vel,
+                              ns_pad_new,
+                              self.grid)._replace(n=self.ctx.n,
+                                                  ns_pad=ns_pad_new)
+        sub.grid = self.grid
+        return sub
 
     def fof3d(self, linking_length: float, min_size: int):
         labels, _ = _fof3d_labels(self.ctx, self.ctx.ns_pad,
@@ -566,6 +743,9 @@ class PallasFof:
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
 
     def fof6d(self, ell6d: float, groups_orig, vscale2_orig, min_size: int):
+        if self.ctx.rows_vel.shape[0] == 0:
+            self.ctx = _fill_vel(self.ctx, self._vel)._replace(
+                n=self.ctx.n, ns_pad=self.ctx.ns_pad)
         labels, _ = _fof6d_labels(self.ctx, jnp.asarray(groups_orig),
                                   jnp.asarray(vscale2_orig, jnp.float32),
                                   self.ctx.ns_pad, float(ell6d) ** 2)
