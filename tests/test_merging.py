@@ -104,3 +104,43 @@ def test_subs_phase_merge():
     assert ns == 2 and nc == 0
     assert (out[:n] == out[n:2 * n]).all()
     assert out[2 * n] != out[0]
+
+
+def test_pair_counts_sparse_matches_dense():
+    from velociraptor_stf_tpu.ops import segments as seg
+    rng = np.random.default_rng(3)
+    ng = 57
+    m = 5000
+    gi = rng.integers(0, ng + 1, m).astype(np.int32)
+    gj = rng.integers(0, ng + 1, m).astype(np.int32)
+    mask = (gi > 0) & (gj > 0) & (gi != gj) & (rng.random(m) < 0.7)
+    pi, pj, counts = seg.pair_counts_sparse(gi, gj, mask)
+    dense = np.zeros((ng + 1, ng + 1), np.int64)
+    np.add.at(dense, (gi[mask], gj[mask]), 1)
+    sparse = np.zeros_like(dense)
+    sparse[pi, pj] = counts
+    assert np.array_equal(dense, sparse)
+    # lexicographic pair order (the merge loop relies on it)
+    key = pi.astype(np.int64) * (ng + 2) + pj
+    assert np.all(np.diff(key) > 0)
+
+
+def test_subs_phase_merge_many_groups_fast():
+    """10^4-group phase merge completes quickly (vectorised inner scan)."""
+    import time
+
+    rng = np.random.default_rng(4)
+    nsub = 8000
+    npart = 3 * nsub
+    pfof = np.repeat(np.arange(1, nsub + 1), 3).astype(np.int32)
+    centres = rng.uniform(0, 1000.0, (nsub, 3))
+    pos = (centres[pfof - 1] + rng.normal(0, 0.01, (npart, 3))).astype(
+        np.float32)
+    vel = rng.normal(0, 50.0, (npart, 3)).astype(np.float32)
+    mass = np.ones(npart, np.float32)
+    t0 = time.time()
+    out, ns2, nc2 = S.merge_substructures_phase(
+        pos, vel, mass, pfof, nsub, 0, fdist=2.0)
+    dt = time.time() - t0
+    assert ns2 <= nsub and nc2 == 0
+    assert dt < 30.0  # O(ng^2) Python loops would take minutes

@@ -404,35 +404,39 @@ def merge_linked_groups(pos, vel, ell, pfof, ng: int, opt: C.Options,
     pred = StreamPred(ellx2, opt.Vratio * opt.vfac,
                       math.cos(opt.thetaopen * math.pi * opt.thetafac),
                       opt.ellthreshold * opt.ellfac)
-    # directed (full-stencil) edges: the fmerge test counts links from group
-    # i into group j separately from j into i (reference MergeGroups i-loop)
+    # the fmerge test counts links from group i into group j separately
+    # from j into i (reference MergeGroups i-loop), but the stream
+    # criterion is symmetric, so count(i->j) == count(j->i) == the number
+    # of passing cross pairs: an undirected half-stencil edge list counted
+    # in both orientations reproduces the directed table at half the cost
+    # (and with no coarsened-grid fallback at any scale)
     edges, _, _ = fof.build_edges(
         pos, math.sqrt(ellx2),
         fields={"vel": jnp.asarray(vel), "ell": jnp.asarray(ell)},
-        predicate=pred, half=False)
+        predicate=pred)
     gs = jnp.asarray(pfof_np)[edges.order]
     gi = gs[edges.erow]
     gj = gs[edges.ecol]
+    if edges.undirected:
+        gi, gj = jnp.concatenate([gi, gj]), jnp.concatenate([gj, gi])
     mask = (gi > 0) & (gj > 0) & (gi != gj)
-    # int32 pair key is safe: substructure searches have ng << 46341
-    key = jnp.where(mask, gi * (ng + 1) + gj, 0)
-    counts = np.asarray(jax.device_get(
-        jnp.zeros((ng + 1) * (ng + 1), jnp.int32).at[key].add(
-            mask.astype(jnp.int32)))).reshape(ng + 1, ng + 1)
-    # sequential host merge mirroring MergeGroups' i-loop ordering
+    # sparse distinct-pair link counts (device sort + run-length count):
+    # a dense (ng+1)^2 matrix at thousands of candidates would not fit
+    pi, pj, counts = seg.pair_counts_sparse(gi, gj, mask)
+    # sequential host merge mirroring MergeGroups' (i, j) loop ordering;
+    # pairs arrive lexicographically sorted, so walking the sparse list
+    # reproduces the dense double loop exactly (absorbed flags only ever
+    # suppress later pairs)
     absorbed = np.zeros(ng + 1, bool)
     target = np.arange(ng + 1)
     merged_any = False
-    for i in range(1, ng + 1):
-        if absorbed[i]:
+    thresh = opt.fmerge * sizes_old
+    for i, j, c in zip(pi, pj, counts):
+        if absorbed[i] or absorbed[j] or c <= thresh[j]:
             continue
-        for j in range(1, ng + 1):
-            if j == i or absorbed[j]:
-                continue
-            if counts[i, j] > opt.fmerge * sizes_old[j]:
-                absorbed[j] = True
-                target[target == j] = i
-                merged_any = True
+        absorbed[j] = True
+        target[target == j] = i
+        merged_any = True
     if not merged_any:
         return jnp.asarray(pfof_np), ng
     pfof_np = target[pfof_np]
@@ -517,24 +521,24 @@ def merge_substructures_phase(pos, vel, mass, pfof, numsubs: int,
     f2 = fdist * fdist
     absorbed = np.zeros(ng + 1, bool)
     target = np.arange(ng + 1)
-    for i in range(1, ng + 1):
-        if absorbed[i] or i > numsubs:   # subs iterate; cores don't absorb
+    isig_x, isig_v = 1.0 / sigX, 1.0 / sigV
+    for i in range(1, numsubs + 1):      # subs iterate; cores don't absorb
+        if absorbed[i]:
             continue
-        best, bestd = -1, np.inf
-        for j in range(1, ng + 1):
-            if j == i or absorbed[j]:
-                continue
-            dx2 = np.sum((mu_x[j] - mu_x[i]) ** 2)
-            dv2 = np.sum((mu_v[j] - mu_v[i]) ** 2)
-            d1 = dx2 / sigX[i] + dv2 / sigV[i]
-            d2 = dx2 / sigX[j] + dv2 / sigV[j]
-            if d1 < f2 and d2 < f2:
-                d = 0.5 * (d1 + d2)
-                if d < bestd:
-                    best, bestd = j, d
-        if best >= 0:
-            absorbed[best] = True
-            target[target == best] = i
+        # vectorised inner loop (the reference's j-scan, search.cxx:2289+):
+        # O(ng) numpy per surviving sub instead of O(ng) Python
+        dx2 = np.einsum("jd,jd->j", mu_x - mu_x[i], mu_x - mu_x[i])
+        dv2 = np.einsum("jd,jd->j", mu_v - mu_v[i], mu_v - mu_v[i])
+        d1 = dx2 * isig_x[i] + dv2 * isig_v[i]
+        d2 = dx2 * isig_x + dv2 * isig_v
+        ok = (d1 < f2) & (d2 < f2) & ~absorbed
+        ok[0] = ok[i] = False
+        if not ok.any():
+            continue
+        d = np.where(ok, 0.5 * (d1 + d2), np.inf)
+        best = int(np.argmin(d))
+        absorbed[best] = True
+        target[target == best] = i
     if not absorbed.any():
         return pfof_np, numsubs, numcores
     # compact ids: surviving subs first, then surviving cores

@@ -12,6 +12,7 @@ ragged task scheduling.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -60,6 +61,58 @@ def compact_mask(mask: jnp.ndarray, pad: int):
     sub_idx = jnp.where(svalid, sub_idx, 0)
     scatter_to = jnp.where(svalid, sub_idx, n)
     return sub_idx, svalid, scatter_to
+
+
+@jax.jit
+def _pair_sort_boundaries(gi, gj, mask):
+    big = jnp.int32(2**31 - 1)
+    a = jnp.where(mask, gi, big).astype(jnp.int32)
+    b = jnp.where(mask, gj, big).astype(jnp.int32)
+    # lexicographic (a, b) via two stable argsorts (int32-safe for any ng)
+    o1 = jnp.argsort(b, stable=True).astype(jnp.int32)
+    order = o1[jnp.argsort(a[o1], stable=True).astype(jnp.int32)]
+    a_s, b_s = a[order], b[order]
+    valid = a_s != big
+    first = jnp.concatenate([
+        jnp.ones(1, bool),
+        (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]) & valid
+    return a_s, b_s, first, jnp.sum(first), jnp.sum(valid)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _pair_compact(a_s, b_s, first, n_valid, cap: int):
+    idx, ivalid, _ = compact_mask(first, cap)
+    starts = jnp.where(ivalid, idx, n_valid)
+    ends = jnp.concatenate([starts[1:], jnp.full(1, n_valid, starts.dtype)])
+    ends = jnp.minimum(ends, n_valid)
+    counts = jnp.where(ivalid, ends - starts, 0)
+    pi = jnp.where(ivalid, a_s[idx], 0)
+    pj = jnp.where(ivalid, b_s[idx], 0)
+    return pi, pj, counts
+
+
+def pair_counts_sparse(gi: jnp.ndarray, gj: jnp.ndarray, mask: jnp.ndarray):
+    """Sparse (i, j) pair-occurrence counts over masked index pairs.
+
+    Sorts the pairs lexicographically on device and segment-counts runs —
+    the sparse replacement for a dense (ng+1)^2 link-count matrix
+    (reference MergeGroups' NumberofLinks bookkeeping, search.cxx:3894+),
+    which at thousands of substructure candidates would not fit.  Returns
+    host numpy (pairs_i, pairs_j, counts) of the distinct pairs, ordered
+    lexicographically.  Two tunnel syncs (unique count + compacted table).
+    """
+    a_s, b_s, first, n_unique_d, n_valid_d = _pair_sort_boundaries(
+        jnp.asarray(gi), jnp.asarray(gj), jnp.asarray(mask))
+    n_unique = int(jax.device_get(n_unique_d))
+    if n_unique == 0:
+        z = jnp.zeros(0, jnp.int32)
+        return (jax.device_get(z),) * 3
+    cap = 1 << max(int(n_unique - 1).bit_length(), 4)
+    pi, pj, counts = _pair_compact(a_s, b_s, first, n_valid_d, cap)
+    import numpy as _np
+    pi, pj, counts = (_np.asarray(jax.device_get(x))[:n_unique]
+                      for x in (pi, pj, counts))
+    return pi, pj, counts
 
 
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
