@@ -114,3 +114,68 @@ def test_distributed_fof6d_matches_single_device():
     both = (pfof_s > 0) | (pfof_d > 0)
     agree = (pfof_s > 0) & (pfof_d > 0)
     assert agree.sum() / max(both.sum(), 1) > 0.995
+
+
+def test_distributed_unbind_matches_single_device():
+    """Whole-group device assignment + local ejection must reproduce the
+    single-device bound masks and renumbered labels bit-for-bit."""
+    from velociraptor_stf_tpu.models import unbind as ub
+    from velociraptor_stf_tpu.parallel.distributed_unbind import \
+        distributed_unbind
+    from velociraptor_stf_tpu.utils import config as C
+
+    n = 1 << 14
+    boxsize = 20.0
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=10, seed=31)
+    b = 0.2 * boxsize / n ** (1 / 3)
+    pfof_s, ng_s = fof.fof3d(pos, b, boxsize=boxsize, min_size=20)
+    pfof_s = np.asarray(jax.device_get(pfof_s))
+    ng_s = int(jax.device_get(ng_s))
+    assert ng_s >= 3
+
+    uinfo = C.UnbindInfo()
+    uinfo.unbindflag = 1
+    uinfo.Eratio = 1.0
+    G = 43.0211349
+
+    res_s = ub.check_unbound_groups(pos, vel, mass, pfof_s, ng_s, uinfo, G,
+                                    boxsize=boxsize, min_size=20)
+    mesh = M.make_mesh(8)
+    res_d = distributed_unbind(pos, vel, mass, pfof_s, ng_s, uinfo, G,
+                               mesh, boxsize=boxsize, min_size=20)
+    assert res_d.ngroups == res_s.ngroups
+    bs = np.asarray(jax.device_get(res_s.bound))
+    bd = np.asarray(jax.device_get(res_d.bound))
+    assert np.array_equal(bs, bd)
+    assert _partition_equal(np.asarray(jax.device_get(res_s.pfof)),
+                            np.asarray(jax.device_get(res_d.pfof)))
+
+
+def test_distributed_unbind_bgpot_recompute():
+    """Keep_background_potential=0 (recompute between chunks) also matches."""
+    from velociraptor_stf_tpu.models import unbind as ub
+    from velociraptor_stf_tpu.parallel.distributed_unbind import \
+        distributed_unbind
+    from velociraptor_stf_tpu.utils import config as C
+
+    n = 1 << 13
+    boxsize = 20.0
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=6, seed=32)
+    b = 0.2 * boxsize / n ** (1 / 3)
+    pfof_s, ng_s = fof.fof3d(pos, b, boxsize=boxsize, min_size=20)
+    pfof_s = np.asarray(jax.device_get(pfof_s))
+    ng_s = int(jax.device_get(ng_s))
+    assert ng_s >= 2
+
+    uinfo = C.UnbindInfo()
+    uinfo.unbindflag = 1
+    uinfo.Eratio = 1.0
+    uinfo.bgpot = 0
+    G = 43.0211349
+    res_s = ub.check_unbound_groups(pos, vel, mass, pfof_s, ng_s, uinfo, G,
+                                    boxsize=boxsize, min_size=20)
+    res_d = distributed_unbind(pos, vel, mass, pfof_s, ng_s, uinfo, G,
+                               M.make_mesh(4), boxsize=boxsize, min_size=20)
+    assert res_d.ngroups == res_s.ngroups
+    assert np.array_equal(np.asarray(jax.device_get(res_s.bound)),
+                          np.asarray(jax.device_get(res_d.bound)))

@@ -176,8 +176,12 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
 
     if bound0 is None:
         bound0 = in_group
+    # scalar carries derived from bound0 so their varying-axes type matches
+    # bound0's under jax.shard_map (no-op values: True and 0)
+    changed0 = jnp.any(bound0 | jnp.bool_(True))
+    it0 = jnp.max(jnp.zeros_like(pfof))
     bound, changed, iters = jax.lax.while_loop(
-        cond_fn, body_fn, (bound0, jnp.bool_(True), jnp.int32(0)))
+        cond_fn, body_fn, (bound0, changed0, it0))
     return bound, changed
 
 

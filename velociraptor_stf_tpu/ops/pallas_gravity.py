@@ -125,7 +125,13 @@ def potential_group_sorted(pos_s, mass_s, gid_s, offsets, ns_pad: int,
     rows_pos = jnp.zeros((ns_pad, 4), jnp.float32)
     rows_pos = rows_pos.at[:ns, :3].set(pos_s)
     rows_pos = rows_pos.at[ns:, :3].set(np.float32(1e15))
-    rgrp = jnp.concatenate([gid_s, jnp.zeros(pad, jnp.int32)])[:, None]
+    # row-side padding carries the LAST real gid, not 0: the per-block
+    # coverage below reads g_hi from the final slot of each block, and a
+    # zero there would empty the range for real rows sharing that block
+    # (padding rows are sliced off the output; column-side padding stays
+    # gid 0 / mass 0 so it contributes nothing)
+    rgrp = jnp.concatenate(
+        [gid_s, jnp.broadcast_to(gid_s[ns - 1], (pad,))])[:, None]
     cols_pm = jnp.full((4, ns_pad + CH), np.float32(1e15), jnp.float32)
     cols_pm = cols_pm.at[0:3, :ns].set(pos_s.T)
     cols_pm = cols_pm.at[3, :].set(0.0)
