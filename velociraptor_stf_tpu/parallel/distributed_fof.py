@@ -100,10 +100,143 @@ def _take_first_k(mask: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return idx, ok
 
 
+class SlabPlan:
+    """Reusable slab decomposition: packed device blocks + static sizes.
+
+    Built once per snapshot+grid on DEVICE (the host numpy prepass of the
+    round-1 design is gone: binning, packing and the candidate-total
+    stencil run as jnp programs; only three scalars — max shard load, max
+    boundary-column count, max candidate total — are fetched to size the
+    static shapes, the analog of the reference's
+    ``MPINumInDomain``/export-count prepass, mpiroutines.cxx:1203+).
+    """
+
+    def __init__(self, pos, linking_length: float, boxsize: float,
+                 mesh: Mesh):
+        ndev = mesh.devices.size
+        pos = np.asarray(pos)
+        n = pos.shape[0]
+        assert n < 2 ** 31, "int32 global particle ids"
+        self.n = n
+        self.mesh = mesh
+        self.ndev = ndev
+        self.dtype = pos.dtype
+
+        # global grid: nx divisible by ndev, cell width >= linking length
+        # (cells-per-dim capped so the per-device dense prefix table stays
+        # small; wider cells are always correct, just more candidates)
+        nx_max = max(3, int(boxsize / max(linking_length, 1e-30)))
+        nxt = min(nx_max, 256)
+        W = max(3, nxt // ndev)
+        self.W = W
+        self.nx = nx = W * ndev
+        self.ny = ny = min(nx_max, 256)
+        self.nz = nz = ny
+        self.boxsize = float(boxsize)
+
+        dev_j, xc_j, scal = _plan_stats(jnp.asarray(pos), n, ndev, W,
+                                        nx, ny, nz, float(boxsize))
+        cmax, bmax, t_max = (int(v) for v in jax.device_get(scal))
+        self.npad = int(1 << math.ceil(math.log2(max(cmax, 1))))
+        self.B = 1 << math.ceil(math.log2(max(bmax, 1)))
+        self.t_pad = 1 << math.ceil(math.log2(max(t_max, 1024)))
+        self._dev = dev_j                     # (n,) device of each particle
+        self._order = jnp.argsort(dev_j).astype(jnp.int32)
+        self._counts = jnp.zeros(ndev, jnp.int32).at[dev_j].add(1)
+        # slot index within the destination block, per ORIGINAL particle
+        starts = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(self._counts)[:-1]])
+        rank_sorted = jnp.arange(n, dtype=jnp.int32) - \
+            starts[dev_j[self._order]]
+        self._dest = jnp.zeros(n, jnp.int32).at[self._order].set(
+            dev_j[self._order] * self.npad + rank_sorted)
+        sh = NamedSharding(mesh, P(PARTS_AXIS))
+        self.pos_b = jax.device_put(
+            _pack3(jnp.asarray(pos), self._dest, ndev, self.npad), sh)
+        gid_flat = jnp.full(ndev * self.npad, n, jnp.int32).at[
+            self._dest].set(jnp.arange(n, dtype=jnp.int32))
+        self.gid_b = jax.device_put(gid_flat.reshape(ndev, self.npad), sh)
+        self.valid_b = jax.device_put(self.gid_b < n, sh)
+
+    def pack_payload(self, vel, vscale2, group):
+        """(vel, vscale2) float payload + int parent ids packed into the
+        plan's block layout (for the 6D criterion pass)."""
+        sh = NamedSharding(self.mesh, P(PARTS_AXIS))
+        pay = jnp.concatenate(
+            [jnp.asarray(vel, jnp.float32),
+             jnp.maximum(jnp.asarray(vscale2, jnp.float32), 1e-30)[:, None]],
+            axis=1)
+        pay_b = _pack_cols(pay, self._dest, self.ndev, self.npad)
+        grp_flat = jnp.zeros(self.ndev * self.npad, jnp.int32).at[
+            self._dest].set(jnp.asarray(group, jnp.int32))
+        return (jax.device_put(pay_b, sh),
+                jax.device_put(grp_flat.reshape(self.ndev, self.npad), sh))
+
+
+@partial(jax.jit, static_argnames=("ndev", "npad"))
+def _pack3(arr, dest, ndev: int, npad: int):
+    """(n,3) -> (ndev, npad, 3) scatter by block-slot (column-wise: (N,3)
+    row scatters hit the XLA:TPU lane-padded layout)."""
+    cols = [jnp.zeros(ndev * npad, arr.dtype).at[dest].set(arr[:, k])
+            for k in range(3)]
+    return jnp.stack(cols, axis=-1).reshape(ndev, npad, 3)
+
+
+@partial(jax.jit, static_argnames=("ndev", "npad"))
+def _pack_cols(arr, dest, ndev: int, npad: int):
+    k = arr.shape[1]
+    cols = [jnp.zeros(ndev * npad, arr.dtype).at[dest].set(arr[:, j])
+            for j in range(k)]
+    return jnp.stack(cols, axis=-1).reshape(ndev, npad, k)
+
+
+@partial(jax.jit, static_argnames=("n", "ndev", "W", "nx", "ny", "nz"))
+def _plan_stats(pos, n: int, ndev: int, W: int, nx: int, ny: int, nz: int,
+                boxsize: float):
+    """Device prepass: per-particle device id + the three sizing scalars
+    (max shard load, max boundary-column count, max candidate total)."""
+    wx, wy, wz = boxsize / nx, boxsize / ny, boxsize / nz
+    xc = jnp.floor(pos[:, 0] / wx).astype(jnp.int32) % nx
+    yc = jnp.floor(pos[:, 1] / wy).astype(jnp.int32) % ny
+    zc = jnp.floor(pos[:, 2] / wz).astype(jnp.int32) % nz
+    dev = xc // W
+    counts = jnp.zeros(ndev, jnp.int32).at[dev].add(1)
+    colcount = jnp.zeros(nx, jnp.int32).at[xc].add(1)
+    bmax = jnp.maximum(jnp.max(colcount[0:nx:W]),
+                       jnp.max(colcount[W - 1:nx:W]))
+    # candidate-total stencil on the global count grid
+    cid = (xc * ny + yc) * nz + zc
+    cnt3 = jnp.zeros(nx * ny * nz, jnp.int32).at[cid].add(1).reshape(
+        nx, ny, nz)
+    sten = jnp.zeros_like(cnt3)
+    for dyo in (-1, 0, 1):
+        for dzo in (-1, 0, 1):
+            sten = sten + jnp.roll(jnp.roll(cnt3, dyo, axis=1), dzo, axis=2)
+    lc = cnt3.reshape(ndev, W, ny, nz)
+    # ghost x-columns from the neighbouring slabs (periodic)
+    lsL = jnp.roll(sten, 1, axis=0).reshape(ndev, W, ny, nz)   # x-1 rows
+    lsR = jnp.roll(sten, -1, axis=0).reshape(ndev, W, ny, nz)  # x+1 rows
+    ls = sten.reshape(ndev, W, ny, nz)
+    tot = jnp.sum(lc.astype(jnp.int64) * ls, axis=(1, 2, 3))
+    tot += jnp.sum(lc.astype(jnp.int64) * lsL, axis=(1, 2, 3))
+    tot += jnp.sum(lc.astype(jnp.int64) * lsR, axis=(1, 2, 3))
+    # ghost-row candidates: ghosts also scan their own stencils locally
+    gL = jnp.roll(cnt3, 1, axis=0).reshape(ndev, W, ny, nz)[:, 0]
+    gR = jnp.roll(cnt3, -1, axis=0).reshape(ndev, W, ny, nz)[:, -1]
+    sL0 = ls[:, 0] + lsL[:, 0]
+    sR0 = ls[:, -1] + lsR[:, -1]
+    tot += jnp.sum(gL.astype(jnp.int64) * sL0, axis=(1, 2))
+    tot += jnp.sum(gR.astype(jnp.int64) * sR0, axis=(1, 2))
+    t_max = jnp.max(tot)
+    return dev, xc, jnp.stack([jnp.max(counts).astype(jnp.int64),
+                               bmax.astype(jnp.int64), t_max])
+
+
 def distributed_fof3d(pos, linking_length: float, boxsize: float,
                       mesh: Mesh, min_size: int = 8,
                       max_outer: int = 64,
-                      vel=None, vscale2=None, group=None):
+                      vel=None, vscale2=None, group=None,
+                      plan: Optional[SlabPlan] = None):
     """FOF over a periodic box, sharded by x-slab over the mesh.
 
     Returns (pfof, ngroups): pfof in the ORIGINAL particle order (host
@@ -114,77 +247,31 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
     same nonzero parent ``group`` (the distributed analog of the 6DFOF
     refinement, reference search.cxx:552-576) — the velocity and parent-id
     payloads ride the same ppermute ghost exchange as the positions.
+
+    ``plan``: reuse a SlabPlan built with cell width >= this linking
+    length (the 6DFOF pass reuses the 3D pass's binning/packing).
     """
-    ndev = mesh.devices.size
     pos = np.asarray(pos)
-    n = pos.shape[0]
-    assert n < 2 ** 31, "int32 global particle ids"
-    dt = pos.dtype
-
-    # --- global grid: nx divisible by ndev, cell width >= linking length --
-    # (cells-per-dim capped so the per-device dense prefix table stays
-    # small; wider cells are always correct, just more candidates)
-    nx_max = max(3, int(boxsize / max(linking_length, 1e-30)))
-    nxt = min(nx_max, 256)
-    W = max(3, nxt // ndev)
-    nx = W * ndev
-    ny = nz = min(nx_max, 256)
+    if plan is None:
+        plan = SlabPlan(pos, linking_length, boxsize, mesh)
+    # ±1-cell stencil correctness: plan cells must span the linking length
+    assert boxsize / plan.nx >= linking_length * (1 - 1e-9), \
+        "SlabPlan cells narrower than the linking length"
+    ndev = plan.ndev
+    n = plan.n
+    dt = plan.dtype
+    W, nx, ny, nz = plan.W, plan.nx, plan.ny, plan.nz
     wx, wy, wz = boxsize / nx, boxsize / ny, boxsize / nz
+    npad, B, t_pad = plan.npad, plan.B, plan.t_pad
 
-    # --- host: assign particles to slabs, pad each shard ------------------
-    xc = np.floor(pos[:, 0] / wx).astype(np.int64) % nx
-    yc = np.floor(pos[:, 1] / wy).astype(np.int64) % ny
-    zc = np.floor(pos[:, 2] / wz).astype(np.int64) % nz
-    dev = (xc // W).astype(np.int64)
-    order = np.argsort(dev, kind="stable")
-    counts = np.bincount(dev, minlength=ndev)
-    npad = int(1 << math.ceil(math.log2(max(counts.max(), 1))))
     sixd = vel is not None
-    pos_b = np.zeros((ndev, npad, 3), dt)
-    gid_b = np.full((ndev, npad), n, np.int32)   # n = invalid sentinel
-    # 6D payloads: float vel(3)+vscale2, parent ids as int32 (a float
-    # payload would collapse distinct ids above 2^24); zero-width when the
-    # plain 3D criterion runs so no payload rides the ghost exchange
-    pay_b = np.zeros((ndev, npad, 4 if sixd else 0), dt)
-    grp_b = np.zeros((ndev, npad), np.int32)
-    off = 0
-    for d in range(ndev):
-        c = counts[d]
-        sel = order[off:off + c]
-        pos_b[d, :c] = pos[sel]
-        gid_b[d, :c] = sel
-        if sixd:
-            pay_b[d, :c, :3] = np.asarray(vel)[sel]
-            pay_b[d, :c, 3] = np.maximum(np.asarray(vscale2)[sel], 1e-30)
-            grp_b[d, :c] = np.asarray(group)[sel]
-        off += c
-    valid_b = gid_b < n
-
-    # boundary buffer size: max particles in any single boundary x-column
-    colcount = np.bincount(xc, minlength=nx)
-    bmax = int(max(colcount[0:nx:W].max(), colcount[W - 1:nx:W].max(), 1))
-    B = 1 << math.ceil(math.log2(bmax))
-
-    # exact per-device candidate-slot totals: sum over cells of
-    # n_c * (stencil-sum of counts), computed on the global count grid
-    # (production note: at >1e9 particles this host prepass moves on-device)
-    cnt3 = np.bincount((xc * ny + yc) * nz + zc,
-                       minlength=nx * ny * nz).reshape(nx, ny, nz)
-    sten = np.zeros_like(cnt3)
-    for dyo in (-1, 0, 1):
-        for dzo in (-1, 0, 1):
-            sten += np.roll(np.roll(cnt3, dyo, axis=1), dzo, axis=2)
-    t_max = 0
-    for d in range(ndev):
-        xs = np.arange(d * W - 1, (d + 1) * W + 1) % nx
-        lc = cnt3[xs]                       # (W+2, ny, nz) incl. ghosts
-        ls = sten[xs]
-        # x-stencil with clipping at the local grid edges
-        tot = int(np.sum(lc * ls))          # dxo = 0
-        tot += int(np.sum(lc[1:] * ls[:-1]))   # dxo = -1
-        tot += int(np.sum(lc[:-1] * ls[1:]))   # dxo = +1
-        t_max = max(t_max, tot)
-    t_pad = 1 << math.ceil(math.log2(max(t_max, 1024)))
+    pos_b, gid_b, valid_b = plan.pos_b, plan.gid_b, plan.valid_b
+    if sixd:
+        pay_b, grp_b = plan.pack_payload(vel, vscale2, group)
+    else:
+        sh = NamedSharding(mesh, P(PARTS_AXIS))
+        pay_b = jax.device_put(jnp.zeros((ndev, npad, 0), dt), sh)
+        grp_b = jax.device_put(jnp.zeros((ndev, npad), jnp.int32), sh)
 
     dims = (W + 2, ny, nz)
     b2 = float(linking_length) ** 2
@@ -337,19 +424,12 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
         loc = glab[inv[jnp.arange(npad)]]
         return loc[None], gid_blk
 
-    sh = NamedSharding(mesh, P(PARTS_AXIS))
-    pos_d = jax.device_put(pos_b, sh)
-    gid_d = jax.device_put(gid_b, sh)
-    val_d = jax.device_put(valid_b, sh)
-    pay_d = jax.device_put(pay_b, sh)
-    grp_d = jax.device_put(grp_b, sh)
-
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(PARTS_AXIS), P(PARTS_AXIS), P(PARTS_AXIS),
                   P(PARTS_AXIS), P(PARTS_AXIS)),
         out_specs=(P(PARTS_AXIS), P(PARTS_AXIS)))
-    labels_b, gid_out = jax.jit(mapped)(pos_d, gid_d, val_d, pay_d, grp_d)
+    labels_b, gid_out = jax.jit(mapped)(pos_b, gid_b, valid_b, pay_b, grp_b)
 
     labels_flat = np.asarray(jax.device_get(labels_b)).reshape(-1)
     gid_flat = np.asarray(jax.device_get(gid_out)).reshape(-1)
@@ -390,23 +470,60 @@ def distributed_fof6d(pos, vel, mass, linking_length: float,
     pos = np.asarray(pos)
     vel = np.asarray(vel)
     mass = np.asarray(mass)
+    # ONE plan serves both passes: cell width >= max(ell3, ell6) (wider
+    # cells are always correct), so the binning / packing / ghost-buffer
+    # sizing is not rebuilt for the 6D criterion pass
+    plan = SlabPlan(pos, linking_length * max(1.0, ell6dxfac), boxsize,
+                    mesh)
     pfof3, ng3 = distributed_fof3d(pos, linking_length, boxsize, mesh,
-                                   min_size=min_size)
+                                   min_size=min_size, plan=plan)
     if ng3 == 0:
         return pfof3, 0, pfof3, 0
-    ng1 = ng3 + 1
-    w = np.where(pfof3 > 0, mass, 0.0)
-    msum = np.maximum(np.bincount(pfof3, weights=w, minlength=ng1), 1e-30)
-    vmean = np.stack([np.bincount(pfof3, weights=w * vel[:, j],
-                                  minlength=ng1) for j in range(3)], -1) \
-        / msum[:, None]
-    dv2 = np.sum((vel - vmean[pfof3]) ** 2, -1)
-    sig2 = np.bincount(pfof3, weights=w * dv2, minlength=ng1) / msum
+    sig2 = _velocity_scales_sharded(plan, vel, mass, pfof3, ng3)
     if not adaptive:
         sig2 = np.full_like(sig2, sig2[1])   # largest group's scale
     vscale2 = np.where(pfof3 > 0,
                        np.maximum(sig2[pfof3] * ell6dvfac ** 2, 1e-30), 1.0)
     pfof6, ng6 = distributed_fof3d(
         pos, linking_length * ell6dxfac, boxsize, mesh, min_size=min_size,
-        vel=vel, vscale2=vscale2, group=pfof3)
+        vel=vel, vscale2=vscale2, group=pfof3, plan=plan)
     return pfof6, ng6, pfof3, ng3
+
+
+def _velocity_scales_sharded(plan: SlabPlan, vel, mass, pfof3,
+                             ng3: int) -> np.ndarray:
+    """(ng3+1,) per-group velocity dispersions sigma_v^2, reduced over the
+    mesh: each device computes partial mass-weighted segment sums over its
+    block and ``psum`` combines them (the analog of the reference's
+    MPI_Allreduce over group bulk quantities, search.cxx:443-499)."""
+    ng1 = ng3 + 1
+    sh = NamedSharding(plan.mesh, P(PARTS_AXIS))
+    w = jnp.where(jnp.asarray(pfof3) > 0,
+                  jnp.asarray(mass, jnp.float32), 0.0)
+    pay = jnp.concatenate([jnp.asarray(vel, jnp.float32), w[:, None]], 1)
+    pay_b = jax.device_put(
+        _pack_cols(pay, plan._dest, plan.ndev, plan.npad), sh)
+    grp_flat = jnp.zeros(plan.ndev * plan.npad, jnp.int32).at[
+        plan._dest].set(jnp.asarray(pfof3, jnp.int32))
+    grp_b = jax.device_put(grp_flat.reshape(plan.ndev, plan.npad), sh)
+
+    def body(pay_blk, grp_blk):
+        v = pay_blk[0, :, :3]
+        w_l = pay_blk[0, :, 3]
+        g = grp_blk[0]
+        msum = jnp.zeros(ng1, jnp.float32).at[g].add(w_l)
+        vsum = jnp.stack(
+            [jnp.zeros(ng1, jnp.float32).at[g].add(w_l * v[:, j])
+             for j in range(3)], axis=-1)
+        msum = jax.lax.psum(msum, PARTS_AXIS)
+        vsum = jax.lax.psum(vsum, PARTS_AXIS)
+        vmean = vsum / jnp.maximum(msum, 1e-30)[:, None]
+        dv2 = jnp.sum((v - vmean[g]) ** 2, axis=-1)
+        s2 = jnp.zeros(ng1, jnp.float32).at[g].add(w_l * dv2)
+        s2 = jax.lax.psum(s2, PARTS_AXIS)
+        return s2 / jnp.maximum(msum, 1e-30)
+
+    mapped = jax.shard_map(body, mesh=plan.mesh,
+                           in_specs=(P(PARTS_AXIS), P(PARTS_AXIS)),
+                           out_specs=P())
+    return np.asarray(jax.device_get(jax.jit(mapped)(pay_b, grp_b)))
