@@ -299,3 +299,51 @@ def test_phaseengrid_background_grid():
     # dilutes it evenly (mean vx ~ stream fraction x 500 ~ 60)
     assert gv2[np.asarray(ok2), 0].max() > 150.0
     assert gv1[np.asarray(ok1), 0].max() < 100.0
+
+
+def test_denv_ratio_bucketed_matches_dense():
+    """The two-level KD-bucket 7-NN must agree with the dense search."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    n, C = 20000, 512
+    pos = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 100.0, (n, 3)).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    cellpos, gvel, gdi, ok = bgfield.background_grid(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass), n // C)
+    dens = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+    Rd = bgfield._denv_ratio_dense(jnp.asarray(pos), jnp.asarray(vel),
+                                   dens, cellpos, gvel, gdi, 32)
+    Rb = bgfield._denv_ratio_bucketed(jnp.asarray(pos), jnp.asarray(vel),
+                                      dens, cellpos, gvel, gdi, 32)
+    Rd = np.asarray(Rd)
+    Rb = np.asarray(Rb)
+    # near-exact: neighbour sets may differ for a tiny fraction of
+    # particles at bucket-box boundaries; the interpolated R barely moves
+    frac_close = np.mean(np.abs(Rd - Rb) < 1e-3 * np.maximum(
+        1.0, np.abs(Rd)))
+    assert frac_close > 0.99
+    assert np.median(np.abs(Rd - Rb)) < 1e-5
+
+
+def test_structure_outliers_large_no_oom():
+    """10^6-particle structure outliers run through the bucketed path."""
+    import time
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(10)
+    n = 1 << 20
+    pos = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 100.0, (n, 3)).astype(np.float32)
+    mass = np.ones(n, np.float32)
+    opt = C.Options()
+    opt.Ncellfac = 0.005
+    valid = np.ones(n, bool)
+    dens = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    t0 = time.time()
+    ell, _, _ = S.structure_outliers(opt, pos, vel, mass, valid, dens=dens)
+    dt = time.time() - t0
+    assert np.isfinite(np.asarray(ell)).all()
+    assert dt < 240.0

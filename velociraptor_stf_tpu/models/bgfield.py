@@ -101,16 +101,10 @@ def background_grid(pos, vel, mass, cellsize: int, gridtype: int = 1):
     return cellpos, gvel, disp_inv, cell_ok
 
 
-@partial(jax.jit, static_argnames=("nsearch",))
-def denv_ratio(pos, vel, density, cellpos, gvel, gveldisp_inv, nsearch: int):
-    """(N,) R values (reference GetDenVRatio, localbgcomp.cxx:14)."""
+def _ratio_from_neighbours(vel, density, gvel, gveldisp_inv, nn, negd2,
+                           nsearch: int):
+    """R values given each particle's k nearest cells (ids + -dist^2)."""
     norm = (2.0 * math.pi) ** -1.5
-    k = MAXNGRID + 1
-    C = cellpos.shape[0]
-    kq = min(k, C)
-
-    d2 = jnp.sum((pos[:, None, :] - cellpos[None, :, :]) ** 2, -1)  # (N,C)
-    negd2, nn = jax.lax.top_k(-d2, kq)                               # (N,k)
     dist = jnp.sqrt(-negd2 + 1e-16)
     maxdist = jnp.max(dist, axis=1, keepdims=True)
     w = ((maxdist - dist) / (maxdist * dist)) ** 2
@@ -124,6 +118,88 @@ def denv_ratio(pos, vel, density, cellpos, gvel, gveldisp_inv, nsearch: int):
     fbg = jnp.log(jnp.maximum(sv, 1e-30)) - 0.5 * vsv
     tempdenv = jnp.maximum(density / nsearch, 1e-30)
     return jnp.log(tempdenv) - math.log(norm) - fbg
+
+
+@partial(jax.jit, static_argnames=("nsearch",))
+def _denv_ratio_dense(pos, vel, density, cellpos, gvel, gveldisp_inv,
+                      nsearch: int):
+    k = MAXNGRID + 1
+    C = cellpos.shape[0]
+    kq = min(k, C)
+    d2 = jnp.sum((pos[:, None, :] - cellpos[None, :, :]) ** 2, -1)  # (N,C)
+    negd2, nn = jax.lax.top_k(-d2, kq)                               # (N,k)
+    return _ratio_from_neighbours(vel, density, gvel, gveldisp_inv, nn,
+                                  negd2, nsearch)
+
+
+_BUCKET = 32      # cells per KD bucket
+_NBOX = 4         # nearest buckets searched per particle
+_PCHUNK = 1 << 16
+
+
+@partial(jax.jit, static_argnames=("nsearch",))
+def _denv_ratio_bucketed(pos, vel, density, cellpos, gvel, gveldisp_inv,
+                         nsearch: int):
+    """Two-level 7-NN: cells are equal-count KD chunks (median_partition
+    order), so contiguous runs of ``_BUCKET`` cells are KD subtrees with
+    compact bounding boxes.  Each particle ranks buckets by point-to-AABB
+    distance, then searches the ``_NBOX`` nearest buckets' cells exactly
+    (the TPU replacement for the reference's tree 7-NN,
+    localbgcomp.cxx:95-120 — near-exact: the true 7th-nearest cell lies
+    outside the 4 nearest subtree boxes only in pathological geometries,
+    and the Shepard interpolation is smoothing anyway).  Memory is
+    O(chunk x candidates), not O(N x C)."""
+    k = MAXNGRID + 1
+    n = pos.shape[0]
+    C = cellpos.shape[0]
+    nb = C // _BUCKET
+    boxes = cellpos.reshape(nb, _BUCKET, 3)
+    blo = jnp.min(boxes, axis=1)                       # (nb,3)
+    bhi = jnp.max(boxes, axis=1)
+
+    npadded = -(-n // _PCHUNK) * _PCHUNK
+    pad = npadded - n
+    pos_p = jnp.concatenate([pos, jnp.zeros((pad, 3), pos.dtype)])
+    vel_p = jnp.concatenate([vel, jnp.zeros((pad, 3), vel.dtype)])
+    den_p = jnp.concatenate([density, jnp.ones(pad, density.dtype)])
+
+    def chunk_fn(args):
+        p, v, dn = args                                 # (chunk, ...)
+        # point-to-AABB distance^2 per bucket
+        d_lo = jnp.maximum(blo[None] - p[:, None, :], 0.0)
+        d_hi = jnp.maximum(p[:, None, :] - bhi[None], 0.0)
+        d2b = jnp.sum((d_lo + d_hi) ** 2, -1)           # (chunk, nb)
+        _, bb = jax.lax.top_k(-d2b, _NBOX)              # (chunk, B)
+        cand = (bb[:, :, None] * _BUCKET +
+                jnp.arange(_BUCKET, dtype=jnp.int32)[None, None, :]
+                ).reshape(p.shape[0], _NBOX * _BUCKET)
+        cp = cellpos[cand]                              # (chunk, BM, 3)
+        d2 = jnp.sum((p[:, None, :] - cp) ** 2, -1)
+        negd2, sel = jax.lax.top_k(-d2, k)
+        nn = jnp.take_along_axis(cand, sel, axis=1)
+        return _ratio_from_neighbours(v, dn, gvel, gveldisp_inv, nn,
+                                      negd2, nsearch)
+
+    R = jax.lax.map(chunk_fn,
+                    (pos_p.reshape(-1, _PCHUNK, 3),
+                     vel_p.reshape(-1, _PCHUNK, 3),
+                     den_p.reshape(-1, _PCHUNK)))
+    return R.reshape(-1)[:n]
+
+
+def denv_ratio(pos, vel, density, cellpos, gvel, gveldisp_inv, nsearch: int):
+    """(N,) R values (reference GetDenVRatio, localbgcomp.cxx:14).
+
+    Dense (N, C) nearest-cell search for small grids; the two-level KD
+    bucket search above it (a 10^7-particle halo with C ~ N*Ncellfac cells
+    would need an O(N^2*Ncellfac) dense matrix)."""
+    n = pos.shape[0]
+    C = cellpos.shape[0]
+    if C <= 4 * _BUCKET or n * C <= (1 << 28):
+        return _denv_ratio_dense(pos, vel, density, cellpos, gvel,
+                                 gveldisp_inv, nsearch)
+    return _denv_ratio_bucketed(pos, vel, density, cellpos, gvel,
+                                gveldisp_inv, nsearch)
 
 
 @partial(jax.jit, static_argnames=("nbins", "nbins2"))
