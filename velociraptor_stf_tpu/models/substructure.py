@@ -664,14 +664,20 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             dens_cache = loaded
             cache_hit = True
 
+    sizes0 = np.bincount(pfof_all, minlength=ng_total + 1)
     queue = [g for g in range(1, ng_total + 1)
-             if (pfof_all == g).sum() >= C.MINSUBSIZE]
+             if sizes0[g] >= C.MINSUBSIZE]
     for level in range(1, C.MAXSUBLEVEL + 1):
         if not queue or not opt.iSubSearch:
             break
+        # one group-sort per level instead of an O(N) scan per structure
+        # (the reference's PID-sort, search.cxx:2513)
+        lvl_order = np.argsort(pfof_all, kind="stable")
+        lvl_sorted = pfof_all[lvl_order]
+        lvl_offs = np.searchsorted(lvl_sorted, np.arange(ng_total + 2))
         new_queue = []
         for g in queue:
-            idx = np.where(pfof_all == g)[0]
+            idx = lvl_order[lvl_offs[g]:lvl_offs[g + 1]]
             nsub = len(idx)
             if nsub < C.MINSUBSIZE:
                 continue
@@ -740,9 +746,9 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             parent = np.concatenate([parent, np.full(ng_sub, g, np.int64)])
             level_of = np.concatenate(
                 [level_of, np.full(ng_sub, level, np.int32)])
-            for s in range(1, ng_sub + 1):
-                if (sub_np == s).sum() >= C.MINSUBSIZE:
-                    new_queue.append(ng_total + s)
+            sub_sizes = np.bincount(sub_np[sub_np > 0], minlength=ng_sub + 1)
+            new_queue.extend(ng_total + s for s in range(1, ng_sub + 1)
+                             if sub_sizes[s] >= C.MINSUBSIZE)
             ng_total += ng_sub
         queue = new_queue
 
@@ -814,6 +820,18 @@ def halo_core_search(opt: C.Options, pos, vel, mass, valid, pfof_sub,
 
     core = jnp.zeros(n, jnp.int32)
     ncores = 0
+    # the linking length shrinks every loop (halocorexfaciter <= 1), so the
+    # loop-0 edge table (spatial-only prefilter) contains every later
+    # loop's pairs: build it ONCE and re-evaluate the shrinking 6D
+    # criterion + eligibility along it (fof.refine_edge_mask), instead of
+    # rebuilding candidates per loop (reference rebuilds the KD tree per
+    # loop, search.cxx:1609; the edge list is the reusable analog)
+    reuse_edges = opt.halocorexfaciter <= 1.0
+    edges = grid0 = None
+    if reuse_edges:
+        edges, _, grid0 = fof.build_edges(
+            pos, math.sqrt(ellx2), fields={"vel": vel},
+            predicate=fof.Pred3D(float(ellx2)))
     for loop in range(max(1, opt.halocorenumloops)):
         # eligible: untagged by substructure search and (first loop) any
         # particle, later loops only the current main core's particles
@@ -822,10 +840,25 @@ def halo_core_search(opt: C.Options, pos, vel, mass, valid, pfof_sub,
         else:
             elig = valid & (jnp.asarray(pfof_sub) == 0) & (core == 1)
         pred = Pred6DCore(float(ellx2), float(max(ellv2, 1e-30)))
-        pfc, ngc = fof.fof3d(
-            pos, math.sqrt(ellx2), min_size=minsize, vel=vel,
-            extra_fields={"elig": elig.astype(jnp.int32)}, predicate=pred)
-        ngc = int(jax.device_get(ngc))
+        if reuse_edges:
+            fields_s = dict(edges.fields_s)
+            fields_s["elig"] = elig.astype(jnp.int32)[edges.order]
+            mask = fof.refine_edge_mask(edges.pos_s, fields_s, edges.erow,
+                                        edges.ecol, grid0, pred)
+            labels = fof.fof_labels_from_edges(
+                jnp.where(mask, edges.erow, 0),
+                jnp.where(mask, edges.ecol, 0), n,
+                undirected=edges.undirected)
+            pfc_sorted, ngc_d = fof.renumber_by_size(
+                labels, minsize, orig_index=edges.order)
+            pfc = jnp.zeros(n, jnp.int32).at[edges.order].set(pfc_sorted)
+            ngc = int(jax.device_get(ngc_d))
+        else:
+            pfc, ngc = fof.fof3d(
+                pos, math.sqrt(ellx2), min_size=minsize, vel=vel,
+                extra_fields={"elig": elig.astype(jnp.int32)},
+                predicate=pred)
+            ngc = int(jax.device_get(ngc))
         if ngc == 0:
             break
         pfc = jnp.asarray(pfc)
