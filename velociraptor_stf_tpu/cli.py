@@ -189,7 +189,8 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
             perm, mbp, minpot = unbind_mod.sort_by_binding_energy(
                 jnp.asarray(vel), jnp.asarray(mass),
                 jnp.asarray(np.minimum(res.pfof, ngp)),
-                jnp.asarray(res.W), ngp, gcmvel)
+                jnp.asarray(res.W), ngp, gcmvel,
+                by_energy=bool(opt.iSortByBindingEnergy))
             order_bind = np.asarray(perm)
             mbp_np = np.asarray(mbp)[1:ng + 1]
             minpot_np = np.asarray(minpot)[1:ng + 1]
@@ -197,6 +198,20 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
             id_mbp = np.where(okb, pids[np.clip(mbp_np, 0, len(pids) - 1)], -1)
             id_minpot = np.where(okb, pids[np.clip(minpot_np, 0,
                                                    len(pids) - 1)], -1)
+            # actual mbp/minpot particle phase coordinates for the
+            # Xcmbp/Xcminpot columns (reference gposmbp/gposminpot,
+            # substructureproperties.cxx:3970-3975); CM fallback otherwise
+            pos_np_, vel_np_ = np.asarray(pos), np.asarray(vel)
+            gcm_rows = np.asarray(res.props["gcm"])[1:ng + 1]
+            gcmv_rows = np.asarray(res.props["gcmvel"])[1:ng + 1]
+            mb_c = np.clip(mbp_np, 0, len(pos_np_) - 1)
+            mp_c = np.clip(minpot_np, 0, len(pos_np_) - 1)
+            pos_mbp = np.where(okb[:, None], pos_np_[mb_c], gcm_rows)
+            vel_mbp = np.where(okb[:, None], vel_np_[mb_c], gcmv_rows)
+            pos_minpot = np.where(okb[:, None], pos_np_[mp_c], gcm_rows)
+            vel_minpot = np.where(okb[:, None], vel_np_[mp_c], gcmv_rows)
+        else:
+            pos_mbp = vel_mbp = pos_minpot = vel_minpot = None
         numsub = None
         if res.parent is not None:
             numsub = np.zeros(ng + 1, np.int64)
@@ -231,9 +246,14 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
                 num_s = numsub[rows]
             idm = id_mbp[sel_gids - 1] if id_mbp is not None else None
             idp = id_minpot[sel_gids - 1] if id_minpot is not None else None
+            sl = sel_gids - 1
             cols_s = writers.properties_table(
                 opt, props_s, k, hostid=host_s, numsubstruct=num_s,
-                id_mbp=idm, id_minpot=idp, level=lev_s, stype=sty_s)
+                id_mbp=idm, id_minpot=idp, level=lev_s, stype=sty_s,
+                pos_mbp=None if pos_mbp is None else pos_mbp[sl],
+                vel_mbp=None if vel_mbp is None else vel_mbp[sl],
+                pos_minpot=None if pos_minpot is None else pos_minpot[sl],
+                vel_minpot=None if vel_minpot is None else vel_minpot[sl])
             writers.write_properties(opt, outname, cols_s, k)
             writers.write_group_catalog(opt, outname, gmap[res.pfof], pids,
                                         k, order_within_group=order_bind,
@@ -252,7 +272,9 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
             cols = writers.properties_table(
                 opt, res.props, ng, hostid=res.hostid, numsubstruct=numsub,
                 id_mbp=id_mbp, id_minpot=id_minpot,
-                level=res.hierarchy_level, stype=res.stype)
+                level=res.hierarchy_level, stype=res.stype,
+                pos_mbp=pos_mbp, vel_mbp=vel_mbp,
+                pos_minpot=pos_minpot, vel_minpot=vel_minpot)
             writers.write_properties(opt, opt.outname, cols, ng)
             writers.write_group_catalog(opt, opt.outname, res.pfof, pids,
                                         ng, order_within_group=order_bind,

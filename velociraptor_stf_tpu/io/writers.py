@@ -140,7 +140,9 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
         for src_key, out_key in ((f"Aperture_mass_{ai}", "Aperture_mass"),
                                  (f"Aperture_npart_{ai}", "Aperture_npart"),
                                  (f"Aperture_veldisp_{ai}",
-                                  "Aperture_veldisp")):
+                                  "Aperture_veldisp"),
+                                 (f"Aperture_rhalfmass_{ai}",
+                                  "Aperture_rhalfmass")):
             if src_key in props:
                 cols[f"{out_key}_{a:g}_kpc"] = np.asarray(props[src_key])[g]
     for ai, a in enumerate(opt.aperture_proj_values_kpc):

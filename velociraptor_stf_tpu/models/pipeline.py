@@ -103,17 +103,28 @@ def find_structures(opt: C.Options, pos, vel, mass,
         spos, svel, smass = pos, vel, mass
 
     t0 = time.time()
-    fres = halos.search_full_set(opt, spos, svel, smass, boxsize=boxsize)
-    pfof, ng = fres.pfof, fres.ngroups
-    jax.block_until_ready(pfof)
+    if opt.iSingleHalo:
+        # Singlehalo_search (reference main.cxx:285, ui.cxx semantics):
+        # the input IS one halo — skip the field search entirely and feed
+        # the whole set as group 1 to the substructure machinery
+        pfof = jnp.ones(spos.shape[0], jnp.int32)
+        ng = 1
+        pfof3d_np = None
+        num3dfof_host, parent3d_host = 0, None
+    else:
+        fres = halos.search_full_set(opt, spos, svel, smass,
+                                     boxsize=boxsize)
+        pfof, ng = fres.pfof, fres.ngroups
+        jax.block_until_ready(pfof)
+        # free the field-search device intermediates before the
+        # memory-heavy stages (at 256^3 every extra live (N,)/(N,3) buffer
+        # counts toward the per-program HBM budget); only host copies are
+        # needed downstream
+        pfof3d_np = None if fres.pfof3d is None else \
+            np.asarray(jax.device_get(fres.pfof3d))
+        num3dfof_host, parent3d_host = fres.num3dfof, fres.parent3d
+        fres = None
     timings["fof"] = time.time() - t0
-    # free the field-search device intermediates before the memory-heavy
-    # stages (at 256^3 every extra live (N,)/(N,3) buffer counts toward
-    # the per-program HBM budget); only host copies are needed downstream
-    pfof3d_np = None if fres.pfof3d is None else \
-        np.asarray(jax.device_get(fres.pfof3d))
-    num3dfof_host, parent3d_host = fres.num3dfof, fres.parent3d
-    fres = None
 
     # iKeepFOF: split off the 3DFOF envelopes — the halo pipeline
     # (unbinding / substructure) runs on the 6DFOF structures only and the
@@ -134,7 +145,10 @@ def find_structures(opt: C.Options, pos, vel, mass,
     gid_map = None
 
     W = None
-    if opt.uinfo.unbindflag and ng > 0:
+    # Bound_halos gates the FIELD-halo unbind (reference search.cxx:702:
+    # substructure candidates are always unbound individually inside the
+    # recursion; the halos themselves only when iBoundHalos >= 1)
+    if opt.uinfo.unbindflag and ng > 0 and opt.iBoundHalos >= 1:
         t0 = time.time()
         minsize = opt.HaloMinSize if opt.HaloMinSize > 0 else opt.MinSize
         ures = unbind_mod.check_unbound_groups(
@@ -154,6 +168,57 @@ def find_structures(opt: C.Options, pos, vel, mass,
             opt, spos, svel, smass, np.asarray(pfof), ng, boxsize=boxsize)
         pfof = jnp.asarray(pfof)
         timings["substructure"] = time.time() - t0
+
+        # Bound_halos=2: re-check field-halo self-boundness AFTER the
+        # substructures (cores) have been carved out (reference
+        # search.cxx:2841 — "with all the cores removed, the FOF halo is
+        # actually an unbound structure"); skipped in baryon mode, which
+        # runs its own combined re-unbind (reference gates !iBaryonSearch)
+        if (opt.iBoundHalos > 1 and opt.uinfo.unbindflag and ng > 0
+                and not baryon_mode):
+            pfof_np_ = np.asarray(jax.device_get(pfof))
+            is_halo_g = parent[:ng + 1] == 0
+            halo_of_p = (pfof_np_ > 0) & is_halo_g[pfof_np_]
+            pfof_h = np.where(halo_of_p, pfof_np_, 0).astype(np.int32)
+            minsize = opt.HaloMinSize if opt.HaloMinSize > 0 \
+                else opt.MinSize
+            ures = unbind_mod.check_unbound_groups(
+                spos, svel, smass, jnp.asarray(pfof_h), _pad_pow2(ng),
+                opt.uinfo, opt.G, boxsize=boxsize, min_size=minsize)
+            gm_h = np.asarray(jax.device_get(ures.gid_map))[:ng + 1]
+            ng_h = ures.ngroups
+            # combined old->new id map: surviving halos 1..ng_h, then the
+            # substructures in their existing order
+            remap = np.zeros(ng + 1, np.int64)
+            remap[is_halo_g] = gm_h[is_halo_g]
+            sub_ids = np.nonzero(~is_halo_g[1:])[0] + 1
+            remap[sub_ids] = ng_h + 1 + np.arange(len(sub_ids))
+            pfof_new = np.where(
+                halo_of_p, gm_h[pfof_np_] *
+                np.asarray(jax.device_get(ures.bound), bool),
+                remap[pfof_np_])
+            pfof = jnp.asarray(pfof_new.astype(np.int32))
+            ng_new = ng_h + len(sub_ids)
+            new_parent = np.zeros(ng_new + 1, np.int64)
+            new_host = np.full(ng_new + 1, -1, np.int64)
+            new_level = np.zeros(ng_new + 1, np.int32)
+            for old in range(1, ng + 1):
+                newg = remap[old]
+                if newg == 0:
+                    continue
+                p = parent[old]
+                new_parent[newg] = remap[p] if 0 < p <= ng else 0
+                h = hostid[old]
+                hv = remap[h] if 0 < h <= ng else 0
+                new_host[newg] = hv if hv > 0 else -1
+                new_level[newg] = level[old]
+            hostid, parent, level = new_host, new_parent, new_level
+            ng = ng_new
+            if W is not None:
+                # overlay the recomputed halo potentials
+                W_h = np.asarray(jax.device_get(ures.W))
+                W_np_ = np.asarray(jax.device_get(W))
+                W = jnp.asarray(np.where(halo_of_p, W_h, W_np_))
 
     if baryon_mode:
         t0 = time.time()
@@ -255,6 +320,34 @@ def find_structures(opt: C.Options, pos, vel, mass,
         p_W = None if W is None else jnp.asarray(W)
         p_ptype = ptype_np
         p_sub = None
+    # Reference_frame_for_properties (reference iPropertyReferencePosition,
+    # substructureproperties.cxx:327-329): radius-dependent properties are
+    # measured about the CM (default), the most-bound particle, or the
+    # potential-minimum particle; Particle_type_for_reference_frames
+    # restricts the mbp/minpot candidate set (:3966).  The reference picks
+    # the mbp with the frame velocity known at sort time; here the plain
+    # mass-weighted group velocity serves as that frame.
+    refpos = refvel = None
+    if (opt.iPropertyReferencePosition != C.PROPREFCM and W is not None
+            and ng > 0):
+        from ..ops import segments as seg_ops
+        npp = p_pos.shape[0]
+        if opt.iPropertyReferencePosition == C.PROPREFMINPOT:
+            key = p_W
+        else:  # PROPREFMBP
+            wm = jnp.where(p_pfof > 0, p_mass, 0.0)
+            vmean = seg_ops.segment_mean(p_vel, wm, p_pfof, ngpad + 1)
+            dvv = p_vel - seg_ops.gather_rows(vmean, p_pfof)
+            key = 0.5 * p_mass * jnp.sum(dvv * dvv, axis=-1) + p_W
+        key = jnp.where(p_pfof > 0, key, jnp.inf)
+        if opt.ParticleTypeForRefenceFrame != -1 and p_ptype is not None:
+            key = jnp.where(
+                jnp.asarray(p_ptype) == opt.ParticleTypeForRefenceFrame,
+                key, jnp.inf)
+        ridx = seg_ops.segment_argmin(key, p_pfof, ngpad + 1)
+        safe = jnp.clip(ridx, 0, npp - 1)
+        refpos = seg_ops.gather_rows(p_pos, safe)
+        refvel = seg_ops.gather_rows(p_vel, safe)
     pr = props_mod.compute_properties(
         p_pos, p_vel, p_mass,
         p_pfof, ngpad,
@@ -265,7 +358,11 @@ def find_structures(opt: C.Options, pos, vel, mass,
         so_thresholds=tuple(opt.SOthresholds_values_crit),
         min_size=opt.MinSize,
         iIterateCM=bool(opt.iIterateCM),
-        cmfrac=opt.pinfo.cmfrac, cmadjustfac=opt.pinfo.cmadjustfac)
+        cmfrac=opt.pinfo.cmfrac, cmadjustfac=opt.pinfo.cmadjustfac,
+        refpos=refpos)
+    # centre used by every radius-dependent stage below (the reference
+    # re-references ALL particle positions to cmref up front, :320-340)
+    ref_c = refpos if refpos is not None else pr["gcm"]
     # per-type (gas/star/BH) sub-properties (reference GASON/STARON/BHON
     # blocks of GetProperties; only when multiple particle types searched)
     if ptype_np is not None and len(np.unique(ptype_np)) > 1:
@@ -287,7 +384,7 @@ def find_structures(opt: C.Options, pos, vel, mass,
         pr.update(props_mod.compute_pertype_properties(
             p_pos, p_vel, p_mass,
             jnp.asarray(p_ptype), p_pfof, ngpad,
-            refpos=pr["gcm"], refvel=pr["gcmvel"],
+            refpos=ref_c, refvel=pr["gcmvel"],
             u=_exf2("u"), sfr=_exf2("sfr"), zmet=_exf2("zmet"),
             tage=_exf2("tage"), bhmdot=_exf2("bhmdot"),
             rvmax=pr.get("gRmaxvel"), r200c=pr.get("gR200c"),
@@ -306,14 +403,14 @@ def find_structures(opt: C.Options, pos, vel, mass,
         edges = tuple(opt.profile_bin_edges) if opt.iprofilecalc else ()
         extra = props_mod.compute_aperture_properties(
             p_pos, p_vel, p_mass,
-            p_pfof, ngpad, refpos=pr["gcm"], refvel=pr["gcmvel"],
+            p_pfof, ngpad, refpos=ref_c, refvel=pr["gcmvel"],
             apertures=aps, apertures_proj=aps_proj, profile_edges=edges,
             iprofilenorm=opt.iprofilenorm, R200c=pr["gR200c"])
         pr.update(extra)
     if opt.iextrahalooutput:
         pr.update(props_mod.compute_rvmax_properties(
             p_pos, p_vel, p_mass,
-            p_pfof, ngpad, refpos=pr["gcm"],
+            p_pfof, ngpad, refpos=ref_c,
             refvel=pr["gcmvel"], rmax=pr["gRmaxvel"]))
     if W is not None:
         pr.update(props_mod.compute_energies(

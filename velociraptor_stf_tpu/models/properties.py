@@ -345,6 +345,16 @@ def compute_aperture_properties(
     r2 = jnp.sum(dx * dx, -1)
     ing = pfof > 0
 
+    # one shared radius sort serves every aperture's half-mass radius
+    # (reference per-group loop at substructureproperties.cxx:4629+)
+    if apertures:
+        perm_r = jnp.lexsort((r2, pfof)).astype(jnp.int32)
+        g_sr = pfof[perm_r]
+        r_sr = jnp.sqrt(jnp.maximum(r2[perm_r], 1e-30))
+        offs_r = seg.group_offsets(g_sr, num_groups)
+        Mcum_r = seg.segment_cumsum(
+            jnp.where(g_sr > 0, mass[perm_r], 0.0), g_sr, offs_r)
+
     for ai, a in enumerate(apertures):
         sel = ing & (r2 < a * a)
         w = jnp.where(sel, mass, 0.0)
@@ -358,7 +368,14 @@ def compute_aperture_properties(
         out[f"Aperture_mass_{ai}"] = m_ap
         out[f"Aperture_npart_{ai}"] = n_ap
         out[f"Aperture_veldisp_{ai}"] = sig
-        # half-mass radius within the aperture is deferred (needs sort)
+        # half-mass radius within the aperture: first sorted radius where
+        # the cumulative mass crosses half the aperture mass (reference
+        # aperture_rhalfmass, substructureproperties.cxx:4639)
+        half = 0.5 * m_ap
+        kh = _first_crossing(
+            (Mcum_r >= half[g_sr]) & (g_sr > 0) & (r_sr < a), g_sr, ng1, n)
+        khc = jnp.clip(kh, 0, n - 1)
+        out[f"Aperture_rhalfmass_{ai}"] = jnp.where(kh < n, r_sr[khc], 0.0)
 
     # projected apertures over the 3 coordinate projections (reference
     # aperture_proj x/y/z)

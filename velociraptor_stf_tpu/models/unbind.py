@@ -331,18 +331,23 @@ def _finalize_unbind(mass, pfof, bound, W, num_groups: int,
 
 
 def sort_by_binding_energy(vel, mass, pfof, W, num_groups: int,
-                           gcmvel: jnp.ndarray) -> Tuple[jnp.ndarray,
-                                                         jnp.ndarray,
-                                                         jnp.ndarray]:
+                           gcmvel: jnp.ndarray,
+                           by_energy: bool = True) -> Tuple[jnp.ndarray,
+                                                            jnp.ndarray,
+                                                            jnp.ndarray]:
     """Reference SortAccordingtoBindingEnergy
-    (substructureproperties.cxx:4256): per-group permutation ordering
-    particles most-bound-first; also returns per-group indices of the most
-    bound particle and of the potential minimum."""
+    (substructureproperties.cxx:4256; the energy-vs-potential key switch
+    on ``Sort_by_binding_energy`` is at :4308, ui.cxx:260): per-group
+    permutation
+    ordering particles most-bound-first (``by_energy``) or by potential
+    alone; also returns per-group indices of the most bound particle and
+    of the potential minimum."""
     n = vel.shape[0]
     ng1 = num_groups + 1
     dv = vel - seg.gather_rows(gcmvel, pfof)
     E = 0.5 * mass * jnp.sum(dv * dv, -1) + W
-    key = jnp.where(pfof > 0, E, jnp.inf)
+    sortval = E if by_energy else W
+    key = jnp.where(pfof > 0, sortval, jnp.inf)
     perm = jnp.lexsort((key, pfof)).astype(jnp.int32)
     mbp = seg.segment_argmin(jnp.where(pfof > 0, E, jnp.inf), pfof, ng1)
     minpot = seg.segment_argmin(jnp.where(pfof > 0, W, jnp.inf), pfof, ng1)

@@ -330,7 +330,11 @@ class Options:
     HaloLocalSigmaV: float = 0.0
     fmergebg: float = 0.5
     iSingleHalo: int = 0
-    iBoundHalos: int = 0
+    # deviation from the reference default (allvars.h: iBoundHalos=0): the
+    # standalone field-halo unbind stage runs by default here (the repo's
+    # headline FOF+6DFOF+unbind pipeline); Bound_halos=0 restores the
+    # reference behaviour of unbinding only substructures
+    iBoundHalos: int = 1
     iInclusiveHalo: int = 0
     iKeepFOF: int = 0
     num3dfof: int = 0
