@@ -1,0 +1,135 @@
+"""Float64 oracle validation of the f32 JAX pipeline (VERDICT item 6).
+
+The reference binary cannot be built here, so the contested numerics are
+validated against independent double-precision sequential
+reimplementations (velociraptor_stf_tpu/validation/oracles.py):
+SO log-log crossing (substructureproperties.cxx:5203), the unbind
+ejection loop (unbind.cxx:732-1199), and the 6D velocity scales
+(search.cxx:443-499).  Documented match tolerances double as the
+f32-vs-f64 catalog-tolerance gates (SURVEY.md §7.3).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from velociraptor_stf_tpu.models import halos, properties as props_mod
+from velociraptor_stf_tpu.models import unbind as ub
+from velociraptor_stf_tpu.utils import config as C
+from velociraptor_stf_tpu.validation import oracles
+
+
+def _plummer_halo(rng, n, a=0.5, mtot=1000.0, vfac=0.3):
+    """Isotropic Plummer-ish sphere: monotone density, mostly bound."""
+    r = a / np.sqrt(rng.uniform(0.05, 1.0, n) ** (-2 / 3) - 1.0 + 1e-9)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pos = (r[:, None] * u).astype(np.float64)
+    sigma = vfac * np.sqrt(mtot / n) * np.ones(n)
+    vel = rng.normal(0, 1.0, (n, 3)) * sigma[:, None]
+    mass = np.full(n, mtot / n)
+    return pos, vel, mass
+
+
+def test_so_crossing_matches_oracle():
+    """f32 vectorised SO crossing vs f64 sequential oracle: < 0.5%."""
+    rng = np.random.default_rng(50)
+    n = 20000
+    pos, vel, mass = _plummer_halo(rng, n)
+    pfof = np.ones(n, np.int32)
+    # thresholds must be crossed INSIDE the sampled profile (ln rho spans
+    # ~6.7 to -7.4 for this mock): 200*rhocrit at ln ~ 3
+    rhocrit = 0.1
+    pr = props_mod.compute_properties(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32),
+        jnp.asarray(mass, jnp.float32), jnp.asarray(pfof), 1,
+        rhocrit=rhocrit, rhobg=0.3 * rhocrit, iIterateCM=False,
+        min_size=20)
+    # oracle about the same centre (plain CM)
+    cm = np.sum(pos * mass[:, None], 0) / mass.sum()
+    radii = np.linalg.norm(pos - cm, axis=1)
+    minnum = max(int(0.05 * n + 1), int(20 * 0.05 + 1))
+    thr = [np.log(200.0 * rhocrit), np.log(500.0 * rhocrit),
+           np.log(200.0 * 0.3 * rhocrit)]
+    (R200c, R500c, R200m), (M200c, M500c, M200m) = oracles.so_oracle(
+        radii, mass, thr, minnum)
+    for got, want in ((float(pr["gM200c"][1]), M200c),
+                      (float(pr["gM500c"][1]), M500c),
+                      (float(pr["gM200m"][1]), M200m),
+                      (float(pr["gR200c"][1]), R200c),
+                      (float(pr["gR500c"][1]), R500c),
+                      (float(pr["gR200m"][1]), R200m)):
+        assert want > 0
+        assert abs(got - want) / want < 5e-3, (got, want)
+
+
+def test_unbind_matches_oracle():
+    """Repo ejection vs reference-sequential f64 oracle on a planted halo
+    with an unbound fringe: identical bound sets."""
+    rng = np.random.default_rng(51)
+    n_b, n_u = 800, 120
+    G = 43.0211349
+    pos_b, vel_b, mass_b = _plummer_halo(rng, n_b, a=0.3, mtot=500.0,
+                                         vfac=0.25)
+    # fringe: far out and fast — unambiguously unbound
+    ru = rng.uniform(3.0, 5.0, n_u)
+    uu = rng.normal(size=(n_u, 3))
+    uu /= np.linalg.norm(uu, axis=1, keepdims=True)
+    pos_u = ru[:, None] * uu
+    vel_u = rng.normal(0, 250.0, (n_u, 3))  # far above v_esc ~ 120
+    pos = np.concatenate([pos_b, pos_u]).astype(np.float32)
+    vel = np.concatenate([vel_b, vel_u]).astype(np.float32)
+    mass = np.concatenate([mass_b, np.full(n_u, mass_b[0])]).astype(
+        np.float32)
+    n = n_b + n_u
+    pfof = np.ones(n, np.int32)
+
+    uinfo = C.UnbindInfo()
+    uinfo.unbindflag = 1
+    uinfo.Eratio = 1.0
+    uinfo.eps = 0.01
+    res = ub.check_unbound_groups(pos, vel, mass, pfof, 1, uinfo, G,
+                                  min_size=20)
+    bound_repo = np.asarray(jax.device_get(res.bound))
+    bound_orc = oracles.unbind_oracle(pos, vel, mass, uinfo.eps, G,
+                                      Eratio=1.0,
+                                      maxunbindfrac=uinfo.maxunbindfrac,
+                                      min_size=20)
+    agree = np.mean(bound_repo == bound_orc)
+    assert agree >= 0.995, f"bound-mask agreement {agree:.4f}"
+    # the fringe is almost entirely ejected by both (a couple of random
+    # draws land slow enough to be genuinely bound — both agree on them)
+    assert bound_repo[n_b:].sum() <= 0.05 * n_u
+    assert np.array_equal(bound_repo[n_b:], bound_orc[n_b:])
+
+
+def test_vscale_matches_oracle_and_bug_compat():
+    rng = np.random.default_rng(52)
+    n = 5000
+    vel = rng.normal(0, 70.0, (n, 3)).astype(np.float32)
+    mass = rng.uniform(1.0, 3.0, n).astype(np.float32)
+    pfof = rng.integers(0, 4, n).astype(np.int32)
+    fac = 1.25
+    # adaptive per-group scales
+    got = np.asarray(jax.device_get(halos.velocity_scale_per_group(
+        jnp.asarray(vel), jnp.asarray(mass), jnp.asarray(pfof), 4, fac)))
+    want = oracles.vscale_oracle(vel, mass, pfof, 3, fac, adaptive=True)
+    for g in range(1, 4):
+        assert abs(got[g] - want[g]) / want[g] < 1e-4
+    # uniform (largest-group) scale, intended semantics
+    got1 = float(jax.device_get(halos.velocity_scale_largest_group(
+        jnp.asarray(vel), jnp.asarray(mass), jnp.asarray(pfof), 4, fac)))
+    want1 = oracles.vscale_oracle(vel, mass, pfof, 3, fac,
+                                  adaptive=False)[1]
+    assert abs(got1 - want1) / want1 < 1e-4
+    # verbatim reference-bug reproduction differs and matches the oracle's
+    # buggy branch
+    gotb = float(jax.device_get(halos.velocity_scale_largest_group(
+        jnp.asarray(vel), jnp.asarray(mass), jnp.asarray(pfof), 4, fac,
+        bug_compat=True)))
+    wantb = oracles.vscale_oracle(vel, mass, pfof, 3, fac, adaptive=False,
+                                  reproduce_reference_bug=True)[1]
+    assert abs(gotb - wantb) / wantb < 1e-3
+    assert abs(gotb - got1) / got1 > 0.5   # the bug is not subtle

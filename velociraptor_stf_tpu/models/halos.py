@@ -60,16 +60,35 @@ class FieldSearchResult:
 
 
 def velocity_scale_largest_group(vel, mass, pfof, num_segments: int,
-                                 ellhalo6dvfac: float) -> jnp.ndarray:
+                                 ellhalo6dvfac: float,
+                                 bug_compat: bool = False) -> jnp.ndarray:
     """Mass-weighted velocity dispersion^2 of group 1 x ellhalo6dvfac^2.
 
     (Group ids are size-ordered, so group 1 is the largest 3DFOF halo —
     matching the reference's use of the first group after its size sort.)
+
+    ``bug_compat`` reproduces the reference's stray-statement accumulation
+    (search.cxx:450: ``mtotregion`` picks up only the particle one past
+    the largest group in sorted order) for catalog-compatibility tests;
+    otherwise the evidently intended mass sum is used.
     """
     sel = (pfof == 1)
     w = jnp.where(sel, mass, 0.0)
-    mtot = jnp.maximum(jnp.sum(w), 1e-30)
-    vmean = jnp.sum(vel * w[:, None], axis=0) / mtot
+    sv = jnp.sum(vel * w[:, None], axis=0)
+    if bug_compat:
+        n = pfof.shape[0]
+        ari = jnp.arange(n, dtype=jnp.int32)
+        # sorted order would place group 2 right after group 1, untagged
+        # last; the stray statement reads the first post-group-1 particle
+        cand2 = jnp.min(jnp.where(pfof == 2, ari, n))
+        cand0 = jnp.min(jnp.where(pfof == 0, ari, n))
+        candL = jnp.max(jnp.where(sel, ari, -1))
+        idx = jnp.where(cand2 < n, cand2,
+                        jnp.where(cand0 < n, cand0, candL))
+        mtot = jnp.maximum(mass[jnp.clip(idx, 0, n - 1)], 1e-30)
+    else:
+        mtot = jnp.maximum(jnp.sum(w), 1e-30)
+    vmean = sv / mtot
     dv2 = jnp.sum((vel - vmean) ** 2, axis=-1)
     vscale2 = jnp.sum(dv2 * w) / mtot
     return vscale2 * ellhalo6dvfac ** 2
@@ -128,8 +147,9 @@ def search_full_set(opt: C.Options, pos, vel, mass,
         ell6d = b3d * opt.ellhalo6dxfac
         nseg = ng3 + 1
         if opt.fofbgtype == C.FOF6D and not opt.iKeepFOF:
-            vscale2 = velocity_scale_largest_group(vel, mass, pfof3, nseg,
-                                                   opt.ellhalo6dvfac)
+            vscale2 = velocity_scale_largest_group(
+                vel, mass, pfof3, nseg, opt.ellhalo6dvfac,
+                bug_compat=bool(opt.iVscaleReferenceBugCompat))
             vs_per_particle = jnp.where(pfof3 > 0, vscale2, 1.0)
         else:
             vs_group = velocity_scale_per_group(vel, mass, pfof3, nseg,
@@ -164,8 +184,9 @@ def search_full_set(opt: C.Options, pos, vel, mass,
     ell6d = b3d * opt.ellhalo6dxfac
     nseg = ng3 + 1
     if opt.fofbgtype == C.FOF6D and not opt.iKeepFOF:
-        vscale2 = velocity_scale_largest_group(vel, mass, pfof3, nseg,
-                                               opt.ellhalo6dvfac)
+        vscale2 = velocity_scale_largest_group(
+            vel, mass, pfof3, nseg, opt.ellhalo6dvfac,
+            bug_compat=bool(opt.iVscaleReferenceBugCompat))
         vs_per_particle = jnp.where(pfof3 > 0, vscale2, 1.0)
     else:  # FOF6DADAPTIVE (or iKeepFOF: per-group scales, search.cxx:472)
         vs_group = velocity_scale_per_group(vel, mass, pfof3, nseg,

@@ -295,6 +295,10 @@ class Options:
     icmrefadjust: int = 1
     iIterateCM: int = 1
     iSortByBindingEnergy: int = 1
+    # repo extension (no reference keyword): reproduce the reference's
+    # FOF6D uniform-velocity-scale accumulation bug (search.cxx:450,
+    # mtotregion sums one stray particle) for catalog-compat testing
+    iVscaleReferenceBugCompat: int = 0
     iPropertyReferencePosition: int = PROPREFCM
     ParticleTypeForRefenceFrame: int = -1
     idenvflag: int = 0
@@ -556,6 +560,7 @@ def _apply_keyword(opt: Options, key: str, val: str) -> bool:
         "Extended_output": lambda v: setattr(opt, "iextendedoutput", i(v)),
         "Spherical_overdensity_halo_particle_list_output": lambda v: setattr(opt, "iSphericalOverdensityPartList", i(v)),
         "Sort_by_binding_energy": lambda v: setattr(opt, "iSortByBindingEnergy", i(v)),
+        "Velocity_scale_reference_bug_compat": lambda v: setattr(opt, "iVscaleReferenceBugCompat", i(v)),
         "SUBFIND_like_output": lambda v: setattr(opt, "isubfindoutput", i(v)),
         "NSPH_extra_blocks": lambda v: setattr(opt, "gnsphblocks", i(v)),
         "NStar_extra_blocks": lambda v: setattr(opt, "gnstarblocks", i(v)),
