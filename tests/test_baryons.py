@@ -1,6 +1,7 @@
 """Baryon phase-space association tests."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -68,6 +69,7 @@ def test_baryon_kinematic_discrimination():
     assert (gid == 2).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_pipeline_multitype_end_to_end(tmp_path):
     """Gas+DM+star mock through the full pipeline with Baryon_searchflag=1:
     baryons associated in phase space, combined unbinding, per-type
@@ -219,3 +221,58 @@ def test_pertype_full_property_blocks():
     # fixed apertures nest
     assert out["M_gas_30kpc"][1] <= out["M_gas_50kpc"][1]
     assert out["MassTwiceRhalfmass_gas"][1] >= 0.5 * out["M_gas"][1]
+
+
+def test_symmetric_edge_build_matches_directed():
+    """The half-stencil symmetric edge build + both-orientation metric
+    pass must reproduce the directed-table assignment exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from velociraptor_stf_tpu.models import baryons as B
+    from velociraptor_stf_tpu.ops import fof
+
+    rng = np.random.default_rng(13)
+    boxsize = 10.0
+    nd, nb = 3000, 800
+    pos_dm = rng.uniform(0, boxsize, (nd, 3)).astype(np.float32)
+    vel_dm = rng.normal(0, 50, (nd, 3)).astype(np.float32)
+    pfof_dm = (rng.integers(0, 4, nd)).astype(np.int32)
+    pos_b = rng.uniform(0, boxsize, (nb, 3)).astype(np.float32)
+    vel_b = rng.normal(0, 50, (nb, 3)).astype(np.float32)
+
+    ellx, ellv2 = 0.4, 2500.0
+    metric = B.PhaseMetric(float(ellx * ellx), ellv2)
+    pos = jnp.concatenate([jnp.asarray(pos_dm), jnp.asarray(pos_b)])
+    vel = jnp.concatenate([jnp.asarray(vel_dm), jnp.asarray(vel_b)])
+    isb = jnp.concatenate([jnp.zeros(nd, jnp.int32),
+                           jnp.ones(nb, jnp.int32)])
+    groups = jnp.concatenate([jnp.asarray(pfof_dm), jnp.zeros(nb, jnp.int32)])
+
+    @dataclasses.dataclass(frozen=True)
+    class DirectedElig:
+        metric: object
+
+        def __call__(self, d2, own, nbr):
+            return self.metric(d2, own, nbr)[1]
+
+    out = {}
+    for tag, pred, half in (
+            ("sym", B._PairInRange(float(ellx * ellx), ellv2), None),
+            ("dir", DirectedElig(metric), False)):
+        edges, _, grid = fof.build_edges(
+            pos, ellx, boxsize=boxsize,
+            fields={"vel": vel, "isb": isb}, predicate=pred, half=half)
+        erow, ecol = edges.erow, edges.ecol
+        if edges.undirected:
+            erow, ecol = (jnp.concatenate([erow, ecol]),
+                          jnp.concatenate([ecol, erow]))
+        gs = groups[edges.order]
+        grp_s, _ = fof.nearest_assign_edges(gs, edges.pos_s,
+                                            edges.fields_s, erow, ecol,
+                                            grid, metric)
+        grp_s = jnp.where(edges.fields_s["isb"] > 0, grp_s, gs)
+        out[tag] = np.zeros(nd + nb, np.int32)
+        out[tag][np.asarray(edges.order)] = np.asarray(grp_s)
+    assert np.array_equal(out["sym"], out["dir"])
+    assert (out["sym"][nd:] > 0).any()   # some baryons actually assigned

@@ -28,6 +28,7 @@ def merger_mock(seed=0, n1=4000, n2=2000, sep=0.6, vsep=1.2):
     return pos, vel, mass, member2
 
 
+@pytest.mark.slow
 def test_core_search_finds_second_core():
     pos, vel, mass, member2 = merger_mock()
     opt = C.Options()

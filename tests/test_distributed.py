@@ -15,6 +15,8 @@ from velociraptor_stf_tpu.ops import fof
 from velociraptor_stf_tpu.parallel import mesh as M
 from velociraptor_stf_tpu.parallel.distributed_fof import distributed_fof3d
 
+pytestmark = pytest.mark.slow
+
 
 def _partition_equal(a, b):
     """Two labelings describe the same partition (ids may differ)."""

@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 EXDIR = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 

@@ -142,6 +142,7 @@ def test_fof_6d_criterion():
     assert pfof[0] != pfof[n]
 
 
+@pytest.mark.slow
 def test_slab_edge_builder_matches_dense(monkeypatch):
     """The slab-chunked edge builder (grids beyond packed int32 / dense
     table budget, the 256^3+ path) produces identical FOF groups to the

@@ -245,3 +245,63 @@ def test_hdf_naming_conventions(tmp_path, snap, convention):
     assert np.allclose(extras["zmet"][t2 == 4], 0.01)
     assert (m2 > 0).all() and len(p2) == ngas + (ptype == 1).sum() + 10
     assert np.abs(v2).sum() > 0
+
+
+def test_ascii_catalogs_match_hdf(tmp_path):
+    """ASCII .properties / .catalog_* round-trip and agree with the HDF
+    outputs column-for-column (reference ASCII layout, io.cxx:1699-1727
+    properties; :1060,1141 catalogs/parttypes)."""
+    import h5py
+
+    opt = C.Options()
+    opt.lengthtokpc, opt.velocitytokms, opt.masstosolarmass = 1000., 1., 1e10
+    ng = 5
+    n = 300
+    rng = np.random.default_rng(7)
+    props = _dummy_props(ng)
+    pfof = rng.integers(0, ng + 1, n).astype(np.int32)
+    pids = np.arange(10**13, 10**13 + n)     # above 2^40: float64-unsafe
+    ptype = rng.integers(0, 6, n).astype(np.int32)
+    cols = W.properties_table(opt, props, ng)
+
+    out_h = str(tmp_path / "h5")
+    out_a = str(tmp_path / "asc")
+    opt.ibinaryout = C.OUTHDF
+    W.write_properties(opt, out_h, cols, ng)
+    W.write_group_catalog(opt, out_h, pfof, pids, ng, ptype=ptype)
+    opt.ibinaryout = C.OUTASCII
+    W.write_properties(opt, out_a, cols, ng)
+    W.write_group_catalog(opt, out_a, pfof, pids, ng, ptype=ptype)
+
+    # properties: header names match the HDF dataset order; numeric
+    # values agree; integer columns survive exactly
+    lines = open(out_a + ".properties").read().splitlines()
+    names = [t[:t.rindex("(")] for t in lines[2].split()]
+    with h5py.File(out_h + ".properties") as f:
+        hdf_cols = [k for k in cols.keys()]
+        assert names == hdf_cols
+        table = np.array([ln.split() for ln in lines[3:]])
+        for j, name in enumerate(names):
+            v_h = np.asarray(f[name])
+            if np.issubdtype(np.asarray(cols[name]).dtype, np.integer):
+                assert (table[:, j].astype(np.int64) == v_h).all(), name
+            else:
+                np.testing.assert_allclose(
+                    table[:, j].astype(np.float64), v_h.astype(np.float64),
+                    rtol=2e-9, err_msg=name)
+
+    # catalogs: sizes/offsets/pids/types identical between formats
+    for suffix, key, dtype in (
+            (".catalog_particles", "Particle_IDs", np.int64),
+            (".catalog_parttypes", "Particle_types", np.int64)):
+        body = np.loadtxt(out_a + suffix, skiprows=2, dtype=dtype, ndmin=1)
+        with h5py.File(out_h + suffix) as f:
+            np.testing.assert_array_equal(body, np.asarray(f[key]))
+    agl = open(out_a + ".catalog_groups").read().split()
+    with h5py.File(out_h + ".catalog_groups") as f:
+        sizes = np.asarray(f["Group_Size"])
+        offs = np.asarray(f["Offset"])
+        offs_u = np.asarray(f["Offset_unbound"])
+    body = np.array(agl[4:], dtype=np.int64)
+    np.testing.assert_array_equal(body,
+                                  np.concatenate([sizes, offs, offs_u]))

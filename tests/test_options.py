@@ -31,6 +31,7 @@ def _base_opt(n, boxsize):
     return opt
 
 
+@pytest.mark.slow
 def test_singlehalo_search_skips_field_search():
     n = 4096
     boxsize = 10.0
@@ -44,6 +45,7 @@ def test_singlehalo_search_skips_field_search():
     assert (np.asarray(res.pfof) == 1).all()
 
 
+@pytest.mark.slow
 def test_bound_halos_gates_field_unbind():
     n = 1 << 14
     boxsize = 20.0
@@ -64,6 +66,7 @@ def test_bound_halos_gates_field_unbind():
         int(np.sum(np.asarray(res0.pfof) > 0))
 
 
+@pytest.mark.slow
 def test_bound_halos_2_post_substructure_reunbind():
     n = 1 << 13
     boxsize = 20.0
@@ -104,6 +107,7 @@ def test_sort_by_binding_energy_vs_potential():
     assert (np.diff(W[permW]) >= 0).all()
 
 
+@pytest.mark.slow
 def test_reference_frame_minpot_changes_centre():
     """A halo with an off-CM potential minimum: radius-dependent output
     must move when Reference_frame_for_properties=2 (PROPREFMINPOT)."""

@@ -57,6 +57,7 @@ def snapshot(tmp_path_factory):
     return d, fn, len(pos)
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(snapshot):
     import h5py
 
@@ -112,6 +113,7 @@ def test_library_api(snapshot):
     assert sizes[1] == sizes[1:].max()
 
 
+@pytest.mark.slow
 def test_ikeepfof_envelopes():
     """Keep_FOF=1: 3DFOF envelopes become parent structures of the 6DFOF
     halos (reference search.cxx:582-655); envelopes typed FOF3DTYPE, halos
@@ -166,6 +168,7 @@ def test_ikeepfof_envelopes():
     assert (res.pfof[:n1] == g1).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_separate_output_files(snapshot, tmp_path):
     """Separate_output_files=1 splits field halos and substructures into
     outname.* and outname.sublevels.* (reference main.cxx:469-523)."""
@@ -195,6 +198,7 @@ def test_separate_output_files(snapshot, tmp_path):
         assert int(f["Num_of_groups"][()]) == nf + ns
 
 
+@pytest.mark.slow
 def test_zoom_multires_input(tmp_path):
     """Zoom (HIGHRES) handling: low-res heavy DM marks a multi-resolution
     run — the linking-length scale comes from the high-res interparticle
@@ -262,6 +266,7 @@ def test_zoom_multires_input(tmp_path):
     assert res.props["n_interloper"][1] > 0
 
 
+@pytest.mark.slow
 def test_library_api_particleset():
     """Library API accepts a ParticleSet (the in-memory container replacing
     NBodylib's Particle array, SURVEY §2.9) and runs the multi-type path."""

@@ -19,6 +19,7 @@ def uniform_sphere(n, R, centre, rng):
     return centre + r[:, None] * d
 
 
+@pytest.mark.slow
 def test_cm_mass_and_size():
     rng = np.random.default_rng(0)
     n = 5000
@@ -66,6 +67,7 @@ def test_so_masses_uniform_sphere():
     # numerical oracle below.
 
 
+@pytest.mark.slow
 def test_so_masses_powerlaw_oracle():
     """rho ~ r^-2 profile: M(<r) ~ r, rho_enc(r) = 3M/(4 pi r^3) ~ r^-2.
     Crossing radius for threshold D*rhoc: analytic."""
@@ -166,6 +168,7 @@ def test_shape_triaxial():
     assert np.asarray(pr["gs"])[1] == pytest.approx(0.3, rel=0.03)
 
 
+@pytest.mark.slow
 def test_multiple_groups_independent():
     """Two disjoint groups must give the same answers as two single-group
     calls (segment reductions don't mix groups)."""

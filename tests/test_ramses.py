@@ -203,6 +203,7 @@ def test_ramses_amr_gas_cells(tmp_path):
     assert ((pos[gas] >= 0) & (pos[gas] <= lscale)).all()
 
 
+@pytest.mark.slow
 def test_ramses_cli_end_to_end(tmp_path):
     """CLI -I 4 on a synthetic RAMSES dir: read, search, write catalogs."""
     from velociraptor_stf_tpu import cli

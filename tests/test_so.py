@@ -14,6 +14,8 @@ import pytest
 from velociraptor_stf_tpu.ops import so
 from velociraptor_stf_tpu.utils import config as C
 
+pytestmark = pytest.mark.slow
+
 
 def _halo_plus_background(rng, n_h=20000, n_bg=40000, boxsize=10.0,
                           centre=(5.0, 5.0, 5.0), Rh=0.5):

@@ -48,6 +48,7 @@ def test_velocity_density_cold_clump():
     assert np.median(dens[member]) > 10 * np.median(dens[~member])
 
 
+@pytest.mark.slow
 def test_outlier_values_distribution():
     """ell values: background roughly standard-normalised, clump >> thr."""
     pos, vel, mass, member = host_with_subhalo()
@@ -68,6 +69,7 @@ def test_outlier_values_distribution():
     assert (ell[member] > 2.5).mean() > 0.15
 
 
+@pytest.mark.slow
 def test_search_subset_finds_subhalo():
     pos, vel, mass, member = host_with_subhalo()
     opt = C.Options()
@@ -97,6 +99,7 @@ def test_search_subset_finds_subhalo():
     assert (main & ~member).sum() < 0.15 * main.sum()
 
 
+@pytest.mark.slow
 def test_search_sub_sub_recursion_and_hierarchy():
     """Two planted subhalos in one field halo; hierarchy bookkeeping."""
     rng = np.random.default_rng(42)
@@ -179,6 +182,7 @@ def test_skewgauss_fit_recovers_truth():
     assert (tail > 3).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_velocity_density_cache_roundtrip(tmp_path):
     """Output_den checkpoint: a second identical run replays the cached
     level-1 velocity densities and produces identical labels (reference
@@ -327,6 +331,7 @@ def test_denv_ratio_bucketed_matches_dense():
     assert np.median(np.abs(Rd - Rb)) < 1e-5
 
 
+@pytest.mark.slow
 def test_structure_outliers_large_no_oom():
     """10^6-particle structure outliers run through the bucketed path."""
     import time

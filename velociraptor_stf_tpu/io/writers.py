@@ -260,13 +260,22 @@ def write_properties(opt: C.Options, outname: str, cols: Dict[str, np.ndarray],
             for k, v in cols.items():
                 f.create_dataset(k, data=v)
     else:
+        # reference ASCII layout (io.cxx:1699-1727): "task nprocs" /
+        # "ng ngtot" / name(i) header items each followed by a space /
+        # setprecision(10) rows in PropDataHeader column order — integer
+        # columns written as integers (IDs above 2^53 would corrupt
+        # through a float64 round trip)
         keys = list(cols.keys())
         with open(f"{outname}.properties", "w") as f:
             f.write(f"0 1\n{ngroups} {ngroups}\n")
-            f.write(" ".join(f"{k}({i+1})" for i, k in enumerate(keys)) + "\n")
-            arr = np.column_stack([np.asarray(cols[k], np.float64)
-                                   for k in keys])
-            np.savetxt(f, arr, fmt="%.10g")
+            f.write("".join(f"{k}({i+1}) " for i, k in enumerate(keys))
+                    + "\n")
+            arrs = [np.asarray(cols[k]) for k in keys]
+            fmts = ["%d" if np.issubdtype(a.dtype, np.integer) else "%.10g"
+                    for a in arrs]
+            for row in range(ngroups):
+                f.write(" ".join(fmt % a[row]
+                                 for fmt, a in zip(fmts, arrs)) + "\n")
 
 
 def write_group_catalog(opt: C.Options, outname: str, pfof: np.ndarray,
@@ -362,6 +371,14 @@ def write_group_catalog(opt: C.Options, outname: str, pfof: np.ndarray,
                 f.write("0 1\n")
                 f.write(f"{len(pidlist)} {len(pidlist)}\n")
                 np.savetxt(f, pidlist, fmt="%d")
+        if ptype is not None:
+            # one type per line after the 2-line header (io.cxx:1141)
+            for nm, tl in ((".catalog_parttypes", typ_bound),
+                           (".catalog_parttypes.unbound", typ_unbound)):
+                with open(outname + nm, "w") as f:
+                    f.write("0 1\n")
+                    f.write(f"{len(tl)} {len(tl)}\n")
+                    np.savetxt(f, tl, fmt="%d")
 
 
 def write_hierarchy(opt: C.Options, outname: str, parent: np.ndarray,

@@ -81,14 +81,24 @@ def search_baryons(opt: C.Options, pos_dm, vel_dm, pfof_dm,
     n = nd + nb
 
     metric = PhaseMetric(float(ellx * ellx), float(ellv2))
+    # the edge ELIGIBILITY is orientation-free (one baryon, one DM, inside
+    # the phase ellipse), so the symmetric half-stencil builders apply —
+    # including the slab-chunked path at 256^3+ grids (the directed table
+    # would otherwise fall back to a coarsened grid); the directional
+    # (baryon -> DM) metric is then evaluated on both orientations
     edges, _, grid = fof.build_edges(
         pos, ellx, boxsize=boxsize,
-        fields={"vel": vel, "isb": isb}, predicate=_MetricElig(metric))
+        fields={"vel": vel, "isb": isb},
+        predicate=_PairInRange(float(ellx * ellx), float(ellv2)))
     order = edges.order
     groups_s = groups[order]
+    erow, ecol = edges.erow, edges.ecol
+    if edges.undirected:
+        erow, ecol = (jnp.concatenate([erow, ecol]),
+                      jnp.concatenate([ecol, erow]))
     grp_s, _ = fof.nearest_assign_edges(groups_s, edges.pos_s,
-                                        edges.fields_s, edges.erow,
-                                        edges.ecol, grid, metric)
+                                        edges.fields_s, erow,
+                                        ecol, grid, metric)
     # keep existing DM assignments
     grp_s = jnp.where(edges.fields_s["isb"] > 0, grp_s, groups_s)
     grp = jnp.zeros(n, jnp.int32).at[order].set(grp_s)
@@ -96,11 +106,16 @@ def search_baryons(opt: C.Options, pos_dm, vel_dm, pfof_dm,
 
 
 @dataclasses.dataclass(frozen=True)
-class _MetricElig:
-    """Adapt a (dist, eligible) metric into a bool pair predicate for the
-    edge build (only eligible pairs become edges)."""
+class _PairInRange:
+    """Symmetric edge eligibility: exactly one of the pair is a baryon and
+    the pair lies inside the phase-space ellipse (reference candidate
+    gathering for the baryon association, search.cxx:3201+)."""
 
-    metric: object
+    ellx2: float
+    ellv2: float
+    symmetric = True
 
     def __call__(self, d2, own, nbr):
-        return self.metric(d2, own, nbr)[1]
+        dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+        dist = d2 / self.ellx2 + dv2 / self.ellv2
+        return (own["isb"] != nbr["isb"]) & (dist <= 1.0)
