@@ -164,3 +164,47 @@ def test_aperture_rhalfmass():
     r = np.linalg.norm(pos, axis=1)
     m_inside = np.sum(mass[r <= rh])
     assert abs(m_inside - 0.5 * m_ap) / m_ap < 0.02
+
+
+def test_scale_linking_lengths_single_halo():
+    """iScaleLengths rescales ellxscale/ellvscale from the halo's bulk
+    properties (reference ScaleLinkingLengths, haloproperties.cxx:13)."""
+    from velociraptor_stf_tpu.models import haloprops
+
+    rng = np.random.default_rng(46)
+    n = 20000
+    r = 0.5 / np.sqrt(rng.uniform(0.05, 1.0, n) ** (-2 / 3) - 1.0 + 1e-9)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pos = (r[:, None] * u + 5.0).astype(np.float32)
+    vel = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    mass = np.full(n, 0.05, np.float32)
+
+    opt = C.Options()
+    opt.G = 43.0211349
+    opt.virlevel = 200.0
+    before = (opt.ellxscale, opt.ellvscale)
+    haloprops.scale_linking_lengths(opt, pos, vel, mass)
+    assert opt.ellxscale > 0 and opt.ellvscale > 0
+    assert (opt.ellxscale, opt.ellvscale) != before
+    # the CM-adjusted virial pipeline must land inside the halo's extent
+    cm, _, rlim, maxvc, r_s, Mcum = haloprops.adjust_to_cm(pos, vel, mass)
+    assert np.allclose(cm, 5.0, atol=0.2)
+    rvir, mvir, renc = haloprops.virial_quantities(
+        r_s, Mcum, rlim, 1.19e-7, 200.0)
+    assert rlim[0] < rvir <= rlim[2] * 1.02
+    assert 0 < mvir <= Mcum[-1] * 1.001
+    # enclosed-mass radii are ordered and bracket the half-mass radius
+    assert 0 < renc[0] < renc[1] < renc[2]
+    k = np.searchsorted(Mcum, 0.5 * Mcum[-1])
+    assert abs(renc[1] - r_s[k]) / r_s[k] < 0.3
+
+
+def test_cli_extra_flags_parse():
+    from velociraptor_stf_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["-C", "x.cfg", "-i", "snap", "-G", "5", "-S", "3", "-B", "1",
+         "-t", "00010"])
+    assert args.gnsphblocks == 5 and args.gnstarblocks == 3
+    assert args.gnbhblocks == 1 and args.ramsessnapname == "00010"

@@ -39,6 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output base name (overrides config Output)")
     p.add_argument("-Z", dest="nsnapread", type=int, default=1)
     p.add_argument("-v", dest="verbose", type=int, default=None)
+    # reference GetArgs extras (ui.cxx:46-60): gadget extra-block counts
+    # and the RAMSES secondary snapshot name
+    p.add_argument("-G", dest="gnsphblocks", type=int, default=None,
+                   help="number of extra gadget SPH blocks")
+    p.add_argument("-S", dest="gnstarblocks", type=int, default=None,
+                   help="number of extra gadget star blocks")
+    p.add_argument("-B", dest="gnbhblocks", type=int, default=None,
+                   help="number of extra gadget BH blocks")
+    p.add_argument("-t", dest="ramsessnapname", default=None,
+                   help="RAMSES snapshot naming (reference -t)")
     return p
 
 
@@ -325,6 +335,14 @@ def main(argv=None) -> int:
         opt.outname = args.output
     if args.verbose is not None:
         opt.iverbose = args.verbose
+    if args.gnsphblocks is not None:
+        opt.gnsphblocks = args.gnsphblocks
+    if args.gnstarblocks is not None:
+        opt.gnstarblocks = args.gnstarblocks
+    if args.gnbhblocks is not None:
+        opt.gnbhblocks = args.gnbhblocks
+    if args.ramsessnapname is not None:
+        opt.ramsessnapname = args.ramsessnapname
     if not opt.outname:
         print("No output name given (config Output= or -o), terminating",
               file=sys.stderr)

@@ -107,6 +107,13 @@ def find_structures(opt: C.Options, pos, vel, mass,
         # Singlehalo_search (reference main.cxx:285, ui.cxx semantics):
         # the input IS one halo — skip the field search entirely and feed
         # the whole set as group 1 to the substructure machinery
+        if opt.iScaleLengths:
+            # rescale ellxscale/ellvscale from the halo's bulk properties
+            # (reference ScaleLinkingLengths, main.cxx:333)
+            from . import haloprops
+
+            haloprops.scale_linking_lengths(
+                opt, np.asarray(spos), np.asarray(svel), np.asarray(smass))
         pfof = jnp.ones(spos.shape[0], jnp.int32)
         ng = 1
         pfof3d_np = None

@@ -213,6 +213,7 @@ class Options:
     gnsphblocks: int = 4
     gnstarblocks: int = 2
     gnbhblocks: int = 2
+    ramsessnapname: str = ""   # reference -t flag (ui.cxx:58)
 
     # output
     iseparatefiles: int = 0
