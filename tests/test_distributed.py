@@ -26,19 +26,12 @@ def _partition_equal(a, b):
     if not ((a == 0) == (b == 0)).all():
         return False
     sel = a > 0
-    pa, pb = a[sel], b[sel]
-    # bijection check via pair encoding
-    ka = {}
-    for x, y in zip(pa, pb):
-        if x in ka and ka[x] != y:
-            return False
-        ka[x] = y
-    kb = {}
-    for x, y in zip(pb, pa):
-        if x in kb and kb[x] != y:
-            return False
-        kb[x] = y
-    return True
+    pa, pb = a[sel].astype(np.int64), b[sel].astype(np.int64)
+    if pa.size == 0:
+        return True
+    # bijection check: distinct (a,b) pairs == distinct a == distinct b
+    pairs = np.unique(pa * (pb.max() + 2) + pb).size
+    return pairs == np.unique(pa).size == np.unique(pb).size
 
 
 @pytest.mark.parametrize("ndev", [4, 8])
@@ -181,3 +174,37 @@ def test_distributed_unbind_bgpot_recompute():
     assert res_d.ngroups == res_s.ngroups
     assert np.array_equal(np.asarray(jax.device_get(res_s.bound)),
                           np.asarray(jax.device_get(res_d.bound)))
+
+
+def test_distributed_fof_boundary_buffer_pressure():
+    """Heavy boundary columns: a large fraction of all particles packed
+    into thin sheets AT slab boundaries stresses the ghost-buffer (B)
+    sizing and the cross-slab label chain (buffer pressure, not just the
+    label fixed point)."""
+    rng = np.random.default_rng(77)
+    boxsize = 16.0
+    ndev = 8
+    mesh = M.make_mesh(ndev)
+    b = 0.25
+    # plan geometry mirror: W = 256//ndev capped by nx_max=boxsize/b=64
+    # -> nxt=64, W=8, nx=64; slab boundaries at x = k * (boxsize/ndev)
+    n_bg = 1 << 13
+    pos_bg = rng.uniform(0, boxsize, (n_bg, 3)).astype(np.float32)
+    sheets = []
+    for k in range(ndev):
+        xb = (k * boxsize / ndev) % boxsize
+        m = 1 << 12   # dense enough that each sheet forms real groups
+        s = np.empty((m, 3), np.float32)
+        # within half a linking length of the boundary: every sheet
+        # particle is a ghost candidate on both neighbouring slabs
+        s[:, 0] = xb + rng.uniform(-0.4 * b, 0.4 * b, m)
+        s[:, 1] = rng.uniform(0, boxsize, m)
+        s[:, 2] = rng.uniform(0, boxsize, m)
+        sheets.append(s)
+    pos = np.concatenate([pos_bg] + sheets) % boxsize
+    pfof_d, ng_d = distributed_fof3d(pos, b, boxsize, mesh, min_size=20)
+    assert ng_d > 0   # the sheets must actually form groups
+    pfof_s, ng_s = fof.fof3d(pos, b, boxsize=boxsize, min_size=20)
+    pfof_s = np.asarray(jax.device_get(pfof_s))
+    assert ng_d == int(jax.device_get(ng_s))
+    assert _partition_equal(pfof_d, pfof_s)

@@ -46,16 +46,22 @@ from .mesh import PARTS_AXIS
 _BIG_I32 = np.int32(np.iinfo(np.int32).max)
 
 
-def _windows_dense_xclip(cid_sorted, coords, dims: Tuple[int, int, int]):
+def _windows_dense_xclip(cid_sorted, coords, dims: Tuple[int, int, int],
+                         valid_sorted=None):
     """Stencil windows over a local grid: x clipped (ghost columns pad the
     slab), y and z periodic (each slab spans the full box in y,z).
 
     Variant of fof._candidate_counts_dense with per-axis boundary handling;
     returns (pst, pcn) of shape (N, 18).
+
+    Invalid slots (padding / unfilled ghost-buffer entries) must carry
+    cell id ``total`` (a virtual cell no stencil ever targets) and, via
+    ``valid_sorted``, scan nothing — otherwise they inflate the candidate
+    table beyond the SlabPlan's exact prepass total.
     """
     nx, ny, nz = dims
     total = nx * ny * nz
-    hist = jnp.zeros(total + 1, jnp.int32).at[cid_sorted + 1].add(1)
+    hist = jnp.zeros(total + 2, jnp.int32).at[cid_sorted + 1].add(1)
     pstart = jnp.cumsum(hist)
     x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
     zero = jnp.zeros_like(x)
@@ -86,7 +92,11 @@ def _windows_dense_xclip(cid_sorted, coords, dims: Tuple[int, int, int]):
         cb = jnp.where(okx & wrap, pstart[idb + 1] - sb, 0)
         bsts.append(sb)
         bcns.append(cb)
-    return jnp.stack(psts + bsts, axis=1), jnp.stack(pcns + bcns, axis=1)
+    pst = jnp.stack(psts + bsts, axis=1)
+    pcn = jnp.stack(pcns + bcns, axis=1)
+    if valid_sorted is not None:
+        pcn = jnp.where(valid_sorted[:, None], pcn, 0)
+    return pst, pcn
 
 
 def _take_first_k(mask: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -325,7 +335,10 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
         cy = jnp.floor(cpos[:, 1] / wy).astype(jnp.int32) % ny
         cz = jnp.floor(cpos[:, 2] / wz).astype(jnp.int32) % nz
         cid = (xrel * ny + cy) * nz + cz
-        cid = jnp.where(cvalid, cid, (W + 2) * ny * nz - 1)
+        # invalid slots go to the VIRTUAL cell past the grid: no stencil
+        # targets it and their own windows are zeroed below, so they
+        # contribute zero candidate slots (the SlabPlan t_pad is exact)
+        cid = jnp.where(cvalid, cid, (W + 2) * ny * nz)
         sorder = jnp.argsort(cid).astype(jnp.int32)
         cid_s = cid[sorder]
         pos_s = cpos[sorder]
@@ -336,7 +349,8 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
         pay_s = cpay[sorder]
         grp_s = cgrp[sorder]
 
-        pst, pcn = _windows_dense_xclip(cid_s, coords_s, dims)
+        pst, pcn = _windows_dense_xclip(cid_s, coords_s, dims,
+                                        valid_sorted=valid_s)
         row, col, vslot = fof.flat_candidates(pst, pcn, t_pad, ncols=nslot)
         dvec = pos_s[row] - pos_s[col]
         dvec = dvec - box * jnp.round(dvec / box)
