@@ -5,7 +5,9 @@ north star = 1024^3 end-to-end < 60 s on v5p-16, i.e. ~1.12e6
 particles/sec/chip.  ``vs_baseline`` is measured throughput / that target.
 
 Env overrides: VR_BENCH_N (particle count, default 128^3),
-VR_BENCH_REPS (timed repetitions, default 3).
+VR_BENCH_REPS (timed repetitions, default 3),
+VR_BENCH_BARYONS=1 (multi-type variant: 5/6 DM + 1/6 gas, baryon
+association + combined re-unbind counted in the metric time).
 """
 
 import json
@@ -54,22 +56,36 @@ def main():
     # the BASELINE.json metric is FOF + 6DFOF + unbind; the substructure
     # recursion is benchmarked separately (it is not part of the target)
     opt.iSubSearch = 0
+    ptype = None
+    baryons = os.environ.get("VR_BENCH_BARYONS") == "1"
+    if baryons:
+        # multi-type variant: every 6th particle is gas; the baryon
+        # association + combined re-unbind join the metric time
+        opt.iBaryonSearch = 1
+        opt.partsearchtype = C.PSTALL
+        ptype = np.where(np.arange(n) % 6 == 5, 0, 1).astype(np.int32)
     C.config_check(opt)
+
+    def run_once():
+        return find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                               ptype=ptype)
 
     # warmup (compile; run twice so every data-dependent shape branch is
     # compiled before timing)
-    res = find_structures(opt, pos, vel, mass, boxsize=boxsize)
-    res = find_structures(opt, pos, vel, mass, boxsize=boxsize)
+    res = run_once()
+    res = run_once()
     times = []
     metric_times = []
     for _ in range(reps):
         t0 = time.time()
-        res = find_structures(opt, pos, vel, mass, boxsize=boxsize)
+        res = run_once()
         times.append(time.time() - t0)
-        # the metric phases (BASELINE.md): FOF+6DFOF ("fof") + unbind;
-        # property computation is a separate product stage
+        # the metric phases (BASELINE.md): FOF+6DFOF ("fof") + unbind
+        # (+ baryon association in the multi-type variant); property
+        # computation is a separate product stage
         metric_times.append(res.timings.get("fof", 0.0) +
-                            res.timings.get("unbind", 0.0))
+                            res.timings.get("unbind", 0.0) +
+                            res.timings.get("baryons", 0.0))
     # best rep: a rep polluted by residual jit compiles (cold persistent
     # cache) misstates steady-state throughput
     dt = float(np.min(metric_times))
