@@ -332,9 +332,59 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
         extra["mass"] = jnp.asarray(mass)
     if needs_pos:
         extra["pos"] = jnp.asarray(pos)
-    pfof, ng = fof.fof3d(pos, b, boxsize=None, min_size=minsize0, vel=vel,
-                         extra_fields=extra, predicate=pred0)
-    ng = int(jax.device_get(ng))
+
+    # shared edge table: the initial search, both attach expansions and
+    # the link-merge all test pairs within b * max(1, ellxfac) and every
+    # shipped criterion embeds its own spatial cut, so ONE spatial build
+    # at the widest reach serves all four passes via refine_edge_mask
+    # (the reference rebuilds its KD tree per pass, search.cxx:1088-1400).
+    # FOFSTPROBNNNODIST has no spatial cut (stencil-reach semantics) and
+    # keeps the per-pass builds.
+    share = opt.iiterflag and opt.foftype != C.FOFSTPROBNNNODIST
+    if share:
+        b_build = b * max(1.0, opt.ellxfac)
+        fields = dict(extra)
+        fields["vel"] = jnp.asarray(vel)
+        edges, _, grid = fof.build_edges(
+            jnp.asarray(pos), b_build, boxsize=None, fields=fields,
+            predicate=fof.Pred3D(b_build * b_build))
+        n_set = edges.n
+
+        def masked_labels(pred, minsize_loc):
+            mask = fof.refine_edge_mask(edges.pos_s, edges.fields_s,
+                                        edges.erow, edges.ecol, grid, pred)
+            labels = fof.fof_labels_from_edges(
+                jnp.where(mask, edges.erow, 0),
+                jnp.where(mask, edges.ecol, 0), n_set,
+                undirected=edges.undirected)
+            pfof_sorted, ngd = fof.renumber_by_size(
+                labels, minsize_loc, orig_index=edges.order)
+            return (jnp.zeros(n_set, jnp.int32).at[edges.order].set(
+                pfof_sorted), ngd)
+
+        def attach_masked(pred, pfof_cur, nrounds=16):
+            # directed attach semantics on the undirected table: evaluate
+            # the (asymmetric) criterion on both orientations
+            mf = fof.refine_edge_mask(edges.pos_s, edges.fields_s,
+                                      edges.erow, edges.ecol, grid, pred)
+            er = jnp.where(mf, edges.erow, 0)
+            ec = jnp.where(mf, edges.ecol, 0)
+            if edges.undirected:
+                mb = fof.refine_edge_mask(edges.pos_s, edges.fields_s,
+                                          edges.ecol, edges.erow, grid,
+                                          pred)
+                er = jnp.concatenate([er, jnp.where(mb, edges.ecol, 0)])
+                ec = jnp.concatenate([ec, jnp.where(mb, edges.erow, 0)])
+            labels0 = jnp.asarray(pfof_cur)[edges.order]
+            labels = fof.attach_rounds(labels0, er, ec, nrounds)
+            return jnp.zeros(n_set, jnp.int32).at[edges.order].set(labels)
+
+        pfof, ng_d = masked_labels(pred0, minsize0)
+        ng = int(jax.device_get(ng_d))
+    else:
+        pfof, ng = fof.fof3d(pos, b, boxsize=None, min_size=minsize0,
+                             vel=vel, extra_fields=extra, predicate=pred0)
+        ng = int(jax.device_get(ng))
     if ng == 0:
         return pfof, 0
 
@@ -344,21 +394,28 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
                                     math.cos(opt.thetaopen * math.pi *
                                              opt.thetafac),
                                     opt.ellthreshold)
-        pfof = attach_expand(pos, vel, ell, pfof, b, pred_att)
+        if share:
+            pfof = attach_masked(pred_att, pfof)
+        else:
+            pfof = attach_expand(pos, vel, ell, pfof, b, pred_att)
         # intergroup-link merging (reference MergeGroups / fmerge,
         # search.cxx:1200-1224): sizes before further expansion
         sizes_old = np.bincount(np.asarray(jax.device_get(pfof)),
                                 minlength=ng + 1)
-        pfof, ng = merge_linked_groups(pos, vel, ell, pfof, ng, opt,
-                                       sizes_old=sizes_old)
+        pfof, ng = merge_linked_groups(
+            pos, vel, ell, pfof, ng, opt, sizes_old=sizes_old,
+            edges=(edges, grid) if share else None)
         # relaxed second expansion with larger linking length (ellxfac)
         ellx2b = ellx2 * opt.ellxfac ** 2
         pred_att2 = StreamPredAttach(
             ellx2b, opt.Vratio * opt.vfac,
             math.cos(opt.thetaopen * math.pi * opt.thetafac),
             opt.ellthreshold * opt.ellfac)
-        pfof = attach_expand(pos, vel, ell, pfof, math.sqrt(ellx2b),
-                             pred_att2)
+        if share:
+            pfof = attach_masked(pred_att2, pfof)
+        else:
+            pfof = attach_expand(pos, vel, ell, pfof, math.sqrt(ellx2b),
+                                 pred_att2)
 
     # significance + final min size, renumber by size
     ngpad = 1
@@ -382,8 +439,8 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
 
 
 def merge_linked_groups(pos, vel, ell, pfof, ng: int, opt: C.Options,
-                        sizes_old: Optional[np.ndarray] = None
-                        ) -> Tuple[jnp.ndarray, int]:
+                        sizes_old: Optional[np.ndarray] = None,
+                        edges=None) -> Tuple[jnp.ndarray, int]:
     """Merge groups connected by enough relaxed-criterion links.
 
     Reference iterative-search merge stage (search.cxx:1200-1224 +
@@ -409,15 +466,30 @@ def merge_linked_groups(pos, vel, ell, pfof, ng: int, opt: C.Options,
     # criterion is symmetric, so count(i->j) == count(j->i) == the number
     # of passing cross pairs: an undirected half-stencil edge list counted
     # in both orientations reproduces the directed table at half the cost
-    # (and with no coarsened-grid fallback at any scale)
-    edges, _, _ = fof.build_edges(
-        pos, math.sqrt(ellx2),
-        fields={"vel": jnp.asarray(vel), "ell": jnp.asarray(ell)},
-        predicate=pred)
-    gs = jnp.asarray(pfof_np)[edges.order]
-    gi = gs[edges.erow]
-    gj = gs[edges.ecol]
-    if edges.undirected:
+    # (and with no coarsened-grid fallback at any scale).
+    # ``edges``: optional prebuilt (FlatEdges, grid) spanning at least the
+    # linking length (search_subset's shared table) — the criterion is
+    # re-evaluated along it instead of rebuilding candidates.
+    if edges is not None:
+        etab, grid = edges
+        emask = fof.refine_edge_mask(etab.pos_s, etab.fields_s, etab.erow,
+                                     etab.ecol, grid, pred)
+        erow = jnp.where(emask, etab.erow, 0)
+        ecol = jnp.where(emask, etab.ecol, 0)
+        undirected = etab.undirected
+        order = etab.order
+    else:
+        etab, _, _ = fof.build_edges(
+            pos, math.sqrt(ellx2),
+            fields={"vel": jnp.asarray(vel), "ell": jnp.asarray(ell)},
+            predicate=pred)
+        erow, ecol = etab.erow, etab.ecol
+        undirected = etab.undirected
+        order = etab.order
+    gs = jnp.asarray(pfof_np)[order]
+    gi = gs[erow]
+    gj = gs[ecol]
+    if undirected:
         gi, gj = jnp.concatenate([gi, gj]), jnp.concatenate([gj, gi])
     mask = (gi > 0) & (gj > 0) & (gi != gj)
     # sparse distinct-pair link counts (device sort + run-length count):
