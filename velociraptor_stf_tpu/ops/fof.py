@@ -899,8 +899,8 @@ def fof_labels_flat(pos_sorted, fields, binning, grid: CellGrid,
     return _compress(labels)
 
 
-@partial(jax.jit, static_argnames=("min_size",))
-def renumber_by_size(labels: jnp.ndarray, min_size: int,
+@jax.jit
+def renumber_by_size(labels: jnp.ndarray, min_size,
                      orig_index: Optional[jnp.ndarray] = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Renumber root labels to 1..ngroups by decreasing size; 0 = untagged.
@@ -910,6 +910,10 @@ def renumber_by_size(labels: jnp.ndarray, min_size: int,
     start at 1, particles in groups below min_size get pfof=0).
     Tie-break: smaller minimum original particle index first (deterministic).
     Returns (pfof, ngroups) in the same (sorted) order as ``labels``.
+
+    ``min_size`` is TRACED (value-only, no shape dependence): the
+    substructure recursion calls this with per-structure thresholds and
+    a static argument would recompile per distinct value.
     """
     n = labels.shape[0]
     sizes = jnp.zeros(n, jnp.int32).at[labels].add(1)            # per root id
