@@ -178,11 +178,20 @@ def read_snapshot(opt: C.Options):
 
 def run(opt: C.Options) -> pipeline.CatalogResult:
     """Full standalone run: read, search, write (reference main())."""
+    import os
+
+    from .utils.timing import profile_trace
+
     timer = PhaseTimer(verbose=opt.iverbose)
     with timer.phase("read"):
         pos, vel, pids, ptype, mass, boxsize, extras = read_snapshot(opt)
-    res = pipeline.find_structures(opt, pos, vel, mass, boxsize=boxsize,
-                                   ptype=ptype, extras=extras)
+    # VR_PROFILE=<dir>: jax.profiler trace of the compute pipeline
+    # (SURVEY.md §5 — the structured replacement for the reference's
+    # TIME:: wall-clock lines)
+    with profile_trace(os.environ.get("VR_PROFILE")):
+        res = pipeline.find_structures(opt, pos, vel, mass,
+                                       boxsize=boxsize,
+                                       ptype=ptype, extras=extras)
     for k, v in res.timings.items():
         timer.record(k, v)
 
