@@ -352,3 +352,41 @@ def test_structure_outliers_large_no_oom():
     dt = time.time() - t0
     assert np.isfinite(np.asarray(ell)).all()
     assert dt < 240.0
+
+
+def test_structure_outliers_batch_matches_single():
+    """vmapped batch outliers == per-structure results for a same-class
+    batch (the recursion's batched dispatch path)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(60)
+    opt = C.Options()
+    npad = 2048
+    B = 3
+    ells_single, batches = [], []
+    for b in range(B):
+        nsub = 1500 + 100 * b     # same pow2 class, same grid depth
+        posb = rng.normal(0, 1.0, (nsub, 3)).astype(np.float32)
+        velb = rng.normal(0, 50.0, (nsub, 3)).astype(np.float32)
+        massb = np.ones(nsub, np.float32)
+        ppos, pvel, pmass, valid = S._pad_structure(posb, velb, massb,
+                                                    npad, 3.0)
+        cellsize = int(max(C.MINCELLSIZE, opt.Ncellfac * nsub))
+        cellsize = min(cellsize, max(32, nsub // 2))
+        lv = S._grid_levels(npad, cellsize)
+        batches.append((ppos, pvel, pmass, valid, cellsize, lv))
+        ell, dens, _ = S.structure_outliers(opt, ppos, pvel, pmass, valid)
+        ells_single.append(np.asarray(ell))
+    assert len({b[5] for b in batches}) == 1   # one grid depth
+    ell_b, _ = S.structure_outliers_batch(
+        opt,
+        jnp.asarray(np.stack([b[0] for b in batches])),
+        jnp.asarray(np.stack([b[1] for b in batches])),
+        jnp.asarray(np.stack([b[2] for b in batches])),
+        jnp.asarray(np.stack([b[3] for b in batches])),
+        batches[0][4])
+    for b in range(B):
+        got = np.asarray(ell_b[b])
+        want = ells_single[b]
+        fin = np.isfinite(want)
+        assert np.allclose(got[fin], want[fin], rtol=2e-4, atol=2e-4), b

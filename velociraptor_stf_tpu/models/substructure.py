@@ -703,6 +703,57 @@ def structure_outliers(opt: C.Options, pos, vel, mass, valid,
     return ell, dens, stats
 
 
+def _grid_levels(npad: int, cellsize: int) -> int:
+    """Static grid depth implied by (npad, cellsize) — the only way
+    cellsize enters background_grid's computation."""
+    levels = 0
+    while (npad >> (levels + 1)) >= max(cellsize, 1):
+        levels += 1
+    return levels
+
+
+@partial(jax.jit, static_argnames=("opt_key",))
+def _outliers_rest_batch(ppos_b, pvel_b, pmass_b, valid_b, dens_b,
+                         opt_key):
+    """vmapped grid + 7-NN interpolation + outlier normalisation over a
+    batch of same-class structures (padded to one npad, one grid depth).
+
+    ``opt_key``: (cellsize_repr, gridtype, nsearch) — static config.
+    """
+    cellsize_repr, gridtype, nsearch = opt_key
+
+    def one(pos, vel, mass, valid, dens):
+        cellpos, gvel, gdispinv, _ = bgfield.background_grid(
+            pos, vel, mass, cellsize_repr, gridtype=gridtype)
+        R = bgfield.denv_ratio(pos, vel, dens, cellpos, gvel, gdispinv,
+                               nsearch)
+        ell, _ = bgfield.outlier_values(R, mass, active=valid)
+        return jnp.where(valid, ell, -jnp.inf)
+
+    return jax.vmap(one)(ppos_b, pvel_b, pmass_b, valid_b, dens_b)
+
+
+def structure_outliers_batch(opt: C.Options, ppos_b, pvel_b, pmass_b,
+                             valid_b, cellsize_repr: int, dens_b=None):
+    """Batched ``structure_outliers`` over same-(npad, grid-depth)
+    structures: ONE dispatch per batch instead of one per structure
+    (the vmap analog of the reference's OpenMP loop over structures,
+    search.cxx:2480-2946).  Returns (ell_b, dens_b)."""
+    if dens_b is None:
+        exact = opt.iLocalVelDenApproxCalcFlag == 0
+
+        def dens_one(pos, vel, valid):
+            return localfield.velocity_density(
+                pos, vel, nvel=opt.Nvel, nsearch=opt.Nsearch,
+                active=valid, exact=exact, chunk=256 if exact else 2048)
+
+        dens_b = jax.vmap(dens_one)(ppos_b, pvel_b, valid_b)
+    ell_b = _outliers_rest_batch(
+        ppos_b, pvel_b, pmass_b, valid_b, dens_b,
+        (int(cellsize_repr), int(opt.gridtype), int(opt.Nsearch)))
+    return ell_b, dens_b
+
+
 def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                    boxsize: Optional[float] = None):
     """Recursive substructure search (reference SearchSubSub,
@@ -748,6 +799,8 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
         lvl_sorted = pfof_all[lvl_order]
         lvl_offs = np.searchsorted(lvl_sorted, np.arange(ng_total + 2))
         new_queue = []
+        # pass 1: per-structure padded arrays (host prep)
+        prep = []
         for g in queue:
             idx = lvl_order[lvl_offs[g]:lvl_offs[g + 1]]
             nsub = len(idx)
@@ -766,9 +819,54 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             npad = _next_pow2(nsub)
             ppos, pvel, pmass, valid = _pad_structure(spos, svel, smass,
                                                       npad, pad_spacing)
-            cached = dens_cache.get(f"l{level}g{g}")
-            ell, dens, _ = structure_outliers(opt, ppos, pvel, pmass, valid,
-                                              dens=cached)
+            cellsize = int(max(C.MINCELLSIZE, opt.Ncellfac * nsub))
+            cellsize = min(cellsize, max(32, nsub // 2))
+            prep.append({
+                "g": g, "idx": idx, "nsub": nsub, "npad": npad,
+                "ppos": ppos, "pvel": pvel, "pmass": pmass,
+                "valid": valid, "cellsize": cellsize,
+                "cached": dens_cache.get(f"l{level}g{g}"),
+            })
+
+        # pass 2: batched outliers — same-(npad, grid depth, cached?)
+        # structures share ONE vmapped dispatch (the analog of the
+        # reference's OpenMP loop over structures, search.cxx:2480)
+        buckets: dict = {}
+        for e in prep:
+            key = (e["npad"], _grid_levels(e["npad"], e["cellsize"]),
+                   e["cached"] is not None)
+            buckets.setdefault(key, []).append(e)
+        _B_ELEMS = 1 << 22   # batch cap: B*npad elements per dispatch
+        for (npad_k, _lv, has_cache), entries in buckets.items():
+            bmax = max(1, _B_ELEMS // npad_k)
+            for lo in range(0, len(entries), bmax):
+                grp = entries[lo:lo + bmax]
+                if len(grp) == 1:
+                    e = grp[0]
+                    ell, dens, _ = structure_outliers(
+                        opt, e["ppos"], e["pvel"], e["pmass"], e["valid"],
+                        dens=e["cached"])
+                    e["ell"], e["dens"] = ell, dens
+                    continue
+                ppos_b = jnp.asarray(np.stack([e["ppos"] for e in grp]))
+                pvel_b = jnp.asarray(np.stack([e["pvel"] for e in grp]))
+                pmass_b = jnp.asarray(np.stack([e["pmass"] for e in grp]))
+                valid_b = jnp.asarray(np.stack([e["valid"] for e in grp]))
+                dens_b = jnp.asarray(np.stack(
+                    [np.asarray(e["cached"]) for e in grp])) \
+                    if has_cache else None
+                ell_b, dens_b = structure_outliers_batch(
+                    opt, ppos_b, pvel_b, pmass_b, valid_b,
+                    grp[0]["cellsize"], dens_b=dens_b)
+                for j, e in enumerate(grp):
+                    e["ell"] = ell_b[j]
+                    e["dens"] = dens_b[j]
+
+        # pass 3: per-structure search / cores / merges / unbind
+        for e in prep:
+            g, idx, nsub = e["g"], e["idx"], e["nsub"]
+            ppos, pvel, pmass = e["ppos"], e["pvel"], e["pmass"]
+            valid, ell, dens = e["valid"], e["ell"], e["dens"]
             if opt.smname and not cache_hit:
                 dens_cache[f"l{level}g{g}"] = np.asarray(dens)
             sub_pfof, ng_sub = search_subset(opt, jnp.asarray(ppos),
