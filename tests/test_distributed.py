@@ -208,3 +208,46 @@ def test_distributed_fof_boundary_buffer_pressure():
     pfof_s = np.asarray(jax.device_get(pfof_s))
     assert ng_d == int(jax.device_get(ng_s))
     assert _partition_equal(pfof_d, pfof_s)
+
+
+def test_distributed_bulk_properties_match_numpy():
+    """Sharded psum property reductions match a float64 host computation."""
+    from velociraptor_stf_tpu.parallel.distributed_props import \
+        distributed_bulk_properties
+
+    rng = np.random.default_rng(88)
+    n, ng = 20000, 6
+    boxsize = 10.0
+    pfof = rng.integers(0, ng + 1, n).astype(np.int32)
+    pos = rng.uniform(0, boxsize, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 30, (n, 3)).astype(np.float32)
+    mass = rng.uniform(1, 2, n).astype(np.float32)
+    mesh = M.make_mesh(8)
+    out = distributed_bulk_properties(pos, vel, mass, pfof, ng, mesh,
+                                      boxsize=boxsize)
+
+    for g in range(1, ng + 1):
+        s = pfof == g
+        m = mass[s].astype(np.float64)
+        # unwrap about the group's lowest-index member (module contract)
+        ref = pos[s][0].astype(np.float64)
+        d = pos[s].astype(np.float64) - ref
+        p = ref + d - boxsize * np.round(d / boxsize)
+        mt = m.sum()
+        cm = (p * m[:, None]).sum(0) / mt
+        cmv = (vel[s].astype(np.float64) * m[:, None]).sum(0) / mt
+        assert abs(out["num"][g] - s.sum()) < 0.5
+        assert abs(out["gmass"][g] - mt) / mt < 1e-5
+        np.testing.assert_allclose(out["gcm"][g], cm, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(out["gcmvel"][g], cmv, rtol=2e-4,
+                                   atol=2e-3)
+        dx = p - cm
+        dv = vel[s].astype(np.float64) - cmv
+        disp = np.einsum("ni,nj,n->ij", dv, dv, m) / mt
+        np.testing.assert_allclose(out["gveldisp"][g], disp, rtol=2e-3,
+                                   atol=1e-2)
+        J = (m[:, None] * np.cross(dx, dv)).sum(0)
+        np.testing.assert_allclose(out["gJ"][g], J, rtol=5e-3,
+                                   atol=1e-2 * np.abs(J).max())
+        rmax = np.sqrt((dx ** 2).sum(1).max())
+        assert abs(out["gsize"][g] - rmax) / rmax < 1e-4

@@ -1,0 +1,140 @@
+"""Distributed bulk group properties over a device mesh.
+
+The sharded analog of the property reductions the reference distributes
+with MPI group-bulk allreduces (/root/reference/src/mpiroutines.cxx:3240
+grid allgather + the per-rank GetProperties partial sums): particle
+arrays stay sharded over the mesh in arbitrary order; every device
+computes partial mass-weighted segment sums over its shard and a single
+``psum`` combines them.  Two rounds (sums, then centred second moments)
+produce the bulk PropData core: mass, CM, CM velocity, size, velocity
+dispersion tensor and angular momentum per group.
+
+Radius-ordered quantities (SO masses, Vmax, half-mass radii) need the
+per-group radial sort and run on the gathered per-group segments
+(models/properties.py) — the reference does the same (groups are
+localised before GetProperties).  This module covers the reductions that
+scale with the FULL particle count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import PARTS_AXIS
+
+
+def distributed_bulk_properties(pos, vel, mass, pfof, num_groups: int,
+                                mesh: Mesh,
+                                boxsize: Optional[float] = None
+                                ) -> Dict[str, np.ndarray]:
+    """(ng+1,)-indexed bulk properties via sharded partial reductions.
+
+    Returns host numpy: num, gmass, gcm, gcmvel, gsize, gveldisp (3x3),
+    gJ (about the CM, CM-velocity frame), gsigma_v.
+    """
+    ndev = mesh.devices.size
+    pos = np.asarray(pos, np.float32)
+    vel = np.asarray(vel, np.float32)
+    mass = np.asarray(mass, np.float32)
+    pfof = np.asarray(pfof, np.int32)
+    n = pos.shape[0]
+    ng1 = num_groups + 1
+    npad = -(-n // ndev) * ndev
+    pad = npad - n
+
+    def shard(a, fill=0):
+        if a.ndim == 1:
+            a = np.concatenate([a, np.full(pad, fill, a.dtype)])
+        else:
+            a = np.concatenate([a, np.full((pad,) + a.shape[1:], fill,
+                                           a.dtype)])
+        return jax.device_put(a.reshape(ndev, npad // ndev, *a.shape[1:]),
+                              NamedSharding(mesh, P(PARTS_AXIS)))
+
+    pos_b = shard(pos)
+    vel_b = shard(vel)
+    mass_b = shard(mass)
+    pfof_b = shard(pfof)   # padding pfof 0 -> accumulates into bin 0
+
+    out = _bulk_props_mapped(pos_b, vel_b, mass_b, pfof_b, ng1, mesh,
+                             0.0 if boxsize is None else float(boxsize))
+    return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
+
+@partial(jax.jit, static_argnames=("ng1", "mesh", "boxsize"))
+def _bulk_props_mapped(pos_b, vel_b, mass_b, pfof_b, ng1: int, mesh: Mesh,
+                      boxsize: float):
+    def body(pos_blk, vel_blk, mass_blk, pfof_blk):
+        p = pos_blk[0]
+        v = vel_blk[0]
+        m = mass_blk[0]
+        g = pfof_blk[0]
+        w = jnp.where(g > 0, m, 0.0)
+
+        def seg(vals):
+            return jnp.zeros(ng1, jnp.float32).at[g].add(vals)
+
+        num = jax.lax.psum(seg((g > 0).astype(jnp.float32)), PARTS_AXIS)
+        gmass = jax.lax.psum(seg(w), PARTS_AXIS)
+        # periodic unwrap about each group's first-seen position: use the
+        # minimum-image offset to a reference particle reduced globally
+        # (min original index per group)
+        if boxsize > 0:
+            # reference position: global min over (index-tagged positions)
+            # — encode by taking the position of the globally smallest
+            # particle index per group via min-reduction on an index key
+            idx = jax.lax.axis_index(PARTS_AXIS) * p.shape[0] + \
+                jnp.arange(p.shape[0])
+            key = jnp.where(g > 0, idx, jnp.iinfo(jnp.int32).max)
+            kmin = jax.lax.pmin(
+                jnp.full(ng1, jnp.iinfo(jnp.int32).max).at[g].min(key),
+                PARTS_AXIS)
+            is_ref = (key == kmin[g]) & (g > 0)
+            ref = jax.lax.psum(
+                jnp.stack([jnp.zeros(ng1, jnp.float32).at[g].add(
+                    jnp.where(is_ref, p[:, k], 0.0)) for k in range(3)],
+                    axis=-1), PARTS_AXIS)
+            d = p - ref[g]
+            p = jnp.where((g > 0)[:, None],
+                          ref[g] + d - boxsize * jnp.round(d / boxsize), p)
+        csum = jax.lax.psum(
+            jnp.stack([seg(w * p[:, k]) for k in range(3)], -1), PARTS_AXIS)
+        vsum = jax.lax.psum(
+            jnp.stack([seg(w * v[:, k]) for k in range(3)], -1), PARTS_AXIS)
+        msafe = jnp.maximum(gmass, 1e-30)[:, None]
+        gcm = csum / msafe
+        gcmvel = vsum / msafe
+        dx = p - gcm[g]
+        dv = v - gcmvel[g]
+        r2 = jnp.sum(dx * dx, -1)
+        gsize = jnp.sqrt(jax.lax.pmax(
+            jnp.zeros(ng1, jnp.float32).at[g].max(
+                jnp.where(g > 0, r2, 0.0)), PARTS_AXIS))
+        disp = jax.lax.psum(
+            jnp.stack([jnp.stack([seg(w * dv[:, i] * dv[:, j])
+                                  for j in range(3)], -1)
+                       for i in range(3)], -2), PARTS_AXIS)
+        disp = disp / msafe[..., None]
+        J = jax.lax.psum(
+            jnp.stack([seg(w * (dx[:, 1] * dv[:, 2] - dx[:, 2] * dv[:, 1])),
+                       seg(w * (dx[:, 2] * dv[:, 0] - dx[:, 0] * dv[:, 2])),
+                       seg(w * (dx[:, 0] * dv[:, 1] - dx[:, 1] * dv[:, 0]))],
+                      axis=-1), PARTS_AXIS)
+        sig = jnp.sqrt(jnp.maximum(
+            jnp.trace(disp, axis1=-2, axis2=-1) / 3.0, 0.0))
+        return dict(num=num, gmass=gmass, gcm=gcm, gcmvel=gcmvel,
+                    gsize=gsize, gveldisp=disp, gJ=J, gsigma_v=sig)
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(PARTS_AXIS),) * 4,
+        out_specs={k: P() for k in ("num", "gmass", "gcm", "gcmvel",
+                                    "gsize", "gveldisp", "gJ",
+                                    "gsigma_v")})
+    return mapped(pos_b, vel_b, mass_b, pfof_b)
