@@ -136,10 +136,18 @@ def search_full_set(opt: C.Options, pos, vel, mass,
     reuse_edges = run6d and opt.ellhalo6dxfac <= 1.0
 
     # Pallas block-range sweep path (TPU): same criteria, same renumbering
-    # semantics, ~3x faster than the edge pipeline at bench scales
+    # semantics, ~3x faster than the edge pipeline at bench scales.
+    # Ghost/subset capacity overflows (ctx.overflow) are CHECKED and fall
+    # back to the XLA edge pipeline — silent capacity loss would produce
+    # boundary-split groups with no error.
     reach = b3d * max(1.0, opt.ellhalo6dxfac if run6d else 1.0)
     if pallas_fof.pallas_fof_available(n, boxsize, reach):
         pf = pallas_fof.PallasFof(pos, vel, boxsize, reach)
+        if pf.check_overflow():
+            pf = None   # ghost capacity exceeded: XLA path below
+    else:
+        pf = None
+    if pf is not None:
         pfof3, ng3_d = pf.fof3d(b3d, minsize)
         ng3 = int(jax.device_get(ng3_d))
         if not (run6d and ng3 > 0):
@@ -163,6 +171,8 @@ def search_full_set(opt: C.Options, pos, vel, mass,
         tag = pfof3 > 0
         ntag = int(jax.device_get(jnp.sum(tag)))
         pf6 = pf.subset(tag) if 0 < ntag <= n // 4 else pf
+        if pf6 is not pf and pf6.check_overflow():
+            pf6 = pf   # subset capacity miscount: sweep the full ctx
         pfof6, ng6_d = pf6.fof6d(ell6d, pfof3, vs_per_particle, minsize)
         ng6 = int(jax.device_get(ng6_d))
         return _finish_6d(opt, pfof3, ng3, pfof6, ng6, vs_per_particle,

@@ -725,12 +725,22 @@ class PallasFof:
 
     def subset(self, keep_orig) -> "PallasFof":
         """Compacted context over the kept particles (e.g. 3DFOF-tagged
-        before the 6D sweep); ~(N/ntag)x cheaper per sweep."""
-        count = int(jax.device_get(jnp.sum(keep_orig)))
+        before the 6D sweep); ~(N/ntag)x cheaper per sweep.
+
+        Capacity is sized from the kept SLOT count — ghost images of kept
+        particles survive the compaction too, so sizing from the original
+        count alone would overflow (and silently drop tagged particles)
+        whenever the tagged count sits at a power of two."""
+        keep_orig = jnp.asarray(keep_orig)
+        safe_src = jnp.clip(self.ctx.src, 0,
+                            keep_orig.shape[0] - 1)
+        keep_slots = jnp.where(self.ctx.src >= 0, keep_orig[safe_src],
+                               False)
+        count = int(jax.device_get(jnp.sum(keep_slots)))
         ns_pad_new = _pad_pow2(max(count, R_BLOCK), lo=R_BLOCK)
         sub = object.__new__(PallasFof)
         sub._vel = self._vel
-        sub.ctx = _subset_ctx(self.ctx, jnp.asarray(keep_orig), self._vel,
+        sub.ctx = _subset_ctx(self.ctx, keep_orig, self._vel,
                               ns_pad_new,
                               self.grid)._replace(n=self.ctx.n,
                                                   ns_pad=ns_pad_new)

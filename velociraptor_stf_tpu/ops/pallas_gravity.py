@@ -125,13 +125,8 @@ def potential_group_sorted(pos_s, mass_s, gid_s, offsets, ns_pad: int,
     rows_pos = jnp.zeros((ns_pad, 4), jnp.float32)
     rows_pos = rows_pos.at[:ns, :3].set(pos_s)
     rows_pos = rows_pos.at[ns:, :3].set(np.float32(1e15))
-    # row-side padding carries the LAST real gid, not 0: the per-block
-    # coverage below reads g_hi from the final slot of each block, and a
-    # zero there would empty the range for real rows sharing that block
-    # (padding rows are sliced off the output; column-side padding stays
-    # gid 0 / mass 0 so it contributes nothing)
-    rgrp = jnp.concatenate(
-        [gid_s, jnp.broadcast_to(gid_s[ns - 1], (pad,))])[:, None]
+    gid_pad = jnp.concatenate([gid_s, jnp.zeros(pad, jnp.int32)])
+    rgrp = gid_pad[:, None]
     cols_pm = jnp.full((4, ns_pad + CH), np.float32(1e15), jnp.float32)
     cols_pm = cols_pm.at[0:3, :ns].set(pos_s.T)
     cols_pm = cols_pm.at[3, :].set(0.0)
@@ -139,19 +134,25 @@ def potential_group_sorted(pos_s, mass_s, gid_s, offsets, ns_pad: int,
     cols_grp = jnp.concatenate(
         [gid_s, jnp.zeros(pad + CH, jnp.int32)])[None, :]
 
-    # per-block coverage: [offsets[max(g_lo,1)], offsets[g_hi+1])
+    # per-block coverage [offsets[gmin], offsets[gmax+1]) from the MIN and
+    # MAX NONZERO gid in each block: zeroed runs (untagged particles,
+    # padding, or callers masking >MAX_DIRECT groups to 0 anywhere in the
+    # order) neither empty a mixed block's range nor drag its start down
+    # to offsets[1]
     nblocks = ns_pad // R_BLOCK
-    gid_pad = rgrp[:, 0]
-    bidx = jnp.arange(nblocks, dtype=jnp.int32)
-    g_lo = gid_pad[bidx * R_BLOCK]
-    g_hi = gid_pad[jnp.minimum((bidx + 1) * R_BLOCK, ns_pad) - 1]
-    # blocks fully in padding have g_lo=g_hi=0 -> empty range
+    gblk = gid_pad.reshape(nblocks, R_BLOCK)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    gmin = jnp.min(jnp.where(gblk > 0, gblk, big), axis=1)
+    gmax = jnp.max(gblk, axis=1)
     ng1 = offsets.shape[0] - 1
-    s = offsets[jnp.clip(jnp.maximum(g_lo, 1), 0, ng1)]
-    e = offsets[jnp.clip(g_hi + 1, 0, ng1)]
+    s = offsets[jnp.clip(gmin, 0, ng1)]
+    e = offsets[jnp.clip(gmax + 1, 0, ng1)]
+    has_rows = (gmax > 0) & (gmin != big)
+    s = jnp.where(has_rows, s, 0)
+    e = jnp.where(has_rows, e, 0)
     c0ch = s // CH
     nch = jnp.maximum(-(-(e - c0ch * CH) // CH), 0)
-    nch = jnp.where((e > s) & (g_hi > 0), nch, 0)
+    nch = jnp.where(e > s, nch, 0)
     nb8 = -(-nblocks // 8) * 8
     ranges = jnp.zeros((nb8, 128), jnp.int32)
     ranges = ranges.at[:nblocks, 0].set(c0ch)

@@ -80,7 +80,11 @@ def _bulk_props_mapped(pos_b, vel_b, mass_b, pfof_b, ng1: int, mesh: Mesh,
         def seg(vals):
             return jnp.zeros(ng1, jnp.float32).at[g].add(vals)
 
-        num = jax.lax.psum(seg((g > 0).astype(jnp.float32)), PARTS_AXIS)
+        # exact integer counts: a float32 accumulator stops incrementing
+        # past 2^24 members (the largest group exceeds that at 1024^3)
+        num = jax.lax.psum(
+            jnp.zeros(ng1, jnp.int32).at[g].add(
+                (g > 0).astype(jnp.int32)), PARTS_AXIS)
         gmass = jax.lax.psum(seg(w), PARTS_AXIS)
         # periodic unwrap about each group's first-seen position: use the
         # minimum-image offset to a reference particle reduced globally
