@@ -1,0 +1,774 @@
+"""Pallas TPU FOF: block-range sweep kernels + fused label fixed point.
+
+TPU-native replacement for the gather/scatter edge pipeline in ops/fof.py on
+the hot metric path (the reference work being replaced is NBodylib's
+``KDTree::FOF`` / per-group 6D phase trees, call sites
+/root/reference/src/search.cxx:110,414,552-576).
+
+Design
+------
+Particles are sorted by packed cell id (cell width >= the linking reach).
+For a block of ``R`` consecutive sorted particles spanning cells
+``[c0, c1]``, every true neighbour of every row lies — for each x-offset
+``dx in {-1,0,+1}`` — inside ONE contiguous sorted-index range::
+
+    [ searchsorted(cid, c0 + dx*ny*nz - nz - 1),
+      searchsorted(cid, c1 + dx*ny*nz + nz + 1) )
+
+because the (dy, dz) stencil offsets are bounded by ``nz + 1`` in packed-id
+units.  The kernel DMAs those ranges chunk-by-chunk from HBM (double
+buffered) and evaluates the pair criterion densely on the VPU: candidate
+superset + exact criterion = exact FOF links with zero per-particle window
+tables, zero flat-slot expansion and zero edge materialisation.
+
+Periodic boundaries are handled by ghost images: particles within ``reach``
+of a box face are replicated (shifted by ±L per axis, three sequential
+passes so corners compose), so the grid itself is non-periodic and the
+kernel needs no wrap logic.  Ghost slots mirror their source's label each
+sweep and fold their neighbour-min back into the source row (compact
+ghost-slot lists, not full-array scatters).
+
+The full min-label fixed point (kernel sweep -> ghost fold -> hook ->
+pointer jumps -> convergence test) runs inside ONE ``lax.while_loop`` under
+jit — zero host syncs through the axon tunnel until the final label fetch.
+
+Mosaic layout rules this module obeys (learned empirically on v5e):
+  * HBM arrays are DMA-sliced only along the minor (lane) dim, with
+    CH-aligned offsets; all other dims are copied whole -> column data is
+    stored transposed ((4, Ns) positions/velocities, (k, Ns) int payloads).
+  * 1D arrays tile at (1024,) -> all kernel operands are >= 2D.
+  * SMEM whole-array inputs are lane-padded to 128 and capped ~1 MB ->
+    block ranges ship as (8, 128) pipelined SMEM windows.
+  * EVERY HBM operand/result is lane-major (k, Ns): a row-major (Ns, k<128)
+    operand is tile-padded k -> 128 by the (8,128) layout (a 32-128x HBM
+    blowup that OOMs 256^3 boxes).  Row blocks are (k, R_BLOCK) slices of
+    the same lane-major arrays the chunk DMA streams, transposed to
+    sublane-major ONCE per block inside the kernel.
+  * d^2 uses coordinate differences, not the norm expansion (f32
+    cancellation at box-scale coordinates flips links near d = b).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cells import CellGrid, build_grid, cell_coords
+
+BIG_I32 = np.int32(2**31 - 1)
+SENTINEL = np.float32(1e15)
+
+R_BLOCK = 512      # rows per kernel program
+CH = 512           # candidate columns per DMA chunk
+
+
+def _pad_pow2(x: int, lo: int = 1024) -> int:
+    k = lo
+    while k < x:
+        k *= 2
+    return k
+
+
+# ---------------------------------------------------------------------------
+# Ghost images (periodic wrap -> non-periodic extended domain)
+# ---------------------------------------------------------------------------
+
+def _ghost_pass(pos, vel, src, axis: int, boxsize: float, reach: float,
+                cap: int):
+    """One axis of ghost replication.  Particles (including ghosts from
+    earlier passes) within ``reach`` of the two faces get an image shifted
+    by ±boxsize.  Invalid (padding) slots keep pos=SENTINEL / src=-1.
+    Returns (pos, vel, src, count) with ``cap`` appended slots."""
+    x = pos[:, axis]
+    valid_in = src >= 0
+    m_lo = (x < reach) & valid_in
+    m_hi = (x >= boxsize - reach) & valid_in
+    m = m_lo | m_hi
+    dest = jnp.cumsum(m) - 1
+    dest = jnp.where(m, dest, cap)
+    idx = jnp.zeros(cap, jnp.int32).at[dest].set(
+        jnp.arange(pos.shape[0], dtype=jnp.int32), mode="drop")
+    count = jnp.sum(m)
+    gvalid = jnp.arange(cap) < count
+    idx = jnp.where(gvalid, idx, 0)
+    shift = jnp.where(m_lo[idx], boxsize, -boxsize).astype(pos.dtype)
+    gpos = pos[idx].at[:, axis].add(shift)
+    gpos = jnp.where(gvalid[:, None], gpos, SENTINEL)
+    gvel = jnp.where(gvalid[:, None], vel[idx], 0.0)
+    gsrc = jnp.where(gvalid, src[idx], -1)
+    return (jnp.concatenate([pos, gpos]), jnp.concatenate([vel, gvel]),
+            jnp.concatenate([src, gsrc]), count)
+
+
+# ---------------------------------------------------------------------------
+# Sorted context: ghosts + binning + block coverage ranges
+# ---------------------------------------------------------------------------
+
+class FofSortCtx(NamedTuple):
+    """Device arrays shared by the 3D and 6D sweeps (built once).
+
+    Cell ids use a two-level (cx, r) pair representation
+    (r = cy*nz + cz) so grids beyond 2^31 cells — 256^3+ boxes at FOF
+    linking lengths — need no int64: the sort is lexicographic on the
+    pair and coverage ranges come from a per-stripe binary search.
+    The velocity array is built lazily (``cols_v`` is a zero-size
+    placeholder until a 6D sweep needs it) — 3D-only contexts at 512^3
+    scale would otherwise double HBM use.
+    """
+
+    ccx: jnp.ndarray         # (Ns_pad,) i32 x-cell index (pad = nx)
+    ccr: jnp.ndarray         # (Ns_pad,) i32 within-stripe id cy*nz+cz
+    # ALL particle data is lane-major (k, Ns_pad [+ CH]): row blocks are
+    # (k, R_BLOCK) slices of the same arrays the chunk DMA reads, and the
+    # kernels transpose them in VMEM.  Row-major (Ns_pad, k) operands
+    # would be tile-padded k -> 128 by Mosaic's (8,128) layout (a 32x HBM
+    # blowup that OOMs 256^3 boxes).
+    cols_p: jnp.ndarray      # (4, Ns_pad + CH) f32 [x y z 0] lane-major
+    cols_v: jnp.ndarray      # (4, Ns_pad + CH) f32 [vx vy vz 0] (lazy)
+    ranges: jnp.ndarray      # (nb8, 128) i32 chunk-aligned coverage windows
+    src: jnp.ndarray         # (Ns_pad,) i32 original index, -1 = padding
+    is_real: jnp.ndarray     # (Ns_pad,) bool (not ghost, not padding)
+    real_slot: jnp.ndarray   # (N,) i32 sorted slot of each original particle
+    gslots: jnp.ndarray      # (Gcap,) i32 ghost slot list (0-padded no-ops)
+    grs: jnp.ndarray         # (Gcap,) i32 matching real (source) slots
+    overflow: jnp.ndarray    # () bool ghost capacity exceeded
+    n: int                   # original particle count
+    ns_pad: int              # padded slot count (nblocks * R_BLOCK)
+
+
+@partial(jax.jit, static_argnames=("grid", "cap_total", "ns_pad", "caps",
+                                   "boxsize", "reach", "with_vel"))
+def _build_ctx(pos, vel, grid: CellGrid, caps: Tuple[int, int, int],
+               cap_total: int, ns_pad: int, boxsize: float, reach: float,
+               with_vel: bool):
+    n = pos.shape[0]
+    src = jnp.arange(n, dtype=jnp.int32)
+    overflow = jnp.bool_(False)
+    if boxsize > 0:
+        for axis in range(3):
+            pos, vel, src, cnt = _ghost_pass(pos, vel, src, axis, boxsize,
+                                             reach, caps[axis])
+            overflow = overflow | (cnt > caps[axis])
+    ntot = pos.shape[0]
+    assert ntot == cap_total
+    nx, ny, nz = grid.ncells
+    c = cell_coords(pos, grid)
+    ccx = jnp.where(src >= 0, c[:, 0], nx)          # padding sorts last
+    ccr = jnp.where(src >= 0, c[:, 1] * nz + c[:, 2], 0)
+    if grid.total_cells <= 2**31 - 2:
+        # flat key fits int32: one sort
+        order = jnp.argsort(ccx * (ny * nz) + ccr).astype(jnp.int32)
+    else:
+        # lexicographic (cx, r) via two stable sorts (int64-free)
+        o1 = jnp.argsort(ccr, stable=True).astype(jnp.int32)
+        order = o1[jnp.argsort(ccx[o1], stable=True).astype(jnp.int32)]
+    cx_s = ccx[order]
+    cr_s = ccr[order]
+    pos_s = pos[order]
+    src_s = src[order]
+
+    pad = ns_pad - ntot
+    cols_p = jnp.full((4, ns_pad + CH), SENTINEL, jnp.float32)
+    cols_p = cols_p.at[0:3, :ntot].set(pos_s.T)
+    cols_p = cols_p.at[3, :].set(0.0)
+    if with_vel:
+        vel_s = vel[order]
+        cols_v = jnp.zeros((4, ns_pad + CH), jnp.float32)
+        cols_v = cols_v.at[0:3, :ntot].set(vel_s.T)
+    else:
+        # lazy: 3D-only sweeps never touch velocities; _fill_vel
+        # materialises them on the first 6D use
+        cols_v = jnp.zeros((4, 0), jnp.float32)
+
+    src_pad = jnp.concatenate([src_s, jnp.full(pad, -1, jnp.int32)])
+    # a slot is a ghost iff its pre-sort index >= n
+    is_ghost_s = (order >= n) & (src_s >= 0)
+    is_real = jnp.concatenate([(order < n) & (src_s >= 0),
+                               jnp.zeros(pad, bool)])
+    slot_ids = jnp.arange(ns_pad, dtype=jnp.int32)
+    real_slot = jnp.zeros(n, jnp.int32).at[
+        jnp.where(is_real[:ntot], src_s, n)].set(slot_ids[:ntot],
+                                                 mode="drop")
+    # compact ghost slot list: refresh/fold touch only these slots
+    g_cap = max(sum(caps), 1)
+    gdest = jnp.cumsum(is_ghost_s) - 1
+    gdest = jnp.where(is_ghost_s, gdest, g_cap)
+    gslots = jnp.zeros(g_cap, jnp.int32).at[gdest].set(
+        slot_ids[:ntot], mode="drop")
+    gcount = jnp.sum(is_ghost_s)
+    gvalid = jnp.arange(g_cap) < gcount
+    gslots = jnp.where(gvalid, gslots, 0)
+    gsrc = src_pad[gslots]
+    grs = jnp.where(gvalid, real_slot[jnp.where(gsrc >= 0, gsrc, 0)], 0)
+    gslots = jnp.where(gvalid, gslots, 0)
+
+    cx_pad = jnp.concatenate([cx_s, jnp.full(pad, nx, jnp.int32)])
+    cr_pad = jnp.concatenate([cr_s, jnp.zeros(pad, jnp.int32)])
+    ranges = _block_ranges(cx_pad, cr_pad, grid)
+    return FofSortCtx(cx_pad, cr_pad, cols_p, cols_v,
+                      ranges, src_pad, is_real, real_slot, gslots, grs,
+                      overflow, n, ns_pad)
+
+
+def _locate_pair(cx_pad, cr_pad, stripe_start, qx, qr, nx: int, right: bool):
+    """Vectorised lexicographic searchsorted over the (cx, r) pair arrays:
+    position of (qx, qr) in the sorted real data (padding excluded).
+    ``stripe_start[k]`` = first slot with cx >= k (size nx+1; [nx] = end of
+    real data).  Per-stripe branchless binary search on ``cr_pad``."""
+    ns_pad = cr_pad.shape[0]
+    qxc = jnp.clip(qx, 0, nx - 1)
+    lo = stripe_start[qxc]
+    hi = stripe_start[qxc + 1]
+    for _ in range(max(int(ns_pad).bit_length(), 1)):
+        mid = jnp.minimum((lo + hi) // 2, ns_pad - 1)
+        v = cr_pad[mid]
+        go = (v <= qr) if right else (v < qr)
+        active = lo < hi
+        lo = jnp.where(active & go, mid + 1, lo)
+        hi = jnp.where(active & ~go, mid, hi)
+    return jnp.where(qx < 0, 0,
+                     jnp.where(qx >= nx, stripe_start[nx], lo))
+
+
+def _block_ranges(cx_pad, cr_pad, grid: CellGrid):
+    """(nb8, 128) chunk-aligned coverage windows per R_BLOCK of sorted
+    (cx, r) cell pairs (cols 0-5 = [c0ch, nch] per dx in (-1, 0, +1)).
+
+    Pair representation + per-stripe binary search instead of a flat
+    packed id keeps everything int32 for grids beyond 2^31 cells."""
+    ns_pad = cr_pad.shape[0]
+    nblocks = ns_pad // R_BLOCK
+    nx, ny, nz = grid.ncells
+    nynz = ny * nz
+    stripe_start = jnp.searchsorted(
+        cx_pad, jnp.arange(nx + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    bidx = jnp.arange(nblocks, dtype=jnp.int32)
+    x0 = cx_pad[bidx * R_BLOCK]
+    r0 = cr_pad[bidx * R_BLOCK]
+    last = jnp.minimum((bidx + 1) * R_BLOCK, ns_pad) - 1
+    x1 = cx_pad[last]
+    r1 = cr_pad[last]
+    # lo query: (x0+dx, r0-(nz+1)); hi query: (x1+dx, r1+nz+1); normalise
+    # the mixed radix (|offset| < nynz so one borrow/carry suffices)
+    dxs = jnp.array([-1, 0, 1], jnp.int32)[:, None]
+    qr_lo = r0[None, :] - (nz + 1)
+    borrow = (qr_lo < 0).astype(jnp.int32)
+    qx_lo = x0[None, :] + dxs - borrow
+    qr_lo = qr_lo + borrow * nynz
+    qr_hi = r1[None, :] + (nz + 1)
+    carry = (qr_hi >= nynz).astype(jnp.int32)
+    qx_hi = x1[None, :] + dxs + carry
+    qr_hi = qr_hi - carry * nynz
+    s = _locate_pair(cx_pad, cr_pad, stripe_start, qx_lo, qr_lo, nx, False)
+    e = _locate_pair(cx_pad, cr_pad, stripe_start, qx_hi, qr_hi, nx, True)
+    c0ch = s // CH
+    nch = jnp.maximum(-(-(e - c0ch * CH) // CH), 0)
+    # blocks that start in padding scan nothing (their rows can't link)
+    nch = jnp.where((e > s) & (x0[None, :] < nx), nch, 0)
+    cols = [c0ch[0], nch[0], c0ch[1], nch[1], c0ch[2], nch[2]]
+    # SMEM arrays are lane-padded to 128 and capped at ~1 MB; ship ranges
+    # as (8, 128) pipelined blocks instead of one whole-array allocation
+    nb8 = -(-nblocks // 8) * 8
+    ranges = jnp.zeros((nb8, 128), jnp.int32)
+    ranges = ranges.at[:nblocks, : len(cols)].set(jnp.stack(cols, axis=1))
+    return ranges
+
+
+def build_fof_ctx(pos, vel, boxsize: Optional[float], reach: float,
+                  ghost_fac: float = 3.0, return_grid: bool = False,
+                  with_vel: bool = False):
+    """Host wrapper: pick static capacities / grid, build the device ctx.
+
+    ``reach`` must be >= every linking length later swept on this ctx.
+    """
+    pos = jnp.asarray(pos, jnp.float32)
+    vel = jnp.asarray(vel, jnp.float32)
+    n = pos.shape[0]
+    periodic = boxsize is not None and boxsize > 0
+    if periodic:
+        lo = np.full(3, -reach)
+        hi = np.full(3, boxsize + reach)
+        frac = min(2.0 * reach / boxsize * ghost_fac, 1.0)
+        c1 = _pad_pow2(int(n * frac) + 1024, lo=1024)
+        c2 = _pad_pow2(int((n + c1) * frac) + 1024, lo=1024)
+        c3 = _pad_pow2(int((n + c1 + c2) * frac) + 1024, lo=1024)
+        caps = (c1, c2, c3)
+        cap_total = n + c1 + c2 + c3
+        box = float(boxsize)
+    else:
+        lo, hi = jax.device_get((jnp.min(pos, 0), jnp.max(pos, 0)))
+        caps = (0, 0, 0)
+        cap_total = n
+        box = 0.0
+    grid = build_grid(np.asarray(lo, np.float64), np.asarray(hi, np.float64),
+                      reach, periodic=False, boxsize=0.0,
+                      max_total_cells=2**62)
+    # the (cx, r) pair representation only needs r = cy*nz + cz and the
+    # query offset nz+1 to fit int32 (grids beyond 2^31 TOTAL cells are fine)
+    _, ny, nz = grid.ncells
+    assert ny * nz + nz + 2 <= 2**31 - 1, \
+        "grid stripe too large for the pallas FOF path"
+    ns_pad = -(-cap_total // R_BLOCK) * R_BLOCK
+    ctx = _build_ctx(pos, vel, grid, caps, cap_total, ns_pad,
+                     box, float(reach), with_vel)
+    # jit turns the int fields into device scalars; restore host ints so
+    # they can serve as static jit arguments downstream
+    ctx = ctx._replace(n=n, ns_pad=ns_pad)
+    if return_grid:
+        return ctx, grid
+    return ctx
+
+
+@jax.jit
+def _fill_vel(ctx: FofSortCtx, vel_orig):
+    """Materialise the lazy velocity array on an existing ctx (ghost slots
+    take their source particle's velocity — ghost shifts are position-only)."""
+    ns_pad = ctx.src.shape[0]
+    valid = ctx.src >= 0
+    safe_src = jnp.clip(ctx.src, 0, vel_orig.shape[0] - 1)
+    vel_s = jnp.where(valid[:, None], vel_orig[safe_src], 0.0).astype(
+        jnp.float32)
+    cols_v = jnp.zeros((4, ns_pad + CH), jnp.float32)
+    cols_v = cols_v.at[0:3, :ns_pad].set(vel_s.T)
+    return ctx._replace(cols_v=cols_v)
+
+
+@partial(jax.jit, static_argnames=("ns_pad_new", "grid"))
+def _subset_ctx(ctx: FofSortCtx, keep_orig, vel_orig, ns_pad_new: int,
+                grid: CellGrid):
+    """Compact the ctx to the slots whose ORIGINAL particle is in
+    ``keep_orig`` (ghost slots follow their source), preserving cell-sort
+    order.  Valid when the criterion swept on the subset can only link kept
+    particles (e.g. 6DFOF within 3DFOF groups: all members are tagged).
+    Velocities are always materialised (subsets exist for 6D sweeps),
+    gathered from ``vel_orig`` so the parent ctx may be position-only."""
+    ns_pad = ctx.src.shape[0]
+    n = keep_orig.shape[0]
+    safe_src = jnp.clip(ctx.src, 0, n - 1)
+    keep = jnp.where(ctx.src >= 0, keep_orig[safe_src], False)
+    dest = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep, dest, ns_pad_new)
+    slot_ids = jnp.arange(ns_pad, dtype=jnp.int32)
+    sub_idx = jnp.zeros(ns_pad_new, jnp.int32).at[dest].set(
+        slot_ids, mode="drop")
+    count = jnp.sum(keep)
+    svalid = jnp.arange(ns_pad_new) < count
+    overflow = ctx.overflow | (count > ns_pad_new)
+    sub_idx = jnp.where(svalid, sub_idx, 0)
+
+    nx = grid.ncells[0]
+    ccx = jnp.where(svalid, ctx.ccx[sub_idx], nx)
+    ccr = jnp.where(svalid, ctx.ccr[sub_idx], 0)
+    pos_sub = jnp.stack(
+        [jnp.where(svalid, ctx.cols_p[k, :][sub_idx], SENTINEL)
+         for k in range(3)], axis=-1)
+    src = jnp.where(svalid, ctx.src[sub_idx], -1)
+    vel_sub = jnp.where((src >= 0)[:, None],
+                        vel_orig[jnp.clip(src, 0, n - 1)], 0.0).astype(
+        jnp.float32)
+    cols_p = jnp.full((4, ns_pad_new + CH), SENTINEL, jnp.float32)
+    cols_p = cols_p.at[0:3, :ns_pad_new].set(pos_sub.T)
+    cols_p = cols_p.at[3, :].set(0.0)
+    cols_v = jnp.zeros((4, ns_pad_new + CH), jnp.float32)
+    cols_v = cols_v.at[0:3, :ns_pad_new].set(vel_sub.T)
+    is_real = jnp.where(svalid, ctx.is_real[sub_idx], False)
+    new_slots = jnp.arange(ns_pad_new, dtype=jnp.int32)
+    real_slot = jnp.zeros(n, jnp.int32).at[
+        jnp.where(is_real, src, n)].set(new_slots, mode="drop")
+    is_ghost = svalid & ~is_real & (src >= 0)
+    g_cap = ctx.gslots.shape[0]
+    gdest = jnp.cumsum(is_ghost) - 1
+    gdest = jnp.where(is_ghost, gdest, g_cap)
+    gslots = jnp.zeros(g_cap, jnp.int32).at[gdest].set(
+        new_slots, mode="drop")
+    gcount = jnp.sum(is_ghost)
+    gvalid = jnp.arange(g_cap) < gcount
+    gslots = jnp.where(gvalid, gslots, 0)
+    gsrc = src[gslots]
+    grs = jnp.where(gvalid, real_slot[jnp.clip(gsrc, 0, n - 1)], 0)
+    ranges = _block_ranges(ccx, ccr, grid)
+    return FofSortCtx(ccx, ccr, cols_p, cols_v, ranges,
+                      src, is_real, real_slot, gslots, grs, overflow,
+                      ctx.n, ns_pad_new)
+
+
+# ---------------------------------------------------------------------------
+# Sweep kernels (double-buffered unified chunk loop)
+# ---------------------------------------------------------------------------
+
+def _run_chunks(rng_ref, br, nm0, get_dmas, compute):
+    """Iterate the 3 coverage windows as one flat double-buffered chunk
+    stream.  ``get_dmas(off, slot)`` returns the DMA descriptor pair for a
+    chunk; ``compute(nm, slot)`` consumes a filled slot."""
+    c00 = rng_ref[br, 0]
+    nch0 = rng_ref[br, 1]
+    c01 = rng_ref[br, 2]
+    nch1 = rng_ref[br, 3]
+    c02 = rng_ref[br, 4]
+    nch2 = rng_ref[br, 5]
+    t1 = nch0 + nch1
+    ntot = t1 + nch2
+
+    def off_of(t):
+        j1 = t >= nch0
+        j2 = t >= t1
+        i = t - jnp.where(j2, t1, jnp.where(j1, nch0, 0))
+        c0 = jnp.where(j2, c02, jnp.where(j1, c01, c00))
+        return (c0 + i) * CH
+
+    @pl.when(ntot > 0)
+    def _():
+        for dma in get_dmas(off_of(0), 0):
+            dma.start()
+
+    def body(t, nm):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < ntot)
+        def _():
+            for dma in get_dmas(off_of(t + 1), 1 - slot):
+                dma.start()
+
+        for dma in get_dmas(off_of(t), slot):
+            dma.wait()
+        return compute(nm, slot)
+
+    return jax.lax.fori_loop(0, ntot, body, nm0)
+
+
+def _sweep_kernel_3d(b2, rng_ref, rpos_ref, rlab_ref, p_hbm, lab_hbm,
+                     out_ref, cp_, clab, sem_p, sem_int):
+    b = pl.program_id(0)
+    br = jax.lax.rem(b, 8)
+    # row operands arrive lane-major ((k, R) blocks of the same arrays the
+    # chunk DMA streams) and are transposed to sublane-major ONCE per
+    # block — row-major HBM operands would be tile-padded k -> 128
+    rp = rpos_ref[:].T                             # (R,4)
+    nm0 = rlab_ref[:].T                            # (R,1)
+
+    def get_dmas(off, slot):
+        return (
+            pltpu.make_async_copy(p_hbm.at[:, pl.ds(off, CH)],
+                                  cp_.at[slot], sem_p.at[slot]),
+            pltpu.make_async_copy(lab_hbm.at[:, pl.ds(off, CH)],
+                                  clab.at[slot], sem_int.at[slot]),
+        )
+
+    def compute(nm, slot):
+        cp = cp_[slot]                             # (4,CH)
+        cl = clab[slot]                            # (1,CH)
+        dx = rp[:, 0:1] - cp[0:1, :]
+        d2 = dx * dx
+        dy = rp[:, 1:2] - cp[1:2, :]
+        d2 += dy * dy
+        dz = rp[:, 2:3] - cp[2:3, :]
+        d2 += dz * dz
+        cand = jnp.where(d2 <= b2, cl, BIG_I32)
+        return jnp.minimum(nm, jnp.min(cand, axis=1, keepdims=True))
+
+    nm = _run_chunks(rng_ref, br, nm0, get_dmas, compute)
+    out_ref[:] = nm.T                              # (1,R)
+
+
+def _sweep_kernel_6d(inv_b2, rng_ref, rpos_ref, rvel_ref, rivs_ref, rgl_ref,
+                     p_hbm, v_hbm, gl_hbm, out_ref, cp_, cv_, cgl,
+                     sem_p, sem_v, sem_int):
+    """6D criterion: d2/b6^2 + dv2/vscale2_row <= 1, same nonzero 3D group
+    (reference search.cxx:552-576 per-group TPHS-tree FOF)."""
+    b = pl.program_id(0)
+    br = jax.lax.rem(b, 8)
+    rp = rpos_ref[:].T                             # (R,4)
+    rv = rvel_ref[:].T                             # (R,4)
+    rivs = rivs_ref[:].T                           # (R,1)
+    rgl = rgl_ref[:].T                             # (R,2) [group, label]
+    rgrp = rgl[:, 0:1]
+    nm0 = rgl[:, 1:2]
+
+    def get_dmas(off, slot):
+        return (
+            pltpu.make_async_copy(p_hbm.at[:, pl.ds(off, CH)],
+                                  cp_.at[slot], sem_p.at[slot]),
+            pltpu.make_async_copy(v_hbm.at[:, pl.ds(off, CH)],
+                                  cv_.at[slot], sem_v.at[slot]),
+            pltpu.make_async_copy(gl_hbm.at[:, pl.ds(off, CH)],
+                                  cgl.at[slot], sem_int.at[slot]),
+        )
+
+    def compute(nm, slot):
+        cp = cp_[slot]                             # (4,CH)
+        cv = cv_[slot]                             # (4,CH)
+        cg = cgl[slot]                             # (2,CH) [group, label]
+        dx = rp[:, 0:1] - cp[0:1, :]
+        d2 = dx * dx
+        dy = rp[:, 1:2] - cp[1:2, :]
+        d2 += dy * dy
+        dz = rp[:, 2:3] - cp[2:3, :]
+        d2 += dz * dz
+        du = rv[:, 0:1] - cv[0:1, :]
+        dv2 = du * du
+        du = rv[:, 1:2] - cv[1:2, :]
+        dv2 += du * du
+        du = rv[:, 2:3] - cv[2:3, :]
+        dv2 += du * du
+        phase = d2 * inv_b2 + dv2 * rivs
+        ok = (phase <= 1.0) & (rgrp == cg[0:1, :]) & (rgrp > 0)
+        cand = jnp.where(ok, cg[1:2, :], BIG_I32)
+        return jnp.minimum(nm, jnp.min(cand, axis=1, keepdims=True))
+
+    nm = _run_chunks(rng_ref, br, nm0, get_dmas, compute)
+    out_ref[:] = nm.T                              # (1,R)
+
+
+def _lane_spec(k):
+    """Lane-major row block: (k, R_BLOCK) slice at column offset b*R."""
+    return pl.BlockSpec((k, R_BLOCK), lambda b: (0, b),
+                        memory_space=pltpu.VMEM)
+
+
+def _make_sweep_3d(ns_pad: int, b2: float):
+    nblocks = ns_pad // R_BLOCK
+    return pl.pallas_call(
+        partial(_sweep_kernel_3d, np.float32(b2)),
+        out_shape=jax.ShapeDtypeStruct((1, ns_pad), jnp.int32),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            _lane_spec(4),                      # row pos = cols_p slice
+            _lane_spec(1),                      # row labels
+            pl.BlockSpec(memory_space=pl.ANY),  # cols_p (same array)
+            pl.BlockSpec(memory_space=pl.ANY),  # label columns
+        ],
+        out_specs=_lane_spec(1),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, CH), jnp.float32),
+            pltpu.VMEM((2, 1, CH), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+
+def _make_sweep_6d(ns_pad: int, inv_b2: float):
+    nblocks = ns_pad // R_BLOCK
+    return pl.pallas_call(
+        partial(_sweep_kernel_6d, np.float32(inv_b2)),
+        out_shape=jax.ShapeDtypeStruct((1, ns_pad), jnp.int32),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            _lane_spec(4),                      # row pos = cols_p slice
+            _lane_spec(4),                      # row vel = cols_v slice
+            _lane_spec(1),                      # row 1/vscale2
+            _lane_spec(2),                      # row [group, label] = gl
+            pl.BlockSpec(memory_space=pl.ANY),  # cols_p
+            pl.BlockSpec(memory_space=pl.ANY),  # cols_v
+            pl.BlockSpec(memory_space=pl.ANY),  # gl columns
+        ],
+        out_specs=_lane_spec(1),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, CH), jnp.float32),
+            pltpu.VMEM((2, 4, CH), jnp.float32),
+            pltpu.VMEM((2, 2, CH), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label fixed points
+# ---------------------------------------------------------------------------
+
+def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2):
+    """Shared while_loop: ghost refresh -> sweep -> ghost fold -> hook ->
+    pointer jumps.  ``sweep_fn(labels) -> nmin`` (both (Ns_pad,) i32).
+    Converges when a round changes nothing (min-label updates are monotone,
+    so no-change is a valid stopping rule; cf. ops/fof.py::_fof_sweeps)."""
+    ns_pad = ctx.src.shape[0]      # static (shape-derived, jit-safe)
+    labels0 = jnp.arange(ns_pad, dtype=jnp.int32)
+
+    def body(state):
+        l, _, it = state
+        # ghosts mirror their source before the sweep (compact list;
+        # padded entries are (0, 0) self-copies)
+        l = l.at[ctx.gslots].set(l[ctx.grs])
+        nm = sweep_fn(l)
+        # fold ghost rows' minima back into their real slot
+        nm = nm.at[ctx.grs].min(nm[ctx.gslots])
+        hooked = l.at[l].min(nm)
+        x = hooked
+        for _ in range(jumps):
+            x = x[x]
+        return x, jnp.any(x != l), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_sweeps)
+
+    labels, _, nit = jax.lax.while_loop(
+        cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+
+    # final full path compression
+    def ccond(l):
+        return jnp.any(l != l[l])
+
+    def cbody(l):
+        return l[l[l]]
+
+    return jax.lax.while_loop(ccond, cbody, labels), nit
+
+
+@partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps"))
+def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
+                  max_sweeps: int = 64):
+    sweep = _make_sweep_3d(ns_pad, b2)
+
+    def sweep_fn(labels):
+        lab_col = jnp.concatenate(
+            [labels, jnp.full(CH, BIG_I32, jnp.int32)])[None, :]
+        # row labels and label columns are the SAME (1, ns_pad + CH) array
+        # (lane-major; blocked reads for rows, chunk DMA for columns)
+        nm = sweep(ctx.ranges, ctx.cols_p, lab_col, ctx.cols_p, lab_col)
+        return nm[0]
+
+    return _fixpoint(sweep_fn, ctx, max_sweeps)
+
+
+@partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps"))
+def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
+                  b2: float, max_sweeps: int = 64):
+    """``groups_orig``/``vscale2_orig`` indexed by ORIGINAL particle id."""
+    sweep = _make_sweep_6d(ns_pad, 1.0 / b2)
+    safe_src = jnp.where(ctx.src >= 0, ctx.src, 0)
+    grp_s = jnp.where(ctx.src >= 0, groups_orig[safe_src], 0)
+    ivs_s = jnp.where(
+        ctx.src >= 0,
+        1.0 / jnp.maximum(vscale2_orig[safe_src], 1e-30), 1.0
+    ).astype(jnp.float32)
+
+    ivs_row = ivs_s[None, :]                       # (1, ns_pad) lane-major
+
+    def sweep_fn(labels):
+        gl = jnp.stack([
+            jnp.concatenate([grp_s, jnp.zeros(CH, jnp.int32)]),
+            jnp.concatenate([labels, jnp.full(CH, BIG_I32, jnp.int32)]),
+        ])                                         # (2, ns_pad + CH)
+        nm = sweep(ctx.ranges, ctx.cols_p, ctx.cols_v, ivs_row, gl,
+                   ctx.cols_p, ctx.cols_v, gl)
+        return nm[0]
+
+    return _fixpoint(sweep_fn, ctx, max_sweeps)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _renumber_masked(labels, ctx: FofSortCtx, n: int, min_size):
+    """Size-ordered renumbering over real slots only (ghosts/padding are
+    excluded from sizes); returns pfof in ORIGINAL particle order.
+    Mirrors ops/fof.py::renumber_by_size semantics (ids 1..ngroups by
+    decreasing size, min-original-index tie-break, 0 below min_size)."""
+    ns_pad = labels.shape[0]
+    w = ctx.is_real.astype(jnp.int32)
+    sizes = jnp.zeros(ns_pad, jnp.int32).at[labels].add(w)
+    orig = jnp.where(ctx.is_real, ctx.src, BIG_I32)
+    min_id = jnp.full(ns_pad, BIG_I32, jnp.int32)
+    min_id = min_id.at[labels].min(orig)
+    eligible = sizes >= min_size
+    key_size = jnp.where(eligible, sizes, 0)
+    rank_order = jnp.lexsort((min_id, -key_size))
+    ngroups = jnp.sum(eligible & (sizes > 0)).astype(jnp.int32)
+    gid_of_root = jnp.zeros(ns_pad, jnp.int32)
+    ranks = jnp.arange(ns_pad, dtype=jnp.int32)
+    gid_of_root = gid_of_root.at[rank_order].set(
+        jnp.where(ranks < ngroups, ranks + 1, 0))
+    pfof_slots = gid_of_root[labels]
+    pfof = jnp.zeros(n, jnp.int32).at[
+        jnp.where(ctx.is_real, ctx.src, n)].set(pfof_slots, mode="drop")
+    return pfof, ngroups
+
+
+# ---------------------------------------------------------------------------
+# Public driver
+# ---------------------------------------------------------------------------
+
+def pallas_fof_available(n: int, boxsize: Optional[float],
+                         reach: float) -> bool:
+    """Host check: TPU backend + one grid stripe fits int32 (the (cx, r)
+    pair keys need ny*nz + nz + 2 < 2^31 — i.e. up to ~46000 cells/dim,
+    far beyond any single-chip HBM anyway)."""
+    env = os.environ.get("VR_FOF_PALLAS")
+    if env == "0":
+        return False
+    if env != "1" and jax.default_backend() != "tpu":
+        return False
+    if n < (1 << 14):
+        return False
+    if boxsize is not None and boxsize > 0:
+        ncell = int(np.floor((boxsize + 2 * reach) / reach))
+    else:
+        return env == "1"  # non-periodic: only when forced (rarely hot)
+    return ncell * (ncell + 1) + 2 <= 2**31 - 1
+
+
+class PallasFof:
+    """Per-snapshot FOF context: build once, sweep 3D and 6D criteria.
+
+    The context is built position-only; velocity arrays are materialised
+    on the first 6D sweep (or gathered into a subset context), halving
+    steady HBM for the dominant 3D phase at 512^3 scale."""
+
+    def __init__(self, pos, vel, boxsize: Optional[float], reach: float):
+        self._vel = jnp.asarray(vel, jnp.float32)
+        self.ctx, self.grid = build_fof_ctx(pos, vel, boxsize, reach,
+                                            return_grid=True)
+
+    def subset(self, keep_orig) -> "PallasFof":
+        """Compacted context over the kept particles (e.g. 3DFOF-tagged
+        before the 6D sweep); ~(N/ntag)x cheaper per sweep.
+
+        Capacity is sized from the kept SLOT count — ghost images of kept
+        particles survive the compaction too, so sizing from the original
+        count alone would overflow (and silently drop tagged particles)
+        whenever the tagged count sits at a power of two."""
+        keep_orig = jnp.asarray(keep_orig)
+        safe_src = jnp.clip(self.ctx.src, 0,
+                            keep_orig.shape[0] - 1)
+        keep_slots = jnp.where(self.ctx.src >= 0, keep_orig[safe_src],
+                               False)
+        count = int(jax.device_get(jnp.sum(keep_slots)))
+        ns_pad_new = _pad_pow2(max(count, R_BLOCK), lo=R_BLOCK)
+        sub = object.__new__(PallasFof)
+        sub._vel = self._vel
+        sub.ctx = _subset_ctx(self.ctx, keep_orig, self._vel,
+                              ns_pad_new,
+                              self.grid)._replace(n=self.ctx.n,
+                                                  ns_pad=ns_pad_new)
+        sub.grid = self.grid
+        return sub
+
+    def fof3d(self, linking_length: float, min_size: int):
+        labels, _ = _fof3d_labels(self.ctx, self.ctx.ns_pad,
+                                  float(linking_length) ** 2)
+        return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
+
+    def fof6d(self, ell6d: float, groups_orig, vscale2_orig, min_size: int):
+        if self.ctx.cols_v.shape[1] == 0:
+            self.ctx = _fill_vel(self.ctx, self._vel)._replace(
+                n=self.ctx.n, ns_pad=self.ctx.ns_pad)
+        labels, _ = _fof6d_labels(self.ctx, jnp.asarray(groups_orig),
+                                  jnp.asarray(vscale2_orig, jnp.float32),
+                                  self.ctx.ns_pad, float(ell6d) ** 2)
+        return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
+
+    def check_overflow(self):
+        return bool(jax.device_get(self.ctx.overflow))

@@ -1,0 +1,174 @@
+"""Pallas TPU direct-sum gravitational potential over group-sorted arrays.
+
+Replaces the bucketed direct / Barnes-Hut classes of ops/gravity.py on the
+unbinding hot path (reference KD-tree monopole walk,
+/root/reference/src/unbind.cxx:1480,1607 + MarkCell:24-45) for groups up to
+``MAX_DIRECT`` particles: at halo-finder group sizes (<= ~1e5) a dense
+tiled direct sum on the VPU beats any tree — the pair count Sigma s^2 is a
+few Gops while tree construction alone is gather-bound.
+
+Layout/structure mirrors ops/pallas_fof.py: particles sorted by group id,
+each 512-row block interacts with ONE contiguous sorted-index coverage
+range (first to last group overlapping the block), chunk-DMA'd double
+buffered, criterion = same nonzero group id and i != j.  d^2 uses
+coordinate differences (exact f32; see pallas_fof.py layout notes).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+R_BLOCK = 512
+CH = 512
+
+MAX_DIRECT = 1 << 17   # groups larger than this keep the tree path
+
+
+def _pot_kernel(eps2, rng_ref, rpos_ref, rgrp_ref, pm_hbm, grp_hbm,
+                out_ref, cpm, cgrp, sem_pm, sem_grp):
+    b = pl.program_id(0)
+    br = jax.lax.rem(b, 8)
+    c0 = rng_ref[br, 0]
+    nch = rng_ref[br, 1]
+    # lane-major row operands ((k, R) slices of the chunk-DMA arrays)
+    # transposed once per block — row-major HBM operands would be
+    # tile-padded k -> 128 by the (8,128) layout (see pallas_fof.py)
+    rp = rpos_ref[:].T                              # (R,4)
+    rg = rgrp_ref[:].T                              # (R,1)
+    row_ids = (b * R_BLOCK +
+               jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, 1), 0))
+
+    def get_dmas(off, slot):
+        return (
+            pltpu.make_async_copy(pm_hbm.at[:, pl.ds(off, CH)],
+                                  cpm.at[slot], sem_pm.at[slot]),
+            pltpu.make_async_copy(grp_hbm.at[:, pl.ds(off, CH)],
+                                  cgrp.at[slot], sem_grp.at[slot]),
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        for dma in get_dmas(c0 * CH, 0):
+            dma.start()
+
+    def body(i, acc):
+        slot = jax.lax.rem(i, 2)
+        off = (c0 + i) * CH
+
+        @pl.when(i + 1 < nch)
+        def _():
+            for dma in get_dmas((c0 + i + 1) * CH, 1 - slot):
+                dma.start()
+
+        for dma in get_dmas(off, slot):
+            dma.wait()
+        cp = cpm[slot]                              # (4,CH) x y z mass
+        cg = cgrp[slot]                             # (1,CH)
+        dx = rp[:, 0:1] - cp[0:1, :]
+        d2 = dx * dx
+        dy = rp[:, 1:2] - cp[1:2, :]
+        d2 += dy * dy
+        dz = rp[:, 2:3] - cp[2:3, :]
+        d2 += dz * dz
+        col_ids = off + jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+        ok = (rg == cg) & (rg > 0) & (row_ids != col_ids)
+        contrib = jnp.where(ok, cp[3:4, :] * jax.lax.rsqrt(d2 + eps2), 0.0)
+        return acc + jnp.sum(contrib, axis=1, keepdims=True)
+
+    phi = jax.lax.fori_loop(
+        0, nch, body, jnp.zeros((R_BLOCK, 1), jnp.float32))
+    out_ref[:] = phi.T                              # (1,R)
+
+
+def _make_pot(ns_pad: int, eps2: float):
+    nblocks = ns_pad // R_BLOCK
+    return pl.pallas_call(
+        partial(_pot_kernel, np.float32(eps2)),
+        out_shape=jax.ShapeDtypeStruct((1, ns_pad), jnp.float32),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, R_BLOCK), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),   # rows = cols_pm slice
+            pl.BlockSpec((1, R_BLOCK), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),   # rows = cols_grp slice
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, R_BLOCK), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, CH), jnp.float32),
+            pltpu.VMEM((2, 1, CH), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+
+@partial(jax.jit, static_argnames=("ns_pad", "eps2"))
+def potential_group_sorted(pos_s, mass_s, gid_s, offsets, ns_pad: int,
+                           eps2: float):
+    """Phi_i = sum_{j in group(i), j != i} m_j / sqrt(d^2 + eps^2) for
+    group-sorted arrays (group 0 = untagged/padding, skipped).
+
+    ``offsets``: (ng+2,) group slice boundaries into the sorted arrays
+    (group g occupies [offsets[g], offsets[g+1])).  Groups larger than
+    MAX_DIRECT must be handled by the caller (tree path) — their blocks
+    still compute here, so exclude them from ``gid_s`` (set to 0) first.
+    Returns (ns,) Phi (unscaled; multiply by -G outside).
+    """
+    ns = pos_s.shape[0]
+    pad = ns_pad - ns
+    # lane-major only: rows are (k, R_BLOCK) slices of the same arrays the
+    # chunk DMA streams (row-major operands would be tile-padded k -> 128)
+    gid_pad = jnp.concatenate([gid_s, jnp.zeros(pad, jnp.int32)])
+    cols_pm = jnp.full((4, ns_pad + CH), np.float32(1e15), jnp.float32)
+    cols_pm = cols_pm.at[0:3, :ns].set(pos_s.T)
+    cols_pm = cols_pm.at[3, :].set(0.0)
+    cols_pm = cols_pm.at[3, :ns].set(mass_s)
+    cols_grp = jnp.concatenate(
+        [gid_s, jnp.zeros(pad + CH, jnp.int32)])[None, :]
+
+    # per-block coverage [offsets[gmin], offsets[gmax+1]) from the MIN and
+    # MAX NONZERO gid in each block: zeroed runs (untagged particles,
+    # padding, or callers masking >MAX_DIRECT groups to 0 anywhere in the
+    # order) neither empty a mixed block's range nor drag its start down
+    # to offsets[1]
+    nblocks = ns_pad // R_BLOCK
+    gblk = gid_pad.reshape(nblocks, R_BLOCK)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    gmin = jnp.min(jnp.where(gblk > 0, gblk, big), axis=1)
+    gmax = jnp.max(gblk, axis=1)
+    ng1 = offsets.shape[0] - 1
+    s = offsets[jnp.clip(gmin, 0, ng1)]
+    e = offsets[jnp.clip(gmax + 1, 0, ng1)]
+    has_rows = (gmax > 0) & (gmin != big)
+    s = jnp.where(has_rows, s, 0)
+    e = jnp.where(has_rows, e, 0)
+    c0ch = s // CH
+    nch = jnp.maximum(-(-(e - c0ch * CH) // CH), 0)
+    nch = jnp.where(e > s, nch, 0)
+    nb8 = -(-nblocks // 8) * 8
+    ranges = jnp.zeros((nb8, 128), jnp.int32)
+    ranges = ranges.at[:nblocks, 0].set(c0ch)
+    ranges = ranges.at[:nblocks, 1].set(nch)
+
+    phi = _make_pot(ns_pad, float(eps2))(ranges, cols_pm, cols_grp,
+                                         cols_pm, cols_grp)
+    return phi[0, :ns]
+
+
+def pallas_potential_available() -> bool:
+    env = os.environ.get("VR_POT_PALLAS")
+    if env == "0":
+        return False
+    return env == "1" or jax.default_backend() == "tpu"
