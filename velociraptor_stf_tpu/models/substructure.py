@@ -774,22 +774,46 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
     # subsearch (base and ellxfac-expanded)
     pad_spacing = 3.0 * opt.ellxscale * opt.ellphys * max(1.0, opt.ellxfac)
 
-    # velocity-density checkpoint (reference main.cxx:271-275 +
-    # io.cxx:178-251): replay level-1 densities from a previous identical
-    # run, write them afterwards (Output_den config key -> opt.smname)
-    dens_cache: dict = {}
-    cache_hit = False
-    if opt.smname:
-        from ..io import cache as cache_io
-
-        loaded = cache_io.read_density_cache(opt.smname, pfof_all)
-        if loaded is not None:
-            dens_cache = loaded
-            cache_hit = True
-
     sizes0 = np.bincount(pfof_all, minlength=ng_total + 1)
     queue = [g for g in range(1, ng_total + 1)
              if sizes0[g] >= C.MINSUBSIZE]
+
+    # GLOBAL velocity density, computed ONCE over the particles in
+    # MINSUBSIZE+ groups (reference search.cxx:214-240: GetVelocityDensity
+    # at the full-set level; every recursion level's GetDenVRatio reads
+    # the STORED density — recomputing per structure is the reference's
+    # non-default HALOONLYDEN compile mode, kept behind
+    # opt.iHaloLocalDensity).  Also the checkpoint unit (Output_den ->
+    # opt.smname; reference Write/ReadLocalVelocityDensity,
+    # io.cxx:178-251).
+    dens_global = None
+    halo_local = bool(getattr(opt, "iHaloLocalDensity", 0))
+    if opt.iSubSearch and queue and not halo_local:
+        from ..io import cache as cache_io
+
+        act = (pfof_all > 0) & (sizes0[pfof_all] >= C.MINSUBSIZE)
+        aidx = np.nonzero(act)[0]
+        loaded = None
+        if opt.smname:
+            loaded = cache_io.read_local_velocity_density(opt.smname, aidx)
+        if loaded is not None and len(loaded) == len(aidx):
+            dens_global = np.zeros(len(pfof_all), np.float32)
+            dens_global[aidx] = loaded
+        elif len(aidx):
+            npadg = _next_pow2(len(aidx))
+            gpos, gvel_, _, gvalid = _pad_structure(
+                pos[aidx].astype(np.float32), vel[aidx].astype(np.float32),
+                np.ones(len(aidx), np.float32), npadg, pad_spacing)
+            exact = opt.iLocalVelDenApproxCalcFlag == 0
+            d = localfield.velocity_density(
+                jnp.asarray(gpos), jnp.asarray(gvel_), nvel=opt.Nvel,
+                nsearch=opt.Nsearch, active=jnp.asarray(gvalid),
+                exact=exact, chunk=256 if exact else 2048)
+            dens_global = np.zeros(len(pfof_all), np.float32)
+            dens_global[aidx] = np.asarray(d)[:len(aidx)]
+            if opt.smname:
+                cache_io.write_local_velocity_density(
+                    opt.smname, dens_global[aidx], aidx)
     for level in range(1, C.MAXSUBLEVEL + 1):
         if not queue or not opt.iSubSearch:
             break
@@ -821,11 +845,19 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                                                       npad, pad_spacing)
             cellsize = int(max(C.MINCELLSIZE, opt.Ncellfac * nsub))
             cellsize = min(cellsize, max(32, nsub // 2))
+            cached = None
+            if dens_global is not None:
+                # slice the global density into the padded layout
+                # (padding slots get a harmless positive value; they are
+                # masked by ``valid`` downstream)
+                cached = np.concatenate(
+                    [dens_global[idx],
+                     np.ones(npad - nsub, np.float32)])
             prep.append({
                 "g": g, "idx": idx, "nsub": nsub, "npad": npad,
                 "ppos": ppos, "pvel": pvel, "pmass": pmass,
                 "valid": valid, "cellsize": cellsize,
-                "cached": dens_cache.get(f"l{level}g{g}"),
+                "cached": cached,
             })
 
         # pass 2: batched outliers — same-(npad, grid depth, cached?)
@@ -866,9 +898,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
         for e in prep:
             g, idx, nsub = e["g"], e["idx"], e["nsub"]
             ppos, pvel, pmass = e["ppos"], e["pvel"], e["pmass"]
-            valid, ell, dens = e["valid"], e["ell"], e["dens"]
-            if opt.smname and not cache_hit:
-                dens_cache[f"l{level}g{g}"] = np.asarray(dens)
+            valid, ell = e["valid"], e["ell"]
             sub_pfof, ng_sub = search_subset(opt, jnp.asarray(ppos),
                                              jnp.asarray(pvel),
                                              jnp.asarray(pmass), ell)
@@ -921,12 +951,6 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                              if sub_sizes[s] >= C.MINSUBSIZE)
             ng_total += ng_sub
         queue = new_queue
-
-    if opt.smname and not cache_hit and dens_cache:
-        from ..io import cache as cache_io
-
-        cache_io.write_density_cache(opt.smname, dens_cache,
-                                     np.asarray(pfof))
 
     # hostid: walk to top-level ancestor (reference GetHierarchy /
     # PropData.hostid: -1 for field objects)

@@ -300,6 +300,9 @@ class Options:
     # FOF6D uniform-velocity-scale accumulation bug (search.cxx:450,
     # mtotregion sums one stray particle) for catalog-compat testing
     iVscaleReferenceBugCompat: int = 0
+    # reference HALOONLYDEN compile mode: per-structure velocity density
+    # instead of the default one global calculation (search.cxx:2646)
+    iHaloLocalDensity: int = 0
     iPropertyReferencePosition: int = PROPREFCM
     ParticleTypeForRefenceFrame: int = -1
     idenvflag: int = 0
@@ -562,6 +565,7 @@ def _apply_keyword(opt: Options, key: str, val: str) -> bool:
         "Spherical_overdensity_halo_particle_list_output": lambda v: setattr(opt, "iSphericalOverdensityPartList", i(v)),
         "Sort_by_binding_energy": lambda v: setattr(opt, "iSortByBindingEnergy", i(v)),
         "Velocity_scale_reference_bug_compat": lambda v: setattr(opt, "iVscaleReferenceBugCompat", i(v)),
+        "Halo_local_density": lambda v: setattr(opt, "iHaloLocalDensity", i(v)),
         "SUBFIND_like_output": lambda v: setattr(opt, "isubfindoutput", i(v)),
         "NSPH_extra_blocks": lambda v: setattr(opt, "gnsphblocks", i(v)),
         "NStar_extra_blocks": lambda v: setattr(opt, "gnstarblocks", i(v)),
