@@ -33,8 +33,17 @@ def main():
     n = int(os.environ.get("VR_BENCH_N", 128 ** 3))
     reps = int(os.environ.get("VR_BENCH_REPS", 2 if n >= 1 << 20 else 3))
     boxsize = 100.0
-    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=max(
-        64, n // 16384), seed=7)
+    # host-side mock cache: the 512^3 mock costs ~7 min of RNG; repeat
+    # bench invocations load it from /tmp in seconds
+    cache = f"/tmp/vr_mock_{n}_s7.npz"
+    if n >= 1 << 24 and os.path.exists(cache):
+        with np.load(cache) as z:
+            pos, vel, mass = z["pos"], z["vel"], z["mass"]
+    else:
+        pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=max(
+            64, n // 16384), seed=7)
+        if n >= 1 << 24:
+            np.savez(cache, pos=pos, vel=vel, mass=mass)
 
     # move the snapshot to device up front: the metric times the compute
     # phases (FOF+6DFOF+unbind, BASELINE.md), not host->device transfer
