@@ -287,11 +287,14 @@ def significance_filter(ell, pfof, num_groups: int, ellthreshold: float,
 
 
 def search_subset(opt: C.Options, pos, vel, mass, ell,
-                  active: Optional[jnp.ndarray] = None
-                  ) -> Tuple[jnp.ndarray, int]:
+                  active: Optional[jnp.ndarray] = None,
+                  bounds=None) -> Tuple[jnp.ndarray, int]:
     """Find substructure candidates in one (re-centred) particle set.
 
     ``ell``: outlier values (set -inf on padded/inactive slots).
+    ``bounds``: optional host (lo, hi) position bounds — the recursion
+    knows them from the padding construction, saving one device fetch
+    per structure through the tunnel.
     Returns (pfof, ngroups) in the set's order; ids 1..ng by size.
     Mirrors SearchSubset with foftype FOFSTPROB (+ iterative expansion).
     """
@@ -347,7 +350,7 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
         fields["vel"] = jnp.asarray(vel)
         edges, _, grid = fof.build_edges(
             jnp.asarray(pos), b_build, boxsize=None, fields=fields,
-            predicate=fof.Pred3D(b_build * b_build))
+            predicate=fof.Pred3D(b_build * b_build), bounds=bounds)
         n_set = edges.n
 
         def masked_labels(pred, minsize_loc):
@@ -383,7 +386,8 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
         ng = int(jax.device_get(ng_d))
     else:
         pfof, ng = fof.fof3d(pos, b, boxsize=None, min_size=minsize0,
-                             vel=vel, extra_fields=extra, predicate=pred0)
+                             vel=vel, extra_fields=extra, predicate=pred0,
+                             bounds=bounds)
         ng = int(jax.device_get(ng))
     if ng == 0:
         return pfof, 0
@@ -899,15 +903,19 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             g, idx, nsub = e["g"], e["idx"], e["nsub"]
             ppos, pvel, pmass = e["ppos"], e["pvel"], e["pmass"]
             valid, ell = e["valid"], e["ell"]
-            sub_pfof, ng_sub = search_subset(opt, jnp.asarray(ppos),
-                                             jnp.asarray(pvel),
-                                             jnp.asarray(pmass), ell)
+            sub_pfof, ng_sub = search_subset(
+                opt, jnp.asarray(ppos), jnp.asarray(pvel),
+                jnp.asarray(pmass), ell,
+                bounds=(ppos.min(0).astype(np.float64),
+                        ppos.max(0).astype(np.float64)))
             # merger-remnant core search (reference search.cxx:1530,
             # HaloCoreGrowth): cores beyond the main one become substructures
             if opt.iHaloCoreSearch > 0 and level <= opt.maxnlevelcoresearch:
-                core, ncores = halo_core_search(opt, ppos, pvel, pmass,
-                                                valid, sub_pfof,
-                                                sublevel=level)
+                core, ncores = halo_core_search(
+                    opt, ppos, pvel, pmass, valid, sub_pfof,
+                    sublevel=level,
+                    bounds=(ppos.min(0).astype(np.float64),
+                            ppos.max(0).astype(np.float64)))
                 if ncores >= 2:
                     core_np = np.asarray(core)
                     sub_np0 = np.asarray(sub_pfof)
@@ -982,7 +990,7 @@ class Pred6DCore:
 
 
 def halo_core_search(opt: C.Options, pos, vel, mass, valid, pfof_sub,
-                     sublevel: int = 1):
+                     sublevel: int = 1, bounds=None):
     """6DFOF core search with shrinking linking lengths + phase-tensor core
     growth (reference search.cxx:1530-1816 and HaloCoreGrowth:1817).
 
@@ -1025,7 +1033,7 @@ def halo_core_search(opt: C.Options, pos, vel, mass, valid, pfof_sub,
     if reuse_edges:
         edges, _, grid0 = fof.build_edges(
             pos, math.sqrt(ellx2), fields={"vel": vel},
-            predicate=fof.Pred3D(float(ellx2)))
+            predicate=fof.Pred3D(float(ellx2)), bounds=bounds)
     for loop in range(max(1, opt.halocorenumloops)):
         # eligible: untagged by substructure search and (first loop) any
         # particle, later loops only the current main core's particles
@@ -1051,7 +1059,7 @@ def halo_core_search(opt: C.Options, pos, vel, mass, valid, pfof_sub,
             pfc, ngc = fof.fof3d(
                 pos, math.sqrt(ellx2), min_size=minsize, vel=vel,
                 extra_fields={"elig": elig.astype(jnp.int32)},
-                predicate=pred)
+                predicate=pred, bounds=bounds)
             ngc = int(jax.device_get(ngc))
         if ngc == 0:
             break

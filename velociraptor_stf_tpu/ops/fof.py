@@ -1149,6 +1149,7 @@ def fof3d(
     capacity: Optional[int] = None,           # legacy, ignored
     target_cells_per_dim: Optional[int] = None,
     return_order: bool = False,
+    bounds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ):
     """3DFOF over positions (optionally with a custom criterion).
 
@@ -1166,7 +1167,8 @@ def fof3d(
             fields[k] = jnp.asarray(v)
     edges, binning, grid = build_edges(
         pos, linking_length, boxsize=boxsize, fields=fields,
-        predicate=predicate, target_cells_per_dim=target_cells_per_dim)
+        predicate=predicate, target_cells_per_dim=target_cells_per_dim,
+        bounds=bounds)
     labels = fof_labels_from_edges(edges.erow, edges.ecol, n,
                                    undirected=edges.undirected)
     order = edges.order
