@@ -133,3 +133,37 @@ def test_cosmology_lcdm():
     x = 0.3 - 1  # Omega(a=1)-1 with BN98's x definition
     assert o.virBN98 == pytest.approx(
         18 * math.pi ** 2 + 82 * (-0.7) - 39 * 0.7 ** 2, rel=1e-6)
+
+
+def test_config_check_strict_validations():
+    """CLI-mode ConfigCheck requirements (ui.cxx:751-800)."""
+    opt = C.Options()
+    opt.lengthtokpc = opt.velocitytokms = opt.masstosolarmass = 1.0
+    C.config_check(opt, strict=True)   # valid
+
+    bad = C.Options()
+    bad.lengthtokpc = -1.0
+    bad.velocitytokms = bad.masstosolarmass = 1.0
+    with pytest.raises(ValueError):
+        C.config_check(bad, strict=True)
+
+    hdf = C.Options()
+    hdf.lengthtokpc = hdf.velocitytokms = hdf.masstosolarmass = 1.0
+    hdf.inputtype = C.IOHDF
+    hdf.ihdfnameconvention = -1
+    with pytest.raises(ValueError):
+        C.config_check(hdf, strict=True)
+
+    bar = C.Options()
+    bar.lengthtokpc = bar.velocitytokms = bar.masstosolarmass = 1.0
+    bar.iBaryonSearch = 1
+    bar.partsearchtype = C.PSTGAS
+    with pytest.raises(ValueError):
+        C.config_check(bar, strict=True)
+
+    # Bound_halos auto-clears under iKeepFOF (reference errors; repo
+    # defaults iBoundHalos=1, so clearing keeps iKeepFOF configs valid)
+    kf = C.Options()
+    kf.iKeepFOF = 1
+    C.config_check(kf)
+    assert kf.iBoundHalos == 0

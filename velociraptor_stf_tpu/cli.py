@@ -356,7 +356,7 @@ def main(argv=None) -> int:
         print("No output name given (config Output= or -o), terminating",
               file=sys.stderr)
         return 9
-    C.config_check(opt)
+    C.config_check(opt, strict=True)
     res = run(opt)
     print(f"Found {res.ngroups} structures; catalogs written to "
           f"{opt.outname}.*")

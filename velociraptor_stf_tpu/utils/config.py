@@ -644,8 +644,37 @@ def parse_config_string(text: str, opt: Optional[Options] = None) -> Options:
         os.unlink(tmp)
 
 
-def config_check(opt: Options) -> Options:
-    """Cross-validate and derive options; mirrors ui.cxx ``ConfigCheck``:751."""
+def config_check(opt: Options, strict: bool = False) -> Options:
+    """Cross-validate and derive options; mirrors ui.cxx ``ConfigCheck``:751.
+
+    ``strict``: enforce the reference's CLI-run requirements (unit
+    conversions set, HDF naming convention chosen, baryon-search mode
+    consistency) — the CLI passes True; library/test callers that build
+    Options directly stay lenient.
+    """
+    if strict:
+        if opt.inputtype == IOHDF and opt.ihdfnameconvention == -1:
+            raise ValueError(
+                "HDF input but HDF_name_convention not set (ui.cxx:760)")
+        if opt.iBaryonSearch and opt.partsearchtype not in (PSTALL,
+                                                           PSTDARK):
+            raise ValueError(
+                "Baryon_searchflag requires Particle_search_type all/dark "
+                "(ui.cxx:764)")
+        if opt.num_files < 1:
+            raise ValueError("Invalid number of input files (<1)")
+        for name, val in (("Length_unit_to_kpc", opt.lengthtokpc),
+                          ("Velocity_to_kms", opt.velocitytokms),
+                          ("Mass_to_solarmass", opt.masstosolarmass)):
+            if val <= 0:
+                raise ValueError(
+                    f"Invalid unit conversion: {name} is <=0 or unset "
+                    "(ui.cxx:785-800)")
+    # Bound field objects are incompatible with keeping never-unbound
+    # 3DFOF envelopes (reference errors, ui.cxx:768); the repo default is
+    # iBoundHalos=1, so auto-clear instead of erroring on iKeepFOF runs
+    if opt.iBoundHalos and opt.iKeepFOF:
+        opt.iBoundHalos = 0
     if opt.iSubSearch:
         # substructure search requires local velocity density (STRUCDEN)
         pass
