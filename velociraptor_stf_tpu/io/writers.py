@@ -186,6 +186,14 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
             if key in (f"cm_{t}", f"cmvel_{t}", f"L_{t}", f"veldisp_{t}",
                        f"eigvec_{t}"):
                 continue
+            # reference output schema (allvars.h:3540-3543 PropDataHeader):
+            # the mass-weighted mean temperature lands in "T_<t>"; the raw
+            # Temp/SFR-mean accumulators are internal-only and not written
+            if key == f"Temp_mean_{t}":
+                cols[f"T_{t}"] = np.asarray(props[key])[g]
+                continue
+            if key in (f"Temp_{t}", f"SFR_mean_{t}"):
+                continue
             v = np.asarray(props[key])[g]
             if v.ndim == 1:
                 cols[key] = v
@@ -215,8 +223,11 @@ def properties_table(opt: C.Options, props: Dict[str, np.ndarray],
                 for j, b in enumerate("xyz"):
                     cols[f"veldisp_{a}{b}_{t}"] = vdt[:, i, j]
                     cols[f"eig_{a}{b}_{t}"] = evt[:, i, j]
-    for k in ("t_mean_star", "M_bh_mostmassive", "acc_bh",
-              "acc_bh_mostmassive"):
+    # mass-weighted mean stellar age: reference column "tage_star"
+    # (allvars.h:3628)
+    if "t_mean_star" in props:
+        cols["tage_star"] = np.asarray(props["t_mean_star"])[g]
+    for k in ("M_bh_mostmassive", "acc_bh", "acc_bh_mostmassive"):
         if k in props:
             cols[k] = np.asarray(props[k])[g]
     # exclusive (member-only) masses when inclusive masses are active
