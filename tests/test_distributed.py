@@ -251,3 +251,95 @@ def test_distributed_bulk_properties_match_numpy():
                                    atol=1e-2 * np.abs(J).max())
         rmax = np.sqrt((dx ** 2).sum(1).max())
         assert abs(out["gsize"][g] - rmax) / rmax < 1e-4
+
+
+def test_distributed_so_matches_single_device():
+    """Sharded partial-histogram SO (psum over the mesh) matches the
+    single-device all-particle SO search on every halo and threshold."""
+    import math
+
+    from velociraptor_stf_tpu.ops import so
+    from velociraptor_stf_tpu.parallel.distributed_so import \
+        distributed_so_masses
+
+    rng = np.random.default_rng(31)
+    boxsize = 12.0
+    # 5 planted halos (varying size to span octave radius classes) +
+    # uniform background
+    centers, chunks = [], []
+    for k in range(5):
+        nk = 2000 * (k + 1)
+        c = rng.uniform(2, boxsize - 2, 3)
+        r = (0.15 + 0.1 * k) * rng.random(nk) ** (1 / 3)
+        d = rng.normal(size=(nk, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        chunks.append(c + d * r[:, None])
+        centers.append(c)
+    chunks.append(rng.random((30011, 3)) * boxsize)   # odd n -> shard pad
+    pos = np.concatenate(chunks).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, len(pos)).astype(np.float32)
+    centers = np.asarray(centers, np.float32)
+    rsearch = np.array([2.0, 1.5, 2.5, 1.0, 3.0])
+    rho0 = len(pos) / boxsize ** 3
+    lnthr = [math.log(200 * rho0), math.log(500 * rho0)]
+    minnum = np.full(5, 8, np.int32)
+    fm = np.full(5, 0.5, np.float64)
+
+    M1, R1 = so.so_masses_all_particles(
+        pos, mass, centers, rsearch, lnthr, boxsize=boxsize,
+        minnum=minnum, first_mass=fm)
+    mesh = M.make_mesh(8)
+    M8, R8 = distributed_so_masses(
+        pos, mass, centers, rsearch, lnthr, mesh, boxsize=boxsize,
+        minnum=minnum, first_mass=fm)
+    assert (M1 > 0).any()  # the mock must actually produce crossings
+    np.testing.assert_allclose(M8, M1, rtol=5e-5, atol=1e-6)
+    np.testing.assert_allclose(R8, R1, rtol=5e-5, atol=1e-6)
+
+
+def test_distributed_velocity_density_matches_single_device():
+    """Slab-sharded velocity density (ghost leaf exchange over the ring)
+    agrees with the single-device estimator: identical physics kernel,
+    only the KD leaf decomposition differs, so per-particle values agree
+    statistically and dense structures are ranked identically."""
+    import jax.numpy as jnp
+
+    from velociraptor_stf_tpu.models import localfield
+    from velociraptor_stf_tpu.parallel.distributed_localfield import \
+        distributed_velocity_density
+
+    rng = np.random.default_rng(77)
+    boxsize = 10.0
+    # a cold dense clump + hot background; the clump straddles a slab
+    # boundary (x = boxsize/8 for ndev=8) to exercise the ghost exchange
+    nclump, nbg = 4000, 28000
+    cpos = np.array([boxsize / 8, 5.0, 5.0]) + \
+        rng.normal(0, 0.15, (nclump, 3))
+    cvel = rng.normal(0, 20.0, (nclump, 3))
+    bpos = rng.random((nbg, 3)) * boxsize
+    bvel = rng.normal(0, 300.0, (nbg, 3))
+    pos = np.concatenate([cpos, bpos]).astype(np.float32)
+    vel = np.concatenate([cvel, bvel]).astype(np.float32)
+
+    d1 = np.asarray(localfield.velocity_density(
+        jnp.asarray(pos), jnp.asarray(vel), nvel=32, nsearch=256))
+    mesh = M.make_mesh(8)
+    d8 = distributed_velocity_density(pos, vel, mesh, nvel=32, nsearch=256,
+                                      boxsize=boxsize)
+    assert d1.shape == d8.shape == (len(pos),)
+    assert (d8 > 0).all()
+    # clump particles must be recognised as dense by both estimators
+    # per-particle deviation is decomposition noise inherent to the
+    # approximative mode (leaf-shared candidate sets): both estimators
+    # show IDENTICAL error vs a high-reach reference (med 1.368 vs 1.372
+    # in log, measured), so only their mutual spread is bounded here
+    logr = np.log(d8) - np.log(d1)
+    med = np.median(np.abs(logr))
+    assert med < 0.2, f"median |log ratio| {med:.3f}"
+    # density ranking agreement: top-5% dense sets overlap strongly
+    k = len(pos) // 20
+    top1 = set(np.argsort(-d1)[:k])
+    top8 = set(np.argsort(-d8)[:k])
+    assert len(top1 & top8) / k > 0.9
+    # the clump dominates the dense set in both
+    assert np.median(d8[:nclump]) > 10 * np.median(d8[nclump:])

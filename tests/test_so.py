@@ -153,6 +153,9 @@ Unbind_flag=0
 Cosmological_input=1
 Gravity=43.0211349
 Hubble_unit=100.0
+Length_unit_to_kpc=1000.0
+Velocity_to_kms=1.0
+Mass_to_solarmass=1e10
 Omega_m=0.3
 Omega_Lambda=0.7
 h_val=0.7

@@ -29,6 +29,77 @@ import numpy as np
 from ..ops.kdgrid import median_partition
 
 
+def _leaf_densities(P_q, V_q, valid_q, cm_q, P_pool, V_pool, valid_pool,
+                    cm_pool, nvel: int, nsearch: int, m: int, chunk: int,
+                    exact: bool):
+    """SPH velocity densities for query leaves against a candidate leaf
+    pool (pool == queries for the single-device path; pool = local +
+    ghost-exchanged neighbour leaves for the distributed path).
+
+    Query/pool leaf arrays: (Lq|Lp, K, 3) positions/velocities, (.., K)
+    validity, (Lq|Lp, 3) selection centres (empty leaves parked far).
+    Returns (ceil(Lq/chunk)*chunk // chunk, chunk, K) leaf densities whose
+    flat order matches the query leaf order.
+    """
+    nleaf_q, leaf_size = P_q.shape[0], P_q.shape[1]
+    nchunk = -(-nleaf_q // chunk)
+    lpad = nchunk * chunk
+    leaf_ids = jnp.arange(lpad, dtype=jnp.int32).reshape(nchunk, chunk)
+
+    def do_chunk(lids):
+        l = jnp.minimum(lids, nleaf_q - 1)
+        c = cm_q[l]                                           # (B,3)
+        d2leaf = jnp.sum((c[:, None, :] - cm_pool[None, :, :]) ** 2, -1)
+        _, cand_l = jax.lax.top_k(-d2leaf, m)                 # (B,M)
+        cand_pos = P_pool[cand_l].reshape(l.shape[0], m * leaf_size, 3)
+        cand_vel = V_pool[cand_l].reshape(l.shape[0], m * leaf_size, 3)
+        cand_valid = valid_pool[cand_l].reshape(l.shape[0], m * leaf_size)
+        if exact:
+            # per-particle Nsearch nearest physical candidates
+            d2p = jnp.sum((P_q[l][:, :, None, :] -
+                           cand_pos[:, None, :, :]) ** 2, -1)  # (B,K,MC)
+            d2p = jnp.where(cand_valid[:, None, :], d2p, jnp.inf)
+            _, selp = jax.lax.top_k(-d2p, nsearch)             # (B,K,Ns)
+            sel_vel = jnp.take_along_axis(
+                cand_vel[:, None, :, :].repeat(leaf_size, 1),
+                selp[..., None], axis=2)                       # (B,K,Ns,3)
+            sel_valid = jnp.take_along_axis(
+                cand_valid[:, None, :].repeat(leaf_size, 1), selp, axis=2)
+            dv2 = jnp.sum((V_q[l][:, :, None, :] - sel_vel) ** 2, -1)
+            dv2 = jnp.where(sel_valid, dv2, jnp.inf)
+        else:
+            # Nsearch nearest candidates to the leaf centre
+            d2cm = jnp.sum((cand_pos - c[:, None, :]) ** 2, -1)
+            d2cm = jnp.where(cand_valid, d2cm, jnp.inf)
+            _, sel = jax.lax.top_k(-d2cm, nsearch)            # (B,Nsearch)
+            sel_vel = jnp.take_along_axis(cand_vel, sel[..., None], axis=1)
+            sel_valid = jnp.take_along_axis(cand_valid, sel, axis=1)
+            # per particle: Nvel nearest velocity neighbours of shared set
+            dv2 = jnp.sum((V_q[l][:, :, None, :] -
+                           sel_vel[:, None, :, :]) ** 2, -1)   # (B,K,Ns)
+            dv2 = jnp.where(sel_valid[:, None, :], dv2, jnp.inf)
+        # exclude the self match (zero distance appears once for the particle
+        # itself when it is within its own leaf's candidate set)
+        topneg, _ = jax.lax.top_k(-dv2, nvel + 1)
+        dvk = -topneg                                          # ascending
+        is_self = dvk[..., :1] <= 0.0
+        dsel = jnp.where(is_self, dvk[..., 1:nvel + 1], dvk[..., 0:nvel])
+        # bandwidth from the largest FINITE selected distance: sparse
+        # candidate pools (a leaf with < nvel+1 valid candidates, e.g. a
+        # low-occupancy boundary leaf in the distributed slab path) would
+        # otherwise set h2 = inf and zero the density
+        h2 = jnp.maximum(jnp.max(
+            jnp.where(jnp.isfinite(dsel), dsel, 0.0), axis=-1), 1e-30)
+        u2 = dsel / h2[..., None]
+        kern = jnp.maximum(1.0 - u2, 0.0)
+        h3 = h2 * jnp.sqrt(h2)
+        dens = 15.0 / (8.0 * jnp.pi) / h3 * jnp.sum(
+            jnp.where(jnp.isfinite(dsel), kern, 0.0), axis=-1)
+        return dens                                            # (B,K)
+
+    return jax.lax.map(do_chunk, leaf_ids)                     # (nc,B,K)
+
+
 @partial(jax.jit, static_argnames=("nvel", "nsearch", "leaf_size",
                                    "cand_leaves", "chunk", "exact"))
 def velocity_density(
@@ -91,58 +162,9 @@ def velocity_density(
                        hi[None, :] + big * (1 + jnp.arange(nleaf,
                                                            dtype=pos.dtype))[:, None])
 
-    nchunk = -(-nleaf // chunk)
-    lpad = nchunk * chunk
-    leaf_ids = jnp.arange(lpad, dtype=jnp.int32).reshape(nchunk, chunk)
-
-    def do_chunk(lids):
-        l = jnp.minimum(lids, nleaf - 1)
-        c = cm_sel[l]                                         # (B,3)
-        d2leaf = jnp.sum((c[:, None, :] - cm_sel[None, :, :]) ** 2, -1)
-        _, cand_l = jax.lax.top_k(-d2leaf, m)                 # (B,M)
-        cand_pos = P[cand_l].reshape(l.shape[0], m * leaf_size, 3)
-        cand_vel = V[cand_l].reshape(l.shape[0], m * leaf_size, 3)
-        cand_valid = valid[cand_l].reshape(l.shape[0], m * leaf_size)
-        if exact:
-            # per-particle Nsearch nearest physical candidates
-            d2p = jnp.sum((P[l][:, :, None, :] -
-                           cand_pos[:, None, :, :]) ** 2, -1)  # (B,K,MC)
-            d2p = jnp.where(cand_valid[:, None, :], d2p, jnp.inf)
-            _, selp = jax.lax.top_k(-d2p, nsearch)             # (B,K,Ns)
-            sel_vel = jnp.take_along_axis(
-                cand_vel[:, None, :, :].repeat(leaf_size, 1),
-                selp[..., None], axis=2)                       # (B,K,Ns,3)
-            sel_valid = jnp.take_along_axis(
-                cand_valid[:, None, :].repeat(leaf_size, 1), selp, axis=2)
-            dv2 = jnp.sum((V[l][:, :, None, :] - sel_vel) ** 2, -1)
-            dv2 = jnp.where(sel_valid, dv2, jnp.inf)
-        else:
-            # Nsearch nearest candidates to the leaf centre
-            d2cm = jnp.sum((cand_pos - c[:, None, :]) ** 2, -1)
-            d2cm = jnp.where(cand_valid, d2cm, jnp.inf)
-            _, sel = jax.lax.top_k(-d2cm, nsearch)            # (B,Nsearch)
-            sel_vel = jnp.take_along_axis(cand_vel, sel[..., None], axis=1)
-            sel_valid = jnp.take_along_axis(cand_valid, sel, axis=1)
-            # per particle: Nvel nearest velocity neighbours of shared set
-            dv2 = jnp.sum((V[l][:, :, None, :] -
-                           sel_vel[:, None, :, :]) ** 2, -1)   # (B,K,Ns)
-            dv2 = jnp.where(sel_valid[:, None, :], dv2, jnp.inf)
-        # exclude the self match (zero distance appears once for the particle
-        # itself when it is within its own leaf's candidate set)
-        topneg, _ = jax.lax.top_k(-dv2, nvel + 1)
-        dvk = -topneg                                          # ascending
-        is_self = dvk[..., :1] <= 0.0
-        dsel = jnp.where(is_self, dvk[..., 1:nvel + 1], dvk[..., 0:nvel])
-        h2 = jnp.maximum(dsel[..., -1], 1e-30)
-        u2 = dsel / h2[..., None]
-        kern = jnp.maximum(1.0 - u2, 0.0)
-        h3 = h2 * jnp.sqrt(h2)
-        dens = 15.0 / (8.0 * jnp.pi) / h3 * jnp.sum(
-            jnp.where(jnp.isfinite(dsel), kern, 0.0), axis=-1)
-        return dens                                            # (B,K)
-
-    dens_leaf = jax.lax.map(do_chunk, leaf_ids)                # (nc,B,K)
-    dens_flat = dens_leaf.reshape(lpad * leaf_size)[:npad]
+    dens_leaf = _leaf_densities(P, V, valid, cm_sel, P, V, valid, cm_sel,
+                                nvel, nsearch, m, chunk, exact)
+    dens_flat = dens_leaf.reshape(-1)[:npad]
     scatter_idx = jnp.where(valid.reshape(-1), pad_idx, npad)  # -> dropped
     out = jnp.zeros(n, pos.dtype)
     out = out.at[scatter_idx].set(dens_flat, mode="drop")

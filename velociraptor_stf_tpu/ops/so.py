@@ -126,15 +126,18 @@ def _class_histogram(pos_s, mass_s, centers, rsearch, cid_sorted,
     r = jnp.sqrt(jnp.sum(d * d, axis=-1))
     rs = rsearch[row]
     u = r / jnp.maximum(rs, 1e-30)
-    ok = valid & (u <= 1.0)
+    mcand = fof._gather2(mass_s, col) if mass_s.ndim > 1 else mass_s[col]
+    # the zero-mass guard excludes padding slots (every physical particle
+    # carries mass); the distributed path (parallel/distributed_so.py) pads
+    # shards with mass-0 sentinels that must not enter the counts either
+    ok = valid & (u <= 1.0) & (mcand > 0)
     dlog = -lnumin / (nbins - 1)
     b = 1 + jnp.floor((jnp.log(jnp.maximum(u, 1e-30)) - lnumin) /
                       dlog).astype(jnp.int32)
     b = jnp.clip(b, 0, nbins - 1)
     flat = jnp.where(ok, row * nbins + b, H * nbins)
     Mh = jnp.zeros(H * nbins + 1, pos_s.dtype).at[flat].add(
-        jnp.where(ok, fof._gather2(mass_s, col) if mass_s.ndim > 1
-                  else mass_s[col], 0.0))
+        jnp.where(ok, mcand, 0.0))
     Nh = jnp.zeros(H * nbins + 1, jnp.int32).at[flat].add(
         ok.astype(jnp.int32))
     return Mh[:-1].reshape(H, nbins), Nh[:-1].reshape(H, nbins)
