@@ -1,0 +1,96 @@
+"""Pallas kernel logic on CPU via the TPU interpreter.
+
+The real-TPU parity tests (tests/test_pallas_fof.py) skip off-TPU, which
+left the Pallas kernels untested whenever only the CPU suite runs.  The
+TPU interpret mode executes the same kernels (manual DMA, semaphores,
+SMEM windows) in simulation, so kernel *logic* — block-range candidate
+supersets, ghost folds, in-kernel transposes, the label fixed point — is
+pinned here against the XLA edge pipeline.  Mosaic lowering and
+performance remain TPU-only concerns.
+
+Reference semantics under test: KDTree::FOF 3D + per-group 6D phase FOF
+(/root/reference/src/search.cxx:110,552-576) and the direct-sum potential
+of the unbinding step (/root/reference/src/unbind.cxx:196).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from velociraptor_stf_tpu.io.synthetic import make_cosmo_mock
+from velociraptor_stf_tpu.models import halos
+from velociraptor_stf_tpu.utils import config as C
+
+pytestmark = pytest.mark.slow  # interpret mode is minutes-scale
+
+
+def _opts(boxsize, n):
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = boxsize / n ** (1 / 3)
+    opt.fofbgtype = C.FOF6D
+    opt.MinSize = 20
+    opt.HaloMinSize = 32
+    C.config_check(opt)
+    return opt
+
+
+def test_interpret_fof_pipeline_matches_xla(monkeypatch):
+    n = 1 << 14   # pallas_fof_available's minimum
+    boxsize = 25.0
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=6, seed=7)
+    pos, vel, mass = map(jnp.asarray, (pos, vel, mass))
+    opt = _opts(boxsize, n)
+
+    monkeypatch.setenv("VR_FOF_PALLAS", "0")
+    r0 = halos.search_full_set(opt, pos, vel, mass, boxsize=boxsize)
+    a = np.asarray(jax.device_get(r0.pfof))
+
+    monkeypatch.setenv("VR_FOF_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        r1 = halos.search_full_set(opt, pos, vel, mass, boxsize=boxsize)
+        b = np.asarray(jax.device_get(r1.pfof))
+    assert r0.ngroups == r1.ngroups
+    assert np.array_equal(a, b)
+
+
+def test_interpret_potential_matches_xla(monkeypatch):
+    from velociraptor_stf_tpu.models import unbind as ub
+    from velociraptor_stf_tpu.ops import segments as seg
+
+    n = 1 << 14
+    boxsize = 25.0
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=6, seed=7)
+    pos, vel, mass = map(jnp.asarray, (pos, vel, mass))
+    opt = _opts(boxsize, n)
+    opt.uinfo.unbindflag = 1
+    opt.G = 43.0211349
+
+    monkeypatch.setenv("VR_FOF_PALLAS", "0")
+    r = halos.search_full_set(opt, pos, vel, mass, boxsize=boxsize)
+    assert r.ngroups > 0
+
+    tag = r.pfof > 0
+    ntag = int(jax.device_get(jnp.sum(tag)))
+    tpad = 1024
+    while tpad < ntag:
+        tpad *= 2
+    sub_idx, svalid, _ = seg.compact_mask(tag, tpad)
+    pos_t = pos[sub_idx]
+    pfof_t = jnp.where(svalid, r.pfof[sub_idx], 0)
+    mass_tv = jnp.where(svalid, mass[sub_idx], 0.0)
+
+    monkeypatch.setenv("VR_POT_PALLAS", "0")
+    W0 = np.asarray(jax.device_get(ub.compute_potential(
+        pos_t, mass_tv, pfof_t, r.ngroups, opt.uinfo.eps, opt.G,
+        boxsize=boxsize)))
+    monkeypatch.setenv("VR_POT_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        W1 = np.asarray(jax.device_get(ub.compute_potential(
+            pos_t, mass_tv, pfof_t, r.ngroups, opt.uinfo.eps, opt.G,
+            boxsize=boxsize)))
+    nz = np.abs(W0) > 0
+    rel = np.abs(W0 - W1)[nz] / np.maximum(np.abs(W0[nz]), 1e-20)
+    assert rel.max() < 1e-4

@@ -235,6 +235,9 @@ Halo_3D_linking_length=0.2
 Unbind_flag=0
 Cosmological_input=1
 Gravity=43.0211349
+Length_unit_to_kpc=1.0
+Velocity_to_kms=1.0
+Mass_to_solarmass=1e10
 Binary_output=2
 """)
     rc = cli.main(["-C", cfg, "-i", d, "-I", "4", "-o", out])

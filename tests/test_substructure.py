@@ -390,3 +390,44 @@ def test_structure_outliers_batch_matches_single():
         want = ells_single[b]
         fin = np.isfinite(want)
         assert np.allclose(got[fin], want[fin], rtol=2e-4, atol=2e-4), b
+
+
+def test_search_sub_sub_batched_matches_sequential(monkeypatch):
+    """The vmapped same-class batch search must reproduce the sequential
+    per-structure pipeline exactly (same pfof, hierarchy, group count):
+    the union grid only changes the candidate superset, every predicate
+    is evaluated per pair on the raw positions."""
+    halos = []
+    for k in range(3):
+        p, v, m, _ = host_with_subhalo(seed=10 + k, nhost=3000, nsub=400)
+        p = p + np.array([4.0 * k, 0.0, 0.0], np.float32)
+        halos.append((p, v, m))
+    pos = np.concatenate([h[0] for h in halos])
+    vel = np.concatenate([h[1] for h in halos])
+    mass = np.concatenate([h[2] for h in halos])
+    pfof = np.concatenate([np.full(len(h[0]), k + 1, np.int32)
+                           for k, h in enumerate(halos)])
+
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = 0.25
+    opt.iiterflag = 1
+    opt.ellthreshold = 2.5
+    opt.Vratio = 2.0
+    opt.thetaopen = 0.10
+    opt.ellfac = 1.0
+    opt.MinSize = 20
+    opt.uinfo.unbindflag = 0
+    opt.G = G
+
+    monkeypatch.setenv("VR_SUBSET_BATCH", "0")
+    ref = S.search_sub_sub(opt, pos, vel, mass, pfof.copy(), 3)
+    monkeypatch.setenv("VR_SUBSET_BATCH", "1")
+    out = S.search_sub_sub(opt, pos, vel, mass, pfof.copy(), 3)
+
+    assert out[1] == ref[1]                      # ng_total
+    assert out[1] > 3                            # substructure was found
+    np.testing.assert_array_equal(out[0], ref[0])        # pfof
+    np.testing.assert_array_equal(out[2], ref[2])        # hostid
+    np.testing.assert_array_equal(out[3], ref[3])        # parent
+    np.testing.assert_array_equal(out[4], ref[4])        # level

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -41,6 +42,7 @@ import numpy as np
 from scipy.special import erf
 
 from ..ops import fof, segments as seg
+from ..ops.cells import bin_particles, build_grid
 from ..utils import config as C
 from . import bgfield, localfield, unbind as unbind_mod
 
@@ -404,8 +406,9 @@ def search_subset(opt: C.Options, pos, vel, mass, ell,
             pfof = attach_expand(pos, vel, ell, pfof, b, pred_att)
         # intergroup-link merging (reference MergeGroups / fmerge,
         # search.cxx:1200-1224): sizes before further expansion
-        sizes_old = np.bincount(np.asarray(jax.device_get(pfof)),
-                                minlength=ng + 1)
+        # device-side histogram: fetching (ng+1) counts beats shipping the
+        # full pfof through the tunnel (13 MB/s D2H) per structure
+        sizes_old = np.asarray(jax.device_get(seg.group_sizes(pfof, ng)))
         pfof, ng = merge_linked_groups(
             pos, vel, ell, pfof, ng, opt, sizes_old=sizes_old,
             edges=(edges, grid) if share else None)
@@ -456,11 +459,12 @@ def merge_linked_groups(pos, vel, ell, pfof, ng: int, opt: C.Options,
     Returns (pfof, ng) with merged groups relabelled to the absorbing
     group's id (ids NOT renumbered — caller renumbers by size afterwards).
     """
-    pfof_np = np.asarray(jax.device_get(pfof))
+    pfof = jnp.asarray(pfof)
     if ng <= 1:
-        return jnp.asarray(pfof_np), ng
+        return pfof, ng
     if sizes_old is None:
-        sizes_old = np.bincount(pfof_np, minlength=ng + 1)
+        sizes_old = np.asarray(jax.device_get(
+            seg.group_sizes(pfof, ng)))
     ellx2 = (opt.ellxscale * opt.ellphys) ** 2
     pred = StreamPred(ellx2, opt.Vratio * opt.vfac,
                       math.cos(opt.thetaopen * math.pi * opt.thetafac),
@@ -490,7 +494,7 @@ def merge_linked_groups(pos, vel, ell, pfof, ng: int, opt: C.Options,
         erow, ecol = etab.erow, etab.ecol
         undirected = etab.undirected
         order = etab.order
-    gs = jnp.asarray(pfof_np)[order]
+    gs = pfof[order]
     gi = gs[erow]
     gj = gs[ecol]
     if undirected:
@@ -514,9 +518,10 @@ def merge_linked_groups(pos, vel, ell, pfof, ng: int, opt: C.Options,
         target[target == j] = i
         merged_any = True
     if not merged_any:
-        return jnp.asarray(pfof_np), ng
-    pfof_np = target[pfof_np]
-    return jnp.asarray(pfof_np.astype(np.int32)), ng
+        return pfof, ng
+    # relabel on device: the target map is (ng+1,) tiny, the pfof array is
+    # the big one and never crosses the tunnel
+    return jnp.asarray(target.astype(np.int32))[pfof], ng
 
 
 def _group_phase_stats(pos, vel, mass, pfof_np, ng: int):
@@ -758,6 +763,218 @@ def structure_outliers_batch(opt: C.Options, ppos_b, pvel_b, pmass_b,
     return ell_b, dens_b
 
 
+# ---------------------------------------------------------------------------
+# Batched subset search: vmap over same-size structure classes
+# ---------------------------------------------------------------------------
+
+_BATCH_SLOT_BUDGET = 1 << 24   # B * t_pad candidate slots per dispatch
+_BATCH_PAIR_CAP = 2048         # distinct cross-group link pairs / structure
+
+
+def _batchable_subset(opt: C.Options) -> bool:
+    """The vmapped class search covers the default iterative stream
+    criterion; foftypes needing per-structure normalisations (mref for
+    ScaleEll, sigmav2 for FOF6DSUBSET) or stencil-reach semantics
+    (NNNODIST) keep the sequential path."""
+    if os.environ.get("VR_SUBSET_BATCH") == "0":
+        return False
+    return bool(opt.iiterflag) and opt.foftype in (
+        C.FOFSTPROB, C.FOFSTPROBNN, C.FOFSTNOSUBSET)
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def _subset_batch_totals(pos_b, grid):
+    def one(pos):
+        binning = bin_particles(pos, grid, lean=True)
+        return fof.candidate_counts_half(binning, grid)[2]
+
+    return jax.vmap(one)(pos_b)
+
+
+@partial(jax.jit, static_argnames=("grid", "t_pad", "pred0", "pred_att",
+                                   "pred_merge", "pair_cap"))
+def _subset_batch_a(pos_b, vel_b, ell_b, minsize0, grid, t_pad, pred0,
+                    pred_att, pred_merge, pair_cap):
+    """Initial labels + first attach expansion + sparse cross-group link
+    counts for a batch of same-npad structures (one vmapped dispatch).
+
+    Returns per structure: pfof after attach 1 (set order), group count,
+    the lexicographic distinct (i, j) link pairs with counts and the
+    absorbee sizes (for the host-side fmerge loop), and the distinct-pair
+    total (> pair_cap signals overflow -> sequential fallback)."""
+
+    def one(pos, vel, ell):
+        npad = pos.shape[0]
+        binning = bin_particles(pos, grid, lean=True)
+        order = binning.order
+        pos_s = pos[order]
+        fields_s = {"ell": ell[order], "vel": vel[order]}
+        pst, pcn, _ = fof.candidate_counts_half(binning, grid)
+        row, col, valid = fof.flat_candidates(pst, pcn, t_pad)
+        m0 = fof.flat_links(pos_s, fields_s, row, col, valid, grid, pred0)
+        labels, _ = fof._fof_sweeps_sym(
+            jnp.arange(npad, dtype=jnp.int32),
+            jnp.where(m0, row, 0), jnp.where(m0, col, 0), npad, 64)
+        labels = fof._compress(labels)
+        pfof_sorted, _ng0 = fof.renumber_by_size(labels, minsize0,
+                                                 orig_index=order)
+        # attach expansion 1: asymmetric criterion on both orientations
+        ma = fof.flat_links(pos_s, fields_s, row, col, valid, grid,
+                            pred_att)
+        mb = fof.flat_links(pos_s, fields_s, col, row, valid, grid,
+                            pred_att)
+        er = jnp.concatenate([jnp.where(ma, row, 0),
+                              jnp.where(mb, col, 0)])
+        ec = jnp.concatenate([jnp.where(ma, col, 0),
+                              jnp.where(mb, row, 0)])
+        gs = fof.attach_rounds(pfof_sorted, er, ec, 16)
+        pfof1 = jnp.zeros(npad, jnp.int32).at[order].set(gs)
+        # cross-group link counts under the relaxed criterion (counted in
+        # both orientations, mirroring merge_linked_groups)
+        mm = fof.flat_links(pos_s, fields_s, row, col, valid, grid,
+                            pred_merge)
+        gi = jnp.concatenate([gs[row], gs[col]])
+        gj = jnp.concatenate([gs[col], gs[row]])
+        mmask = jnp.concatenate([mm, mm]) & (gi > 0) & (gj > 0) & (gi != gj)
+        a_s, b_s, first, n_uni, n_val = seg._pair_sort_boundaries(
+            gi, gj, mmask)
+        pi, pj, cnt = seg._pair_compact(a_s, b_s, first, n_val, pair_cap)
+        sizes1 = jnp.zeros(npad + 1, jnp.int32).at[
+            jnp.clip(pfof1, 0, npad)].add(1)
+        szj = sizes1[jnp.clip(pj, 0, npad)]
+        return pfof1, _ng0, pi, pj, cnt, szj, n_uni
+
+    return jax.vmap(one)(pos_b, vel_b, ell_b)
+
+
+@partial(jax.jit, static_argnames=("grid", "t_pad", "pred_att2",
+                                   "ellthreshold", "siglevel", "minsize"))
+def _subset_batch_b(pos_b, vel_b, ell_b, pfof1_b, target_b, grid, t_pad,
+                    pred_att2, ellthreshold, siglevel, minsize):
+    """Apply the host merge maps, run the relaxed second attach, the
+    significance filter and the by-size renumbering (one vmapped
+    dispatch).  Returns (pfof_final, ngroups) per structure."""
+
+    def one(pos, vel, ell, pfof1, target):
+        npad = pos.shape[0]
+        binning = bin_particles(pos, grid, lean=True)
+        order = binning.order
+        pos_s = pos[order]
+        fields_s = {"ell": ell[order], "vel": vel[order]}
+        pst, pcn, _ = fof.candidate_counts_half(binning, grid)
+        row, col, valid = fof.flat_candidates(pst, pcn, t_pad)
+        pfof2 = target[jnp.clip(pfof1, 0, target.shape[0] - 1)]
+        ma = fof.flat_links(pos_s, fields_s, row, col, valid, grid,
+                            pred_att2)
+        mb = fof.flat_links(pos_s, fields_s, col, row, valid, grid,
+                            pred_att2)
+        er = jnp.concatenate([jnp.where(ma, row, 0),
+                              jnp.where(mb, col, 0)])
+        ec = jnp.concatenate([jnp.where(ma, col, 0),
+                              jnp.where(mb, row, 0)])
+        gs = fof.attach_rounds(pfof2[order], er, ec, 16)
+        pfof3 = jnp.zeros(npad, jnp.int32).at[order].set(gs)
+        pfof4 = significance_filter(ell, pfof3, npad, ellthreshold,
+                                    siglevel, minsize)
+        # by-size renumbering (identical to the search_subset tail; the
+        # pad count only changes array lengths, never the mapping)
+        sizes = seg.group_sizes(pfof4, npad)
+        eligible = (sizes >= minsize) & (jnp.arange(npad + 1) > 0)
+        order_g = jnp.lexsort((jnp.arange(npad + 1),
+                               -jnp.where(eligible, sizes, 0)))
+        ngnew = jnp.sum(eligible).astype(jnp.int32)
+        ranks = jnp.arange(npad + 1, dtype=jnp.int32)
+        gid_map = jnp.zeros(npad + 1, jnp.int32).at[order_g].set(
+            jnp.where(ranks < ngnew, ranks + 1, 0))
+        return gid_map[jnp.clip(pfof4, 0, npad)], ngnew
+
+    return jax.vmap(one)(pos_b, vel_b, ell_b, pfof1_b, target_b)
+
+
+def _search_subset_batch(opt: C.Options, entries: List[dict]) -> None:
+    """Batched ``search_subset`` over same-npad structures (the vmap
+    analog of the reference's OpenMP loop over SearchSubset calls,
+    search.cxx:2480-2946).
+
+    Fills ``e["sub_np"]``/``e["ng_sub"]`` for every handled entry; entries
+    whose sparse pair table overflows are left unfilled (sequential
+    fallback).  Bit-exact with the sequential path: raw positions are
+    shared (the union grid only changes the candidate superset), the
+    predicates are evaluated exactly per pair, label propagation is a
+    min fixed point and the renumbering is deterministic."""
+    b = opt.ellxscale * opt.ellphys
+    b_build = b * max(1.0, opt.ellxfac)
+    lo = np.min(np.stack([e["ppos"].min(0) for e in entries]), 0)
+    hi = np.max(np.stack([e["ppos"].max(0) for e in entries]), 0)
+    grid = build_grid(lo.astype(np.float64), hi.astype(np.float64),
+                      b_build, periodic=False, boxsize=0.0)
+    if grid.total_cells > fof._DENSE_TABLE_MAX_CELLS:
+        return
+    ellx2 = b * b
+    costh_it = math.cos(opt.thetaopen * math.pi * opt.thetafac)
+    pred0 = subset_predicate(opt, ellx2, opt.Vratio * opt.vfac, costh_it,
+                             opt.ellthreshold * opt.ellfac)
+    minsize0 = max(2, int(opt.MinSize * opt.nminfac))
+    pred_att = StreamPredAttach(ellx2, opt.Vratio * opt.vfac, costh_it,
+                                opt.ellthreshold)
+    pred_merge = StreamPred(ellx2, opt.Vratio * opt.vfac, costh_it,
+                            opt.ellthreshold * opt.ellfac)
+    pred_att2 = StreamPredAttach(ellx2 * opt.ellxfac ** 2,
+                                 opt.Vratio * opt.vfac, costh_it,
+                                 opt.ellthreshold * opt.ellfac)
+    pos_b = jnp.asarray(np.stack([e["ppos"] for e in entries]))
+    vel_b = jnp.asarray(np.stack([e["pvel"] for e in entries]))
+    ell_b = jnp.stack([jnp.asarray(e["ell"]) for e in entries])
+    Ts = np.asarray(jax.device_get(_subset_batch_totals(pos_b, grid)))
+    t_pad = fof._pad_pow2(int(max(int(Ts.max()), 1)))
+    B = len(entries)
+    if B * t_pad > _BATCH_SLOT_BUDGET and B > 1:
+        # halve: skewed buckets (one dense structure inflating t_pad for
+        # everyone) re-split toward tighter pads
+        mid = B // 2
+        _search_subset_batch(opt, entries[:mid])
+        _search_subset_batch(opt, entries[mid:])
+        return
+    npad = int(entries[0]["npad"])
+    pair_cap = int(min(_BATCH_PAIR_CAP, max(16, npad)))
+    pfof1_b, ng_b, pi_b, pj_b, cnt_b, szj_b, nuni_b = _subset_batch_a(
+        pos_b, vel_b, ell_b, jnp.int32(minsize0), grid, t_pad, pred0,
+        pred_att, pred_merge, pair_cap)
+    ng_h, pi_h, pj_h, cnt_h, szj_h, nuni_h = jax.device_get(
+        (ng_b, pi_b, pj_b, cnt_b, szj_b, nuni_b))
+    ngmax = max(int(ng_h.max()), 1)
+    targets = np.tile(np.arange(ngmax + 1, dtype=np.int32), (B, 1))
+    handled = np.ones(B, bool)
+    for k in range(B):
+        ngk = int(ng_h[k])
+        if ngk == 0:
+            continue
+        if int(nuni_h[k]) > pair_cap:
+            handled[k] = False
+            continue
+        # sequential host merge mirroring MergeGroups' lexicographic
+        # (i, j) loop; float64 threshold exactly as merge_linked_groups
+        absorbed = np.zeros(ngk + 1, bool)
+        tgt = targets[k]
+        for i, j, c, sj in zip(pi_h[k], pj_h[k], cnt_h[k], szj_h[k]):
+            if i <= 0 or j <= 0 or c <= 0:
+                continue
+            if absorbed[i] or absorbed[j] or c <= opt.fmerge * float(sj):
+                continue
+            absorbed[j] = True
+            tgt[tgt == j] = i
+    pfof_b, ngnew_b = _subset_batch_b(
+        pos_b, vel_b, ell_b, pfof1_b, jnp.asarray(targets), grid, t_pad,
+        pred_att2, float(opt.ellthreshold), float(opt.siglevel),
+        int(opt.MinSize))
+    pfof_h, ngnew_h = jax.device_get((pfof_b, ngnew_b))
+    for k, e in enumerate(entries):
+        if not handled[k]:
+            continue
+        e["sub_np"] = np.asarray(pfof_h[k])
+        e["ng_sub"] = int(ngnew_h[k])
+
+
 def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                    boxsize: Optional[float] = None):
     """Recursive substructure search (reference SearchSubSub,
@@ -898,16 +1115,34 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                     e["ell"] = ell_b[j]
                     e["dens"] = dens_b[j]
 
+        # pass 2.5: batched candidate search over same-npad classes (one
+        # vmapped dispatch chain instead of a per-structure pipeline)
+        if _batchable_subset(opt):
+            byn: dict = {}
+            for e in prep:
+                byn.setdefault(e["npad"], []).append(e)
+            for entries in byn.values():
+                if len(entries) >= 2:
+                    _search_subset_batch(opt, entries)
+
         # pass 3: per-structure search / cores / merges / unbind
         for e in prep:
             g, idx, nsub = e["g"], e["idx"], e["nsub"]
             ppos, pvel, pmass = e["ppos"], e["pvel"], e["pmass"]
             valid, ell = e["valid"], e["ell"]
-            sub_pfof, ng_sub = search_subset(
-                opt, jnp.asarray(ppos), jnp.asarray(pvel),
-                jnp.asarray(pmass), ell,
-                bounds=(ppos.min(0).astype(np.float64),
-                        ppos.max(0).astype(np.float64)))
+            if "sub_np" in e:
+                sub_pfof, ng_sub = e["sub_np"], e["ng_sub"]
+            else:
+                sub_pfof, ng_sub = search_subset(
+                    opt, jnp.asarray(ppos), jnp.asarray(pvel),
+                    jnp.asarray(pmass), ell,
+                    bounds=(ppos.min(0).astype(np.float64),
+                            ppos.max(0).astype(np.float64)))
+            # host mirror of sub_pfof: the core/phase merges run host-side
+            # on arrays that already live on the host (ppos & co), so one
+            # D2H fetch is shared by all of them and the device copy is
+            # re-uploaded only if a later device stage (unbind) needs it
+            sub_host = None
             # merger-remnant core search (reference search.cxx:1530,
             # HaloCoreGrowth): cores beyond the main one become substructures
             if opt.iHaloCoreSearch > 0 and level <= opt.maxnlevelcoresearch:
@@ -918,37 +1153,41 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                             ppos.max(0).astype(np.float64)))
                 if ncores >= 2:
                     core_np = np.asarray(core)
-                    sub_np0 = np.asarray(sub_pfof)
-                    extra = (core_np > 1) & (sub_np0 == 0)
-                    sub_np0 = np.where(extra, core_np - 1 + ng_sub,
-                                       sub_np0).astype(np.int32)
+                    sub_host = np.asarray(sub_pfof)
+                    extra = (core_np > 1) & (sub_host == 0)
+                    sub_host = np.where(extra, core_np - 1 + ng_sub,
+                                        sub_host).astype(np.int32)
                     ncore_extra = ncores - 1
                     if opt.coresubmergemindist > 0 and ng_sub > 0:
                         # phase-overlap merge of promoted cores into subs
                         # (reference MergeSubstructuresCoresPhase,
                         # search.cxx:2146)
-                        sub_np0, ncore_extra = \
+                        sub_host, ncore_extra = \
                             merge_substructures_cores_phase(
-                                ppos, pvel, pmass, sub_np0, ng_sub,
+                                ppos, pvel, pmass, sub_host, ng_sub,
                                 ncore_extra, opt.coresubmergemindist)
-                    sub_pfof = jnp.asarray(sub_np0)
                     ng_sub += ncore_extra
             if opt.coresubmergemindist > 0 and ng_sub > 1:
                 # substructure-substructure phase merge (reference
                 # MergeSubstructuresPhase, search.cxx:1701,2289)
-                sub_np0, ns_new, nc_new = merge_substructures_phase(
-                    ppos, pvel, pmass, np.asarray(sub_pfof), ng_sub, 0,
+                if sub_host is None:
+                    sub_host = np.asarray(sub_pfof)
+                sub_host, ns_new, nc_new = merge_substructures_phase(
+                    ppos, pvel, pmass, sub_host, ng_sub, 0,
                     opt.coresubmergemindist)
-                sub_pfof = jnp.asarray(sub_np0)
                 ng_sub = ns_new + nc_new
             if ng_sub > 0 and opt.uinfo.unbindflag:
+                if sub_host is not None:
+                    sub_pfof = jnp.asarray(sub_host)
+                    sub_host = None
                 ures = unbind_mod.check_unbound_groups(
                     ppos, pvel, pmass, sub_pfof, _next_pow2(ng_sub, 16),
                     opt.uinfo, opt.G, min_size=opt.MinSize)
                 sub_pfof, ng_sub = ures.pfof, ures.ngroups
             if ng_sub == 0:
                 continue
-            sub_np = np.asarray(sub_pfof)[:nsub]
+            sub_np = (np.asarray(sub_pfof)
+                      if sub_host is None else sub_host)[:nsub]
             sel = sub_np > 0
             pfof_all[idx[sel]] = ng_total + sub_np[sel]
             parent = np.concatenate([parent, np.full(ng_sub, g, np.int64)])
