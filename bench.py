@@ -7,7 +7,10 @@ particles/sec/chip.  ``vs_baseline`` is measured throughput / that target.
 Env overrides: VR_BENCH_N (particle count, default 128^3),
 VR_BENCH_REPS (timed repetitions, default 3),
 VR_BENCH_BARYONS=1 (multi-type variant: 5/6 DM + 1/6 gas, baryon
-association + combined re-unbind counted in the metric time).
+association + combined re-unbind counted in the metric time),
+VR_BENCH_SUBSTRUCTURE=1 (recursion variant: the class-batched
+SearchSubSub joins the metric; timings in VR_BENCH_VERBOSE show the
+substructure-vs-FOF phase balance).
 """
 
 import json
@@ -65,6 +68,12 @@ def main():
     # the BASELINE.json metric is FOF + 6DFOF + unbind; the substructure
     # recursion is benchmarked separately (it is not part of the target)
     opt.iSubSearch = 0
+    subsearch = os.environ.get("VR_BENCH_SUBSTRUCTURE") == "1"
+    if subsearch:
+        # recursion variant: the vmapped class-batched SearchSubSub joins
+        # the metric time (reports substructure-vs-FOF phase balance)
+        opt.iSubSearch = 1
+        opt.iiterflag = 1
     ptype = None
     baryons = os.environ.get("VR_BENCH_BARYONS") == "1"
     if baryons:
@@ -94,7 +103,9 @@ def main():
         # computation is a separate product stage
         metric_times.append(res.timings.get("fof", 0.0) +
                             res.timings.get("unbind", 0.0) +
-                            res.timings.get("baryons", 0.0))
+                            res.timings.get("baryons", 0.0) +
+                            (res.timings.get("substructure", 0.0)
+                             if subsearch else 0.0))
     # best rep: a rep polluted by residual jit compiles (cold persistent
     # cache) misstates steady-state throughput
     dt = float(np.min(metric_times))
