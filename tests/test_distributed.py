@@ -343,3 +343,65 @@ def test_distributed_velocity_density_matches_single_device():
     assert len(top1 & top8) / k > 0.9
     # the clump dominates the dense set in both
     assert np.median(d8[:nclump]) > 10 * np.median(d8[nclump:])
+
+
+def test_distributed_subset_batch_matches_single_device():
+    """Sharded class-batched substructure search (whole structures per
+    device, GSPMD-partitioned vmap) reproduces the single-device batch
+    bit-for-bit."""
+    import jax.numpy as jnp
+
+    from velociraptor_stf_tpu.models import substructure as S
+    from velociraptor_stf_tpu.parallel.distributed_substructure import \
+        distributed_subset_batch
+    from velociraptor_stf_tpu.utils import config as C
+
+    G = 43.0211349
+    rng = np.random.default_rng(5)
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = 0.25
+    opt.iiterflag = 1
+    opt.ellthreshold = 2.5
+    opt.Vratio = 2.0
+    opt.thetaopen = 0.10
+    opt.ellfac = 1.0
+    opt.MinSize = 20
+    opt.G = G
+
+    # 3 structures (not a multiple of the mesh size -> pad lanes) with a
+    # cold clump each, padded to one npad class with outlier values
+    entries_a, entries_b = [], []
+    pad_spacing = 3.0 * opt.ellxscale * opt.ellphys
+    for k in range(3):
+        nhost, nsub = 2500, 350
+        r = rng.uniform(size=nhost) ** 0.5
+        d = rng.normal(size=(nhost, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        hpos = r[:, None] * d
+        sigma = np.sqrt(G * 100.0 / 6)
+        hvel = rng.normal(0, sigma, (nhost, 3))
+        spos = np.array([0.4, 0, 0]) + 0.05 * rng.normal(size=(nsub, 3))
+        svel = np.array([0, 1.6 * sigma, 0]) + rng.normal(0, 5, (nsub, 3))
+        pos = np.concatenate([hpos, spos]).astype(np.float32)
+        vel = np.concatenate([hvel, svel]).astype(np.float32)
+        mass = np.full(len(pos), 100.0 / len(pos), np.float32)
+        npad = S._next_pow2(len(pos))
+        ppos, pvel, pmass, valid = S._pad_structure(pos, vel, mass, npad,
+                                                    pad_spacing)
+        ell, _, _ = S.structure_outliers(opt, ppos, pvel, pmass, valid)
+        e = {"ppos": ppos, "pvel": pvel, "pmass": pmass, "valid": valid,
+             "ell": ell, "npad": npad}
+        entries_a.append(dict(e))
+        entries_b.append(dict(e))
+
+    S._search_subset_batch(opt, entries_a)
+    mesh = M.make_mesh(8)
+    distributed_subset_batch(opt, entries_b, mesh)
+
+    assert any(e.get("ng_sub", 0) > 0 for e in entries_a)
+    for ea, eb in zip(entries_a, entries_b):
+        assert ("sub_np" in ea) == ("sub_np" in eb)
+        if "sub_np" in ea:
+            assert ea["ng_sub"] == eb["ng_sub"]
+            np.testing.assert_array_equal(ea["sub_np"], eb["sub_np"])
