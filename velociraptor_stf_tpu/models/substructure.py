@@ -891,7 +891,8 @@ def _subset_batch_b(pos_b, vel_b, ell_b, pfof1_b, target_b, grid, t_pad,
     return jax.vmap(one)(pos_b, vel_b, ell_b, pfof1_b, target_b)
 
 
-def _search_subset_batch(opt: C.Options, entries: List[dict]) -> None:
+def _search_subset_batch(opt: C.Options, entries: List[dict],
+                         _totals: Optional[np.ndarray] = None) -> None:
     """Batched ``search_subset`` over same-npad structures (the vmap
     analog of the reference's OpenMP loop over SearchSubset calls,
     search.cxx:2480-2946).
@@ -925,15 +926,28 @@ def _search_subset_batch(opt: C.Options, entries: List[dict]) -> None:
     pos_b = jnp.asarray(np.stack([e["ppos"] for e in entries]))
     vel_b = jnp.asarray(np.stack([e["pvel"] for e in entries]))
     ell_b = jnp.stack([jnp.asarray(e["ell"]) for e in entries])
-    Ts = np.asarray(jax.device_get(_subset_batch_totals(pos_b, grid)))
-    t_pad = fof._pad_pow2(int(max(int(Ts.max()), 1)))
+    if _totals is None:
+        Ts = np.asarray(jax.device_get(_subset_batch_totals(pos_b, grid)))
+    else:
+        Ts = _totals
+    # group lanes by candidate-total pad class: one shared t_pad set by
+    # the densest structure would make every lane pay its cost (the pow2
+    # classes bound the within-class waste to 2x)
+    classes: Dict[int, List[int]] = {}
+    for k in range(len(entries)):
+        classes.setdefault(fof._pad_pow2(int(max(int(Ts[k]), 1))),
+                           []).append(k)
+    if len(classes) > 1:
+        for idxs in classes.values():
+            _search_subset_batch(opt, [entries[i] for i in idxs],
+                                 _totals=Ts[np.asarray(idxs)])
+        return
+    t_pad = next(iter(classes))
     B = len(entries)
     if B * t_pad > _BATCH_SLOT_BUDGET and B > 1:
-        # halve: skewed buckets (one dense structure inflating t_pad for
-        # everyone) re-split toward tighter pads
         mid = B // 2
-        _search_subset_batch(opt, entries[:mid])
-        _search_subset_batch(opt, entries[mid:])
+        _search_subset_batch(opt, entries[:mid], _totals=Ts[:mid])
+        _search_subset_batch(opt, entries[mid:], _totals=Ts[mid:])
         return
     npad = int(entries[0]["npad"])
     pair_cap = int(min(_BATCH_PAIR_CAP, max(16, npad)))
