@@ -767,7 +767,7 @@ def structure_outliers_batch(opt: C.Options, ppos_b, pvel_b, pmass_b,
 # Batched subset search: vmap over same-size structure classes
 # ---------------------------------------------------------------------------
 
-_BATCH_SLOT_BUDGET = 1 << 24   # B * t_pad candidate slots per dispatch
+_BATCH_SLOT_BUDGET = 1 << 23   # B * t_pad candidate slots per dispatch
 _BATCH_PAIR_CAP = 2048         # distinct cross-group link pairs / structure
 
 
@@ -792,87 +792,100 @@ def _subset_batch_totals(pos_b, grid):
 
 
 @partial(jax.jit, static_argnames=("grid", "t_pad", "pred0", "pred_att",
-                                   "pred_merge", "pair_cap"))
-def _subset_batch_a(pos_b, vel_b, ell_b, minsize0, grid, t_pad, pred0,
-                    pred_att, pred_merge, pair_cap):
-    """Initial labels + first attach expansion + sparse cross-group link
-    counts for a batch of same-npad structures (one vmapped dispatch).
+                                   "pred_att2", "pred_merge"))
+def _subset_batch_geom(pos_b, vel_b, ell_b, grid, t_pad, pred0, pred_att,
+                       pred_att2, pred_merge):
+    """Geometry dispatch: bin, expand candidate windows, evaluate all four
+    pair criteria on ONE gathered operand set and compact every edge list
+    to the front (one vmapped dispatch).
+
+    The criteria are label-independent, so every edge list the graph
+    stages need — base links, both orientations of the (asymmetric)
+    attach criteria, merge links — comes out of a single pass over the
+    candidate table; the graph stages then run on count-sliced lists
+    (the static-shape analog of the sequential path's edge shrink).
+    """
+
+    def one(pos, vel, ell):
+        binning = bin_particles(pos, grid, lean=True)
+        order = binning.order
+        pos_s = pos[order]
+        fields_s = {"ell": ell[order], "vel": vel[order]}
+        pst, pcn, _ = fof.candidate_counts_half(binning, grid)
+        row, col, valid = fof.flat_candidates(pst, pcn, t_pad)
+        d2 = fof._pair_d2_bcast(fof._gather2(pos_s, row),
+                                fof._gather2(pos_s, col), grid)
+        own = fof._gather_fields(fields_s, row)
+        nbr = fof._gather_fields(fields_s, col)
+        m0 = pred0(d2, own, nbr) & valid
+        maf = pred_att(d2, own, nbr) & valid
+        mab = pred_att(d2, nbr, own) & valid
+        m2f = pred_att2(d2, own, nbr) & valid
+        m2b = pred_att2(d2, nbr, own) & valid
+        mm = pred_merge(d2, own, nbr) & valid
+        er0, ec0, n0 = fof.compact_edges(row, col, m0, t_pad)
+        era, eca, na = fof.compact_edges(
+            jnp.concatenate([row, col]), jnp.concatenate([col, row]),
+            jnp.concatenate([maf, mab]), 2 * t_pad)
+        era2, eca2, na2 = fof.compact_edges(
+            jnp.concatenate([row, col]), jnp.concatenate([col, row]),
+            jnp.concatenate([m2f, m2b]), 2 * t_pad)
+        erm, ecm, nm = fof.compact_edges(row, col, mm, t_pad)
+        return (order, er0, ec0, n0, era, eca, na, era2, eca2, na2,
+                erm, ecm, nm)
+
+    return jax.vmap(one)(pos_b, vel_b, ell_b)
+
+
+@partial(jax.jit, static_argnames=("pair_cap",))
+def _subset_batch_graph(order_b, er0_b, ec0_b, era_b, eca_b, erm_b, ecm_b,
+                        minsize0, pair_cap):
+    """Graph dispatch: label fixed point over the compacted base edges,
+    by-size renumbering, attach expansion 1 and sparse cross-group link
+    counting (one vmapped dispatch, no geometry).
 
     Returns per structure: pfof after attach 1 (set order), group count,
     the lexicographic distinct (i, j) link pairs with counts and the
     absorbee sizes (for the host-side fmerge loop), and the distinct-pair
     total (> pair_cap signals overflow -> sequential fallback)."""
 
-    def one(pos, vel, ell):
-        npad = pos.shape[0]
-        binning = bin_particles(pos, grid, lean=True)
-        order = binning.order
-        pos_s = pos[order]
-        fields_s = {"ell": ell[order], "vel": vel[order]}
-        pst, pcn, _ = fof.candidate_counts_half(binning, grid)
-        row, col, valid = fof.flat_candidates(pst, pcn, t_pad)
-        m0 = fof.flat_links(pos_s, fields_s, row, col, valid, grid, pred0)
+    def one(order, er0, ec0, era, eca, erm, ecm):
+        npad = order.shape[0]
         labels, _ = fof._fof_sweeps_sym(
-            jnp.arange(npad, dtype=jnp.int32),
-            jnp.where(m0, row, 0), jnp.where(m0, col, 0), npad, 64)
+            jnp.arange(npad, dtype=jnp.int32), er0, ec0, npad, 64)
         labels = fof._compress(labels)
-        pfof_sorted, _ng0 = fof.renumber_by_size(labels, minsize0,
-                                                 orig_index=order)
-        # attach expansion 1: asymmetric criterion on both orientations
-        ma = fof.flat_links(pos_s, fields_s, row, col, valid, grid,
-                            pred_att)
-        mb = fof.flat_links(pos_s, fields_s, col, row, valid, grid,
-                            pred_att)
-        er = jnp.concatenate([jnp.where(ma, row, 0),
-                              jnp.where(mb, col, 0)])
-        ec = jnp.concatenate([jnp.where(ma, col, 0),
-                              jnp.where(mb, row, 0)])
-        gs = fof.attach_rounds(pfof_sorted, er, ec, 16)
+        pfof_sorted, ng0 = fof.renumber_by_size(labels, minsize0,
+                                                orig_index=order)
+        gs = fof.attach_rounds(pfof_sorted, era, eca, 16)
         pfof1 = jnp.zeros(npad, jnp.int32).at[order].set(gs)
-        # cross-group link counts under the relaxed criterion (counted in
-        # both orientations, mirroring merge_linked_groups)
-        mm = fof.flat_links(pos_s, fields_s, row, col, valid, grid,
-                            pred_merge)
-        gi = jnp.concatenate([gs[row], gs[col]])
-        gj = jnp.concatenate([gs[col], gs[row]])
-        mmask = jnp.concatenate([mm, mm]) & (gi > 0) & (gj > 0) & (gi != gj)
+        # cross-group link counts under the relaxed criterion (both
+        # orientations, mirroring merge_linked_groups)
+        gi = jnp.concatenate([gs[erm], gs[ecm]])
+        gj = jnp.concatenate([gs[ecm], gs[erm]])
+        mmask = (gi > 0) & (gj > 0) & (gi != gj)
         a_s, b_s, first, n_uni, n_val = seg._pair_sort_boundaries(
             gi, gj, mmask)
         pi, pj, cnt = seg._pair_compact(a_s, b_s, first, n_val, pair_cap)
         sizes1 = jnp.zeros(npad + 1, jnp.int32).at[
             jnp.clip(pfof1, 0, npad)].add(1)
         szj = sizes1[jnp.clip(pj, 0, npad)]
-        return pfof1, _ng0, pi, pj, cnt, szj, n_uni
+        return pfof1, ng0, pi, pj, cnt, szj, n_uni
 
-    return jax.vmap(one)(pos_b, vel_b, ell_b)
+    return jax.vmap(one)(order_b, er0_b, ec0_b, era_b, eca_b, erm_b,
+                         ecm_b)
 
 
-@partial(jax.jit, static_argnames=("grid", "t_pad", "pred_att2",
-                                   "ellthreshold", "siglevel", "minsize"))
-def _subset_batch_b(pos_b, vel_b, ell_b, pfof1_b, target_b, grid, t_pad,
-                    pred_att2, ellthreshold, siglevel, minsize):
-    """Apply the host merge maps, run the relaxed second attach, the
-    significance filter and the by-size renumbering (one vmapped
-    dispatch).  Returns (pfof_final, ngroups) per structure."""
+@partial(jax.jit, static_argnames=("ellthreshold", "siglevel", "minsize"))
+def _subset_batch_final(ell_b, order_b, era2_b, eca2_b, pfof1_b, target_b,
+                        ellthreshold, siglevel, minsize):
+    """Final dispatch: apply the host merge maps, run the relaxed second
+    attach over the precompacted edges, the significance filter and the
+    by-size renumbering.  Returns (pfof_final, ngroups) per structure."""
 
-    def one(pos, vel, ell, pfof1, target):
-        npad = pos.shape[0]
-        binning = bin_particles(pos, grid, lean=True)
-        order = binning.order
-        pos_s = pos[order]
-        fields_s = {"ell": ell[order], "vel": vel[order]}
-        pst, pcn, _ = fof.candidate_counts_half(binning, grid)
-        row, col, valid = fof.flat_candidates(pst, pcn, t_pad)
+    def one(ell, order, era2, eca2, pfof1, target):
+        npad = order.shape[0]
         pfof2 = target[jnp.clip(pfof1, 0, target.shape[0] - 1)]
-        ma = fof.flat_links(pos_s, fields_s, row, col, valid, grid,
-                            pred_att2)
-        mb = fof.flat_links(pos_s, fields_s, col, row, valid, grid,
-                            pred_att2)
-        er = jnp.concatenate([jnp.where(ma, row, 0),
-                              jnp.where(mb, col, 0)])
-        ec = jnp.concatenate([jnp.where(ma, col, 0),
-                              jnp.where(mb, row, 0)])
-        gs = fof.attach_rounds(pfof2[order], er, ec, 16)
+        gs = fof.attach_rounds(pfof2[order], era2, eca2, 16)
         pfof3 = jnp.zeros(npad, jnp.int32).at[order].set(gs)
         pfof4 = significance_filter(ell, pfof3, npad, ellthreshold,
                                     siglevel, minsize)
@@ -888,7 +901,85 @@ def _subset_batch_b(pos_b, vel_b, ell_b, pfof1_b, target_b, grid, t_pad,
             jnp.where(ranks < ngnew, ranks + 1, 0))
         return gid_map[jnp.clip(pfof4, 0, npad)], ngnew
 
-    return jax.vmap(one)(pos_b, vel_b, ell_b, pfof1_b, target_b)
+    return jax.vmap(one)(ell_b, order_b, era2_b, eca2_b, pfof1_b,
+                         target_b)
+
+
+def _subset_batch_run(opt: C.Options, entries: List[dict], pos_b, vel_b,
+                      ell_b, grid, t_pad: int) -> None:
+    """Shared phase driver: geometry -> count fetch -> graph -> host
+    fmerge loops -> final.  Fills ``e["sub_np"]``/``e["ng_sub"]`` (see
+    _search_subset_batch).  The stacked arrays may be mesh-sharded on the
+    batch axis (parallel/distributed_substructure.py) — every dispatch is
+    lane-independent, so GSPMD partitions them unchanged."""
+    B = len(entries)
+    npad = int(entries[0]["npad"])
+    pair_cap = int(min(_BATCH_PAIR_CAP, max(16, npad)))
+    minsize0 = max(2, int(opt.MinSize * opt.nminfac))
+    (order_b, er0_b, ec0_b, n0_b, era_b, eca_b, na_b, era2_b, eca2_b,
+     na2_b, erm_b, ecm_b, nm_b) = _subset_batch_geom(
+        pos_b, vel_b, ell_b, grid, t_pad,
+        *_subset_preds(opt))
+    n0_h, na_h, na2_h, nm_h = jax.device_get((n0_b, na_b, na2_b, nm_b))
+    e0 = fof._pad_pow2(int(max(int(n0_h.max()), 1)), lo=256)
+    ea = fof._pad_pow2(int(max(int(na_h.max()), 1)), lo=256)
+    ea2 = fof._pad_pow2(int(max(int(na2_h.max()), 1)), lo=256)
+    em = fof._pad_pow2(int(max(int(nm_h.max()), 1)), lo=256)
+    pfof1_b, ng_b, pi_b, pj_b, cnt_b, szj_b, nuni_b = _subset_batch_graph(
+        order_b, er0_b[:, :e0], ec0_b[:, :e0], era_b[:, :ea],
+        eca_b[:, :ea], erm_b[:, :em], ecm_b[:, :em],
+        jnp.int32(minsize0), pair_cap)
+    ng_h, pi_h, pj_h, cnt_h, szj_h, nuni_h = jax.device_get(
+        (ng_b, pi_b, pj_b, cnt_b, szj_b, nuni_b))
+    ngmax = max(int(ng_h.max()), 1)
+    targets = np.tile(np.arange(ngmax + 1, dtype=np.int32), (B, 1))
+    handled = np.ones(B, bool)
+    for k in range(B):
+        ngk = int(ng_h[k])
+        if ngk == 0:
+            continue
+        if int(nuni_h[k]) > pair_cap:
+            handled[k] = False
+            continue
+        # sequential host merge mirroring MergeGroups' lexicographic
+        # (i, j) loop; float64 threshold exactly as merge_linked_groups
+        absorbed = np.zeros(ngk + 1, bool)
+        tgt = targets[k]
+        for i, j, c, sj in zip(pi_h[k], pj_h[k], cnt_h[k], szj_h[k]):
+            if i <= 0 or j <= 0 or c <= 0:
+                continue
+            if absorbed[i] or absorbed[j] or c <= opt.fmerge * float(sj):
+                continue
+            absorbed[j] = True
+            tgt[tgt == j] = i
+    pfof_b, ngnew_b = _subset_batch_final(
+        ell_b, order_b, era2_b[:, :ea2], eca2_b[:, :ea2], pfof1_b,
+        jnp.asarray(targets), float(opt.ellthreshold),
+        float(opt.siglevel), int(opt.MinSize))
+    pfof_h, ngnew_h = jax.device_get((pfof_b, ngnew_b))
+    for k, e in enumerate(entries):
+        if not handled[k]:
+            continue
+        e["sub_np"] = np.asarray(pfof_h[k])
+        e["ng_sub"] = int(ngnew_h[k])
+
+
+def _subset_preds(opt: C.Options):
+    """(pred0, pred_att, pred_att2, pred_merge) for the iterative subset
+    search — the same parameterisation search_subset uses."""
+    b = opt.ellxscale * opt.ellphys
+    ellx2 = b * b
+    costh_it = math.cos(opt.thetaopen * math.pi * opt.thetafac)
+    pred0 = subset_predicate(opt, ellx2, opt.Vratio * opt.vfac, costh_it,
+                             opt.ellthreshold * opt.ellfac)
+    pred_att = StreamPredAttach(ellx2, opt.Vratio * opt.vfac, costh_it,
+                                opt.ellthreshold)
+    pred_att2 = StreamPredAttach(ellx2 * opt.ellxfac ** 2,
+                                 opt.Vratio * opt.vfac, costh_it,
+                                 opt.ellthreshold * opt.ellfac)
+    pred_merge = StreamPred(ellx2, opt.Vratio * opt.vfac, costh_it,
+                            opt.ellthreshold * opt.ellfac)
+    return pred0, pred_att, pred_att2, pred_merge
 
 
 def _search_subset_batch(opt: C.Options, entries: List[dict],
@@ -911,18 +1002,6 @@ def _search_subset_batch(opt: C.Options, entries: List[dict],
                       b_build, periodic=False, boxsize=0.0)
     if grid.total_cells > fof._DENSE_TABLE_MAX_CELLS:
         return
-    ellx2 = b * b
-    costh_it = math.cos(opt.thetaopen * math.pi * opt.thetafac)
-    pred0 = subset_predicate(opt, ellx2, opt.Vratio * opt.vfac, costh_it,
-                             opt.ellthreshold * opt.ellfac)
-    minsize0 = max(2, int(opt.MinSize * opt.nminfac))
-    pred_att = StreamPredAttach(ellx2, opt.Vratio * opt.vfac, costh_it,
-                                opt.ellthreshold)
-    pred_merge = StreamPred(ellx2, opt.Vratio * opt.vfac, costh_it,
-                            opt.ellthreshold * opt.ellfac)
-    pred_att2 = StreamPredAttach(ellx2 * opt.ellxfac ** 2,
-                                 opt.Vratio * opt.vfac, costh_it,
-                                 opt.ellthreshold * opt.ellfac)
     pos_b = jnp.asarray(np.stack([e["ppos"] for e in entries]))
     vel_b = jnp.asarray(np.stack([e["pvel"] for e in entries]))
     ell_b = jnp.stack([jnp.asarray(e["ell"]) for e in entries])
@@ -949,44 +1028,7 @@ def _search_subset_batch(opt: C.Options, entries: List[dict],
         _search_subset_batch(opt, entries[:mid], _totals=Ts[:mid])
         _search_subset_batch(opt, entries[mid:], _totals=Ts[mid:])
         return
-    npad = int(entries[0]["npad"])
-    pair_cap = int(min(_BATCH_PAIR_CAP, max(16, npad)))
-    pfof1_b, ng_b, pi_b, pj_b, cnt_b, szj_b, nuni_b = _subset_batch_a(
-        pos_b, vel_b, ell_b, jnp.int32(minsize0), grid, t_pad, pred0,
-        pred_att, pred_merge, pair_cap)
-    ng_h, pi_h, pj_h, cnt_h, szj_h, nuni_h = jax.device_get(
-        (ng_b, pi_b, pj_b, cnt_b, szj_b, nuni_b))
-    ngmax = max(int(ng_h.max()), 1)
-    targets = np.tile(np.arange(ngmax + 1, dtype=np.int32), (B, 1))
-    handled = np.ones(B, bool)
-    for k in range(B):
-        ngk = int(ng_h[k])
-        if ngk == 0:
-            continue
-        if int(nuni_h[k]) > pair_cap:
-            handled[k] = False
-            continue
-        # sequential host merge mirroring MergeGroups' lexicographic
-        # (i, j) loop; float64 threshold exactly as merge_linked_groups
-        absorbed = np.zeros(ngk + 1, bool)
-        tgt = targets[k]
-        for i, j, c, sj in zip(pi_h[k], pj_h[k], cnt_h[k], szj_h[k]):
-            if i <= 0 or j <= 0 or c <= 0:
-                continue
-            if absorbed[i] or absorbed[j] or c <= opt.fmerge * float(sj):
-                continue
-            absorbed[j] = True
-            tgt[tgt == j] = i
-    pfof_b, ngnew_b = _subset_batch_b(
-        pos_b, vel_b, ell_b, pfof1_b, jnp.asarray(targets), grid, t_pad,
-        pred_att2, float(opt.ellthreshold), float(opt.siglevel),
-        int(opt.MinSize))
-    pfof_h, ngnew_h = jax.device_get((pfof_b, ngnew_b))
-    for k, e in enumerate(entries):
-        if not handled[k]:
-            continue
-        e["sub_np"] = np.asarray(pfof_h[k])
-        e["ng_sub"] = int(ngnew_h[k])
+    _subset_batch_run(opt, entries, pos_b, vel_b, ell_b, grid, t_pad)
 
 
 def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,

@@ -19,11 +19,9 @@ as in the single-device path, so results are bit-exact by construction.
 
 from __future__ import annotations
 
-import math
 from typing import List
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -55,19 +53,6 @@ def distributed_subset_batch(opt: C.Options, entries: List[dict],
                       b_build, periodic=False, boxsize=0.0)
     if grid.total_cells > fof._DENSE_TABLE_MAX_CELLS:
         return
-    ellx2 = b * b
-    costh_it = math.cos(opt.thetaopen * math.pi * opt.thetafac)
-    pred0 = S.subset_predicate(opt, ellx2, opt.Vratio * opt.vfac,
-                               costh_it, opt.ellthreshold * opt.ellfac)
-    minsize0 = max(2, int(opt.MinSize * opt.nminfac))
-    pred_att = S.StreamPredAttach(ellx2, opt.Vratio * opt.vfac, costh_it,
-                                  opt.ellthreshold)
-    pred_merge = S.StreamPred(ellx2, opt.Vratio * opt.vfac, costh_it,
-                              opt.ellthreshold * opt.ellfac)
-    pred_att2 = S.StreamPredAttach(ellx2 * opt.ellxfac ** 2,
-                                   opt.Vratio * opt.vfac, costh_it,
-                                   opt.ellthreshold * opt.ellfac)
-
     B0 = len(entries)
     B = -(-B0 // ndev) * ndev
     reps = [entries[k if k < B0 else 0] for k in range(B)]
@@ -79,39 +64,11 @@ def distributed_subset_batch(opt: C.Options, entries: List[dict],
 
     Ts = np.asarray(jax.device_get(S._subset_batch_totals(pos_b, grid)))
     t_pad = fof._pad_pow2(int(max(int(Ts.max()), 1)))
-    npad = int(entries[0]["npad"])
-    pair_cap = int(min(S._BATCH_PAIR_CAP, max(16, npad)))
-
-    pfof1_b, ng_b, pi_b, pj_b, cnt_b, szj_b, nuni_b = S._subset_batch_a(
-        pos_b, vel_b, ell_b, jnp.int32(minsize0), grid, t_pad, pred0,
-        pred_att, pred_merge, pair_cap)
-    ng_h, pi_h, pj_h, cnt_h, szj_h, nuni_h = jax.device_get(
-        (ng_b, pi_b, pj_b, cnt_b, szj_b, nuni_b))
-    ngmax = max(int(ng_h.max()), 1)
-    targets = np.tile(np.arange(ngmax + 1, dtype=np.int32), (B, 1))
-    handled = np.ones(B, bool)
-    for k in range(B):
-        if int(ng_h[k]) == 0:
-            continue
-        if int(nuni_h[k]) > pair_cap:
-            handled[k] = False
-            continue
-        absorbed = np.zeros(int(ng_h[k]) + 1, bool)
-        tgt = targets[k]
-        for i, j, c, sj in zip(pi_h[k], pj_h[k], cnt_h[k], szj_h[k]):
-            if i <= 0 or j <= 0 or c <= 0:
-                continue
-            if absorbed[i] or absorbed[j] or c <= opt.fmerge * float(sj):
-                continue
-            absorbed[j] = True
-            tgt[tgt == j] = i
-    target_b = jax.device_put(targets, sh)
-    pfof_b, ngnew_b = S._subset_batch_b(
-        pos_b, vel_b, ell_b, pfof1_b, target_b, grid, t_pad, pred_att2,
-        float(opt.ellthreshold), float(opt.siglevel), int(opt.MinSize))
-    pfof_h, ngnew_h = jax.device_get((pfof_b, ngnew_b))
-    for k, e in enumerate(entries):
-        if not handled[k]:
-            continue
-        e["sub_np"] = np.asarray(pfof_h[k])
-        e["ng_sub"] = int(ngnew_h[k])
+    # run on shallow copies: padded lanes repeat entries[0] and must not
+    # write into it twice
+    filled = [dict(e) for e in reps]
+    S._subset_batch_run(opt, filled, pos_b, vel_b, ell_b, grid, t_pad)
+    for k in range(B0):
+        if "sub_np" in filled[k]:
+            entries[k]["sub_np"] = filled[k]["sub_np"]
+            entries[k]["ng_sub"] = filled[k]["ng_sub"]
