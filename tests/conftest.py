@@ -21,3 +21,22 @@ import jax  # noqa: E402
 # tests/test_pallas_fof.py); default is the virtual 8-device CPU mesh.
 if os.environ.get("VR_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The 1-core CPU suite accumulates hundreds of XLA:CPU executables
+    across ~120 tests; jaxlib's compiler has been observed to segfault
+    late in the run under that load (reproducible at the same test in
+    three full-suite runs, while the same test passes standalone).
+    Modules barely share shapes, so the recompile cost is ~zero.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -27,6 +27,8 @@ dispersion of the largest group.
 
 from __future__ import annotations
 
+import os
+import warnings
 from dataclasses import dataclass
 from typing import Optional
 
@@ -122,6 +124,46 @@ class Pred6DRefine:
         return ok & (own["group"] == nbr["group"]) & (own["group"] > 0)
 
 
+def _search_full_set_pallas(opt: C.Options, pos, vel, mass, boxsize,
+                            b3d: float, reach: float, run6d: bool,
+                            minsize: int) -> Optional[FieldSearchResult]:
+    """Field search on the Pallas block-range sweep; None when a ghost
+    capacity overflow demands the XLA edge pipeline instead."""
+    n = pos.shape[0]
+    pf = pallas_fof.PallasFof(pos, vel, boxsize, reach)
+    if pf.check_overflow():
+        return None   # ghost capacity exceeded: XLA path
+    pfof3, ng3_d = pf.fof3d(b3d, minsize)
+    ng3 = int(jax.device_get(ng3_d))
+    if not (run6d and ng3 > 0):
+        return FieldSearchResult(pfof=pfof3, ngroups=ng3)
+    ell6d = b3d * opt.ellhalo6dxfac
+    nseg = ng3 + 1
+    if opt.fofbgtype == C.FOF6D and not opt.iKeepFOF:
+        vscale2 = velocity_scale_largest_group(
+            vel, mass, pfof3, nseg, opt.ellhalo6dvfac,
+            bug_compat=bool(opt.iVscaleReferenceBugCompat))
+        vs_per_particle = jnp.where(pfof3 > 0, vscale2, 1.0)
+    else:
+        vs_group = velocity_scale_per_group(vel, mass, pfof3, nseg,
+                                            opt.ellhalo6dvfac)
+        vs_per_particle = jnp.where(
+            pfof3 > 0,
+            jnp.maximum(vs_group[jnp.clip(pfof3, 0, nseg - 1)], 1e-30),
+            1.0)
+    # 6D links only connect 3DFOF-tagged particles; sweep a compacted
+    # subset context when the tagged fraction is small
+    tag = pfof3 > 0
+    ntag = int(jax.device_get(jnp.sum(tag)))
+    pf6 = pf.subset(tag) if 0 < ntag <= n // 4 else pf
+    if pf6 is not pf and pf6.check_overflow():
+        pf6 = pf   # subset capacity miscount: sweep the full ctx
+    pfof6, ng6_d = pf6.fof6d(ell6d, pfof3, vs_per_particle, minsize)
+    ng6 = int(jax.device_get(ng6_d))
+    return _finish_6d(opt, pfof3, ng3, pfof6, ng6, vs_per_particle,
+                      minsize)
+
+
 def search_full_set(opt: C.Options, pos, vel, mass,
                     boxsize: Optional[float] = None) -> FieldSearchResult:
     """Find field halos.  Returns final labels in original particle order."""
@@ -139,44 +181,25 @@ def search_full_set(opt: C.Options, pos, vel, mass,
     # semantics, ~3x faster than the edge pipeline at bench scales.
     # Ghost/subset capacity overflows (ctx.overflow) are CHECKED and fall
     # back to the XLA edge pipeline — silent capacity loss would produce
-    # boundary-split groups with no error.
+    # boundary-split groups with no error.  A Mosaic lowering/compile
+    # failure (kernel not supported by the local toolchain) also falls
+    # back — once, via the module latch — unless VR_FOF_PALLAS=1 forces
+    # the kernel path (then errors surface).
     reach = b3d * max(1.0, opt.ellhalo6dxfac if run6d else 1.0)
     if pallas_fof.pallas_fof_available(n, boxsize, reach):
-        pf = pallas_fof.PallasFof(pos, vel, boxsize, reach)
-        if pf.check_overflow():
-            pf = None   # ghost capacity exceeded: XLA path below
-    else:
-        pf = None
-    if pf is not None:
-        pfof3, ng3_d = pf.fof3d(b3d, minsize)
-        ng3 = int(jax.device_get(ng3_d))
-        if not (run6d and ng3 > 0):
-            return FieldSearchResult(pfof=pfof3, ngroups=ng3)
-        ell6d = b3d * opt.ellhalo6dxfac
-        nseg = ng3 + 1
-        if opt.fofbgtype == C.FOF6D and not opt.iKeepFOF:
-            vscale2 = velocity_scale_largest_group(
-                vel, mass, pfof3, nseg, opt.ellhalo6dvfac,
-                bug_compat=bool(opt.iVscaleReferenceBugCompat))
-            vs_per_particle = jnp.where(pfof3 > 0, vscale2, 1.0)
-        else:
-            vs_group = velocity_scale_per_group(vel, mass, pfof3, nseg,
-                                                opt.ellhalo6dvfac)
-            vs_per_particle = jnp.where(
-                pfof3 > 0,
-                jnp.maximum(vs_group[jnp.clip(pfof3, 0, nseg - 1)], 1e-30),
-                1.0)
-        # 6D links only connect 3DFOF-tagged particles; sweep a compacted
-        # subset context when the tagged fraction is small
-        tag = pfof3 > 0
-        ntag = int(jax.device_get(jnp.sum(tag)))
-        pf6 = pf.subset(tag) if 0 < ntag <= n // 4 else pf
-        if pf6 is not pf and pf6.check_overflow():
-            pf6 = pf   # subset capacity miscount: sweep the full ctx
-        pfof6, ng6_d = pf6.fof6d(ell6d, pfof3, vs_per_particle, minsize)
-        ng6 = int(jax.device_get(ng6_d))
-        return _finish_6d(opt, pfof3, ng3, pfof6, ng6, vs_per_particle,
-                          minsize)
+        try:
+            res = _search_full_set_pallas(opt, pos, vel, mass, boxsize,
+                                          b3d, reach, run6d, minsize)
+        except Exception:
+            if os.environ.get("VR_FOF_PALLAS") == "1":
+                raise
+            warnings.warn("Pallas FOF kernels failed to compile on this "
+                          "backend; using the XLA edge pipeline",
+                          RuntimeWarning)
+            pallas_fof.mark_compile_failed()
+            res = None
+        if res is not None:
+            return res
 
     fields = {"vel": vel} if reuse_edges else None
     edges, binning, grid = fof.build_edges(pos, b3d, boxsize=boxsize,

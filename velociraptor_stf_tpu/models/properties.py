@@ -569,9 +569,14 @@ def compute_pertype_properties(
                     pfof, ng1)
         if with_temp_sfr:
             if u is not None:
+                # reference semantics (substructureproperties.cxx:527-528,
+                # 592): Temp_* is the UNWEIGHTED sum of internal energies,
+                # Temp_mean_* the mass-weighted mean (sum(m*u)/M); no unit
+                # conversion is applied in either
                 out[f"Temp_{tname}"] = seg.segment_sum(
-                    jnp.where(sel, u * mass, 0.0), pfof, ng1)
-                out[f"Temp_mean_{tname}"] = out[f"Temp_{tname}"] / msafe
+                    jnp.where(sel, u, 0.0), pfof, ng1)
+                out[f"Temp_mean_{tname}"] = seg.segment_sum(
+                    jnp.where(sel, u * mass, 0.0), pfof, ng1) / msafe
             if sfr is not None and not tname.endswith("nsf"):
                 out[f"SFR_{tname}"] = seg.segment_sum(
                     jnp.where(sel, sfr, 0.0), pfof, ng1)

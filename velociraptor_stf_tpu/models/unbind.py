@@ -29,6 +29,8 @@ Semantics mirrored:
 
 from __future__ import annotations
 
+import os
+import warnings
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
@@ -65,21 +67,33 @@ def compute_potential(pos, mass, pfof, num_groups: int, eps: float,
     starts = offs_h[:-1]
     gids = np.arange(num_groups + 1)
 
+    w_s = None
     if pallas_gravity.pallas_potential_available():
         # single Pallas dense-tile pass over every group up to MAX_DIRECT;
-        # only larger ones fall through to the bucket-tree classes
-        direct_cut = pallas_gravity.MAX_DIRECT
-        gid_direct = g_s
-        if np.any(sizes[1:] > direct_cut):
-            big_mask = jnp.asarray(sizes > direct_cut)
-            gid_direct = jnp.where(big_mask[g_s], 0, g_s)
-        ns_pad = -(-n // pallas_gravity.R_BLOCK) * pallas_gravity.R_BLOCK
-        # kernel returns Sigma m_j / sqrt(d^2+eps^2); Phi = -G * that
-        w_s = (-G) * pallas_gravity.potential_group_sorted(
-            pos_s, mass_s, gid_direct, offsets, ns_pad,
-            float(eps * eps)).astype(pos.dtype)
-        big = gids[(gids > 0) & (sizes > direct_cut)]
-    else:
+        # only larger ones fall through to the bucket-tree classes.  A
+        # Mosaic lowering failure latches the XLA bucket fallback (unless
+        # VR_POT_PALLAS=1 forces the kernel, surfacing the error).
+        try:
+            direct_cut = pallas_gravity.MAX_DIRECT
+            gid_direct = g_s
+            if np.any(sizes[1:] > direct_cut):
+                big_mask = jnp.asarray(sizes > direct_cut)
+                gid_direct = jnp.where(big_mask[g_s], 0, g_s)
+            ns_pad = -(-n // pallas_gravity.R_BLOCK) * pallas_gravity.R_BLOCK
+            # kernel returns Sigma m_j / sqrt(d^2+eps^2); Phi = -G * that
+            w_s = (-G) * pallas_gravity.potential_group_sorted(
+                pos_s, mass_s, gid_direct, offsets, ns_pad,
+                float(eps * eps)).astype(pos.dtype)
+            big = gids[(gids > 0) & (sizes > direct_cut)]
+        except Exception:
+            if os.environ.get("VR_POT_PALLAS") == "1":
+                raise
+            warnings.warn("Pallas potential kernel failed to compile on "
+                          "this backend; using the XLA bucket classes",
+                          RuntimeWarning)
+            pallas_gravity.mark_compile_failed()
+            w_s = None
+    if w_s is None:
         w_s = jnp.zeros(n, pos.dtype)
         prev_cap = 0
         for cap in _DIRECT_CLASSES:

@@ -35,12 +35,15 @@ jit — zero host syncs through the axon tunnel until the final label fetch.
 Mosaic layout rules this module obeys (learned empirically on v5e):
   * HBM arrays are DMA-sliced only along the minor (lane) dim, with
     CH-aligned offsets; all other dims are copied whole -> column data is
-    stored transposed ((8, Ns) positions+velocities, (k, Ns) int payloads).
+    stored transposed ((4, Ns) positions/velocities, (k, Ns) int payloads).
   * 1D arrays tile at (1024,) -> all kernel operands are >= 2D.
   * SMEM whole-array inputs are lane-padded to 128 and capped ~1 MB ->
     block ranges ship as (8, 128) pipelined SMEM windows.
-  * No in-kernel transposes: row operands are sublane-major ((R, 4) /
-    (R, 1) blocks), column operands lane-major -> (R,1)x(1,CH) broadcasts.
+  * EVERY HBM operand/result is lane-major (k, Ns): a row-major (Ns, k<128)
+    operand is tile-padded k -> 128 by the (8,128) layout (a 32-128x HBM
+    blowup that OOMs 256^3 boxes).  Row blocks are (k, R_BLOCK) slices of
+    the same lane-major arrays the chunk DMA streams, transposed to
+    sublane-major ONCE per block inside the kernel.
   * d^2 uses coordinate differences, not the norm expansion (f32
     cancellation at box-scale coordinates flips links near d = b).
 """
@@ -115,15 +118,18 @@ class FofSortCtx(NamedTuple):
     (r = cy*nz + cz) so grids beyond 2^31 cells — 256^3+ boxes at FOF
     linking lengths — need no int64: the sort is lexicographic on the
     pair and coverage ranges come from a per-stripe binary search.
-    Velocity arrays are built lazily (``rows_vel``/``cols_v`` are
-    zero-size placeholders until a 6D sweep needs them) — 3D-only
-    contexts at 512^3 scale would otherwise double HBM use.
+    The velocity array is built lazily (``cols_v`` is a zero-size
+    placeholder until a 6D sweep needs it) — 3D-only contexts at 512^3
+    scale would otherwise double HBM use.
     """
 
     ccx: jnp.ndarray         # (Ns_pad,) i32 x-cell index (pad = nx)
     ccr: jnp.ndarray         # (Ns_pad,) i32 within-stripe id cy*nz+cz
-    rows_pos: jnp.ndarray    # (Ns_pad, 4) f32 sorted positions (row layout)
-    rows_vel: jnp.ndarray    # (Ns_pad, 4) f32 sorted velocities (lazy)
+    # ALL particle data is lane-major (k, Ns_pad [+ CH]): row blocks are
+    # (k, R_BLOCK) slices of the same arrays the chunk DMA reads, and the
+    # kernels transpose them in VMEM.  Row-major (Ns_pad, k) operands
+    # would be tile-padded k -> 128 by Mosaic's (8,128) layout (a 32x HBM
+    # blowup that OOMs 256^3 boxes).
     cols_p: jnp.ndarray      # (4, Ns_pad + CH) f32 [x y z 0] lane-major
     cols_v: jnp.ndarray      # (4, Ns_pad + CH) f32 [vx vy vz 0] (lazy)
     ranges: jnp.ndarray      # (nb8, 128) i32 chunk-aligned coverage windows
@@ -169,22 +175,16 @@ def _build_ctx(pos, vel, grid: CellGrid, caps: Tuple[int, int, int],
     src_s = src[order]
 
     pad = ns_pad - ntot
-    rows_pos = jnp.zeros((ns_pad, 4), jnp.float32)
-    rows_pos = rows_pos.at[:ntot, :3].set(pos_s)
-    rows_pos = rows_pos.at[ntot:, :3].set(SENTINEL)
     cols_p = jnp.full((4, ns_pad + CH), SENTINEL, jnp.float32)
     cols_p = cols_p.at[0:3, :ntot].set(pos_s.T)
     cols_p = cols_p.at[3, :].set(0.0)
     if with_vel:
         vel_s = vel[order]
-        rows_vel = jnp.zeros((ns_pad, 4), jnp.float32)
-        rows_vel = rows_vel.at[:ntot, :3].set(vel_s)
         cols_v = jnp.zeros((4, ns_pad + CH), jnp.float32)
         cols_v = cols_v.at[0:3, :ntot].set(vel_s.T)
     else:
         # lazy: 3D-only sweeps never touch velocities; _fill_vel
         # materialises them on the first 6D use
-        rows_vel = jnp.zeros((0, 4), jnp.float32)
         cols_v = jnp.zeros((4, 0), jnp.float32)
 
     src_pad = jnp.concatenate([src_s, jnp.full(pad, -1, jnp.int32)])
@@ -212,7 +212,7 @@ def _build_ctx(pos, vel, grid: CellGrid, caps: Tuple[int, int, int],
     cx_pad = jnp.concatenate([cx_s, jnp.full(pad, nx, jnp.int32)])
     cr_pad = jnp.concatenate([cr_s, jnp.zeros(pad, jnp.int32)])
     ranges = _block_ranges(cx_pad, cr_pad, grid)
-    return FofSortCtx(cx_pad, cr_pad, rows_pos, rows_vel, cols_p, cols_v,
+    return FofSortCtx(cx_pad, cr_pad, cols_p, cols_v,
                       ranges, src_pad, is_real, real_slot, gslots, grs,
                       overflow, n, ns_pad)
 
@@ -329,17 +329,16 @@ def build_fof_ctx(pos, vel, boxsize: Optional[float], reach: float,
 
 @jax.jit
 def _fill_vel(ctx: FofSortCtx, vel_orig):
-    """Materialise the lazy velocity arrays on an existing ctx (ghost slots
+    """Materialise the lazy velocity array on an existing ctx (ghost slots
     take their source particle's velocity — ghost shifts are position-only)."""
     ns_pad = ctx.src.shape[0]
     valid = ctx.src >= 0
     safe_src = jnp.clip(ctx.src, 0, vel_orig.shape[0] - 1)
     vel_s = jnp.where(valid[:, None], vel_orig[safe_src], 0.0).astype(
         jnp.float32)
-    rows_vel = jnp.zeros((ns_pad, 4), jnp.float32).at[:, :3].set(vel_s)
     cols_v = jnp.zeros((4, ns_pad + CH), jnp.float32)
     cols_v = cols_v.at[0:3, :ns_pad].set(vel_s.T)
-    return ctx._replace(rows_vel=rows_vel, cols_v=cols_v)
+    return ctx._replace(cols_v=cols_v)
 
 
 @partial(jax.jit, static_argnames=("ns_pad_new", "grid"))
@@ -368,14 +367,15 @@ def _subset_ctx(ctx: FofSortCtx, keep_orig, vel_orig, ns_pad_new: int,
     nx = grid.ncells[0]
     ccx = jnp.where(svalid, ctx.ccx[sub_idx], nx)
     ccr = jnp.where(svalid, ctx.ccr[sub_idx], 0)
-    rows_pos = jnp.where(svalid[:, None], ctx.rows_pos[sub_idx], SENTINEL)
+    pos_sub = jnp.stack(
+        [jnp.where(svalid, ctx.cols_p[k, :][sub_idx], SENTINEL)
+         for k in range(3)], axis=-1)
     src = jnp.where(svalid, ctx.src[sub_idx], -1)
     vel_sub = jnp.where((src >= 0)[:, None],
                         vel_orig[jnp.clip(src, 0, n - 1)], 0.0).astype(
         jnp.float32)
-    rows_vel = jnp.zeros((ns_pad_new, 4), jnp.float32).at[:, :3].set(vel_sub)
     cols_p = jnp.full((4, ns_pad_new + CH), SENTINEL, jnp.float32)
-    cols_p = cols_p.at[0:3, :ns_pad_new].set(rows_pos[:, :3].T)
+    cols_p = cols_p.at[0:3, :ns_pad_new].set(pos_sub.T)
     cols_p = cols_p.at[3, :].set(0.0)
     cols_v = jnp.zeros((4, ns_pad_new + CH), jnp.float32)
     cols_v = cols_v.at[0:3, :ns_pad_new].set(vel_sub.T)
@@ -395,7 +395,7 @@ def _subset_ctx(ctx: FofSortCtx, keep_orig, vel_orig, ns_pad_new: int,
     gsrc = src[gslots]
     grs = jnp.where(gvalid, real_slot[jnp.clip(gsrc, 0, n - 1)], 0)
     ranges = _block_ranges(ccx, ccr, grid)
-    return FofSortCtx(ccx, ccr, rows_pos, rows_vel, cols_p, cols_v, ranges,
+    return FofSortCtx(ccx, ccr, cols_p, cols_v, ranges,
                       src, is_real, real_slot, gslots, grs, overflow,
                       ctx.n, ns_pad_new)
 
@@ -448,7 +448,11 @@ def _sweep_kernel_3d(b2, rng_ref, rpos_ref, rlab_ref, p_hbm, lab_hbm,
                      out_ref, cp_, clab, sem_p, sem_int):
     b = pl.program_id(0)
     br = jax.lax.rem(b, 8)
-    nm0 = rlab_ref[:]                              # (R,1)
+    # row operands arrive lane-major ((k, R) blocks of the same arrays the
+    # chunk DMA streams) and are transposed to sublane-major ONCE per
+    # block — row-major HBM operands would be tile-padded k -> 128
+    rp = rpos_ref[:].T                             # (R,4)
+    nm0 = rlab_ref[:].T                            # (R,1)
 
     def get_dmas(off, slot):
         return (
@@ -461,26 +465,32 @@ def _sweep_kernel_3d(b2, rng_ref, rpos_ref, rlab_ref, p_hbm, lab_hbm,
     def compute(nm, slot):
         cp = cp_[slot]                             # (4,CH)
         cl = clab[slot]                            # (1,CH)
-        dx = rpos_ref[:, 0:1] - cp[0:1, :]
+        dx = rp[:, 0:1] - cp[0:1, :]
         d2 = dx * dx
-        dy = rpos_ref[:, 1:2] - cp[1:2, :]
+        dy = rp[:, 1:2] - cp[1:2, :]
         d2 += dy * dy
-        dz = rpos_ref[:, 2:3] - cp[2:3, :]
+        dz = rp[:, 2:3] - cp[2:3, :]
         d2 += dz * dz
         cand = jnp.where(d2 <= b2, cl, BIG_I32)
         return jnp.minimum(nm, jnp.min(cand, axis=1, keepdims=True))
 
-    out_ref[:] = _run_chunks(rng_ref, br, nm0, get_dmas, compute)
+    nm = _run_chunks(rng_ref, br, nm0, get_dmas, compute)
+    out_ref[:] = nm.T                              # (1,R)
 
 
-def _sweep_kernel_6d(inv_b2, rng_ref, rpos_ref, rvel_ref, rivs_ref, rgrp_ref,
-                     rlab_ref, p_hbm, v_hbm, gl_hbm, out_ref, cp_, cv_, cgl,
+def _sweep_kernel_6d(inv_b2, rng_ref, rpos_ref, rvel_ref, rivs_ref, rgl_ref,
+                     p_hbm, v_hbm, gl_hbm, out_ref, cp_, cv_, cgl,
                      sem_p, sem_v, sem_int):
     """6D criterion: d2/b6^2 + dv2/vscale2_row <= 1, same nonzero 3D group
     (reference search.cxx:552-576 per-group TPHS-tree FOF)."""
     b = pl.program_id(0)
     br = jax.lax.rem(b, 8)
-    nm0 = rlab_ref[:]
+    rp = rpos_ref[:].T                             # (R,4)
+    rv = rvel_ref[:].T                             # (R,4)
+    rivs = rivs_ref[:].T                           # (R,1)
+    rgl = rgl_ref[:].T                             # (R,2) [group, label]
+    rgrp = rgl[:, 0:1]
+    nm0 = rgl[:, 1:2]
 
     def get_dmas(off, slot):
         return (
@@ -496,50 +506,48 @@ def _sweep_kernel_6d(inv_b2, rng_ref, rpos_ref, rvel_ref, rivs_ref, rgrp_ref,
         cp = cp_[slot]                             # (4,CH)
         cv = cv_[slot]                             # (4,CH)
         cg = cgl[slot]                             # (2,CH) [group, label]
-        dx = rpos_ref[:, 0:1] - cp[0:1, :]
+        dx = rp[:, 0:1] - cp[0:1, :]
         d2 = dx * dx
-        dy = rpos_ref[:, 1:2] - cp[1:2, :]
+        dy = rp[:, 1:2] - cp[1:2, :]
         d2 += dy * dy
-        dz = rpos_ref[:, 2:3] - cp[2:3, :]
+        dz = rp[:, 2:3] - cp[2:3, :]
         d2 += dz * dz
-        du = rvel_ref[:, 0:1] - cv[0:1, :]
+        du = rv[:, 0:1] - cv[0:1, :]
         dv2 = du * du
-        du = rvel_ref[:, 1:2] - cv[1:2, :]
+        du = rv[:, 1:2] - cv[1:2, :]
         dv2 += du * du
-        du = rvel_ref[:, 2:3] - cv[2:3, :]
+        du = rv[:, 2:3] - cv[2:3, :]
         dv2 += du * du
-        phase = d2 * inv_b2 + dv2 * rivs_ref[:]
-        ok = (phase <= 1.0) & (rgrp_ref[:] == cg[0:1, :]) & \
-            (rgrp_ref[:] > 0)
+        phase = d2 * inv_b2 + dv2 * rivs
+        ok = (phase <= 1.0) & (rgrp == cg[0:1, :]) & (rgrp > 0)
         cand = jnp.where(ok, cg[1:2, :], BIG_I32)
         return jnp.minimum(nm, jnp.min(cand, axis=1, keepdims=True))
 
-    out_ref[:] = _run_chunks(rng_ref, br, nm0, get_dmas, compute)
+    nm = _run_chunks(rng_ref, br, nm0, get_dmas, compute)
+    out_ref[:] = nm.T                              # (1,R)
 
 
-def _row_spec(w):
-    return pl.BlockSpec((R_BLOCK, w), lambda b: (b, 0),
+def _lane_spec(k):
+    """Lane-major row block: (k, R_BLOCK) slice at column offset b*R."""
+    return pl.BlockSpec((k, R_BLOCK), lambda b: (0, b),
                         memory_space=pltpu.VMEM)
-
-
-_RANGE_SPEC_KW = dict(memory_space=pltpu.SMEM)
 
 
 def _make_sweep_3d(ns_pad: int, b2: float):
     nblocks = ns_pad // R_BLOCK
     return pl.pallas_call(
         partial(_sweep_kernel_3d, np.float32(b2)),
-        out_shape=jax.ShapeDtypeStruct((ns_pad, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, ns_pad), jnp.int32),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda b: (b // 8, 0),
                          memory_space=pltpu.SMEM),
-            _row_spec(4),
-            _row_spec(1),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            _lane_spec(4),                      # row pos = cols_p slice
+            _lane_spec(1),                      # row labels
+            pl.BlockSpec(memory_space=pl.ANY),  # cols_p (same array)
+            pl.BlockSpec(memory_space=pl.ANY),  # label columns
         ],
-        out_specs=_row_spec(1),
+        out_specs=_lane_spec(1),
         scratch_shapes=[
             pltpu.VMEM((2, 4, CH), jnp.float32),
             pltpu.VMEM((2, 1, CH), jnp.int32),
@@ -553,21 +561,20 @@ def _make_sweep_6d(ns_pad: int, inv_b2: float):
     nblocks = ns_pad // R_BLOCK
     return pl.pallas_call(
         partial(_sweep_kernel_6d, np.float32(inv_b2)),
-        out_shape=jax.ShapeDtypeStruct((ns_pad, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, ns_pad), jnp.int32),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda b: (b // 8, 0),
                          memory_space=pltpu.SMEM),
-            _row_spec(4),
-            _row_spec(4),
-            _row_spec(1),
-            _row_spec(1),
-            _row_spec(1),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            _lane_spec(4),                      # row pos = cols_p slice
+            _lane_spec(4),                      # row vel = cols_v slice
+            _lane_spec(1),                      # row 1/vscale2
+            _lane_spec(2),                      # row [group, label] = gl
+            pl.BlockSpec(memory_space=pl.ANY),  # cols_p
+            pl.BlockSpec(memory_space=pl.ANY),  # cols_v
+            pl.BlockSpec(memory_space=pl.ANY),  # gl columns
         ],
-        out_specs=_row_spec(1),
+        out_specs=_lane_spec(1),
         scratch_shapes=[
             pltpu.VMEM((2, 4, CH), jnp.float32),
             pltpu.VMEM((2, 4, CH), jnp.float32),
@@ -630,9 +637,10 @@ def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
     def sweep_fn(labels):
         lab_col = jnp.concatenate(
             [labels, jnp.full(CH, BIG_I32, jnp.int32)])[None, :]
-        nm = sweep(ctx.ranges, ctx.rows_pos, labels[:, None],
-                   ctx.cols_p, lab_col)
-        return nm[:, 0]
+        # row labels and label columns are the SAME (1, ns_pad + CH) array
+        # (lane-major; blocked reads for rows, chunk DMA for columns)
+        nm = sweep(ctx.ranges, ctx.cols_p, lab_col, ctx.cols_p, lab_col)
+        return nm[0]
 
     return _fixpoint(sweep_fn, ctx, max_sweeps)
 
@@ -649,15 +657,16 @@ def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
         1.0 / jnp.maximum(vscale2_orig[safe_src], 1e-30), 1.0
     ).astype(jnp.float32)
 
+    ivs_row = ivs_s[None, :]                       # (1, ns_pad) lane-major
+
     def sweep_fn(labels):
-        gl_col = jnp.stack([
+        gl = jnp.stack([
             jnp.concatenate([grp_s, jnp.zeros(CH, jnp.int32)]),
             jnp.concatenate([labels, jnp.full(CH, BIG_I32, jnp.int32)]),
-        ])
-        nm = sweep(ctx.ranges, ctx.rows_pos, ctx.rows_vel, ivs_s[:, None],
-                   grp_s[:, None], labels[:, None], ctx.cols_p, ctx.cols_v,
-                   gl_col)
-        return nm[:, 0]
+        ])                                         # (2, ns_pad + CH)
+        nm = sweep(ctx.ranges, ctx.cols_p, ctx.cols_v, ivs_row, gl,
+                   ctx.cols_p, ctx.cols_v, gl)
+        return nm[0]
 
     return _fixpoint(sweep_fn, ctx, max_sweeps)
 
@@ -692,6 +701,17 @@ def _renumber_masked(labels, ctx: FofSortCtx, n: int, min_size):
 # Public driver
 # ---------------------------------------------------------------------------
 
+_COMPILE_FAILED = False
+
+
+def mark_compile_failed() -> None:
+    """Latch set by callers when a kernel fails to lower/compile on the
+    local backend; availability then reports False so every subsequent
+    sweep takes the XLA edge pipeline instead of re-raising."""
+    global _COMPILE_FAILED
+    _COMPILE_FAILED = True
+
+
 def pallas_fof_available(n: int, boxsize: Optional[float],
                          reach: float) -> bool:
     """Host check: TPU backend + one grid stripe fits int32 (the (cx, r)
@@ -699,6 +719,8 @@ def pallas_fof_available(n: int, boxsize: Optional[float],
     far beyond any single-chip HBM anyway)."""
     env = os.environ.get("VR_FOF_PALLAS")
     if env == "0":
+        return False
+    if env != "1" and _COMPILE_FAILED:
         return False
     if env != "1" and jax.default_backend() != "tpu":
         return False
@@ -753,7 +775,7 @@ class PallasFof:
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
 
     def fof6d(self, ell6d: float, groups_orig, vscale2_orig, min_size: int):
-        if self.ctx.rows_vel.shape[0] == 0:
+        if self.ctx.cols_v.shape[1] == 0:
             self.ctx = _fill_vel(self.ctx, self._vel)._replace(
                 n=self.ctx.n, ns_pad=self.ctx.ns_pad)
         labels, _ = _fof6d_labels(self.ctx, jnp.asarray(groups_orig),

@@ -37,6 +37,11 @@ def _pot_kernel(eps2, rng_ref, rpos_ref, rgrp_ref, pm_hbm, grp_hbm,
     br = jax.lax.rem(b, 8)
     c0 = rng_ref[br, 0]
     nch = rng_ref[br, 1]
+    # lane-major row operands ((k, R) slices of the chunk-DMA arrays)
+    # transposed once per block — row-major HBM operands would be
+    # tile-padded k -> 128 by the (8,128) layout (see pallas_fof.py)
+    rp = rpos_ref[:].T                              # (R,4)
+    rg = rgrp_ref[:].T                              # (R,1)
     row_ids = (b * R_BLOCK +
                jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, 1), 0))
 
@@ -66,38 +71,39 @@ def _pot_kernel(eps2, rng_ref, rpos_ref, rgrp_ref, pm_hbm, grp_hbm,
             dma.wait()
         cp = cpm[slot]                              # (4,CH) x y z mass
         cg = cgrp[slot]                             # (1,CH)
-        dx = rpos_ref[:, 0:1] - cp[0:1, :]
+        dx = rp[:, 0:1] - cp[0:1, :]
         d2 = dx * dx
-        dy = rpos_ref[:, 1:2] - cp[1:2, :]
+        dy = rp[:, 1:2] - cp[1:2, :]
         d2 += dy * dy
-        dz = rpos_ref[:, 2:3] - cp[2:3, :]
+        dz = rp[:, 2:3] - cp[2:3, :]
         d2 += dz * dz
         col_ids = off + jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
-        ok = (rgrp_ref[:] == cg) & (rgrp_ref[:] > 0) & (row_ids != col_ids)
+        ok = (rg == cg) & (rg > 0) & (row_ids != col_ids)
         contrib = jnp.where(ok, cp[3:4, :] * jax.lax.rsqrt(d2 + eps2), 0.0)
         return acc + jnp.sum(contrib, axis=1, keepdims=True)
 
-    out_ref[:] = jax.lax.fori_loop(
+    phi = jax.lax.fori_loop(
         0, nch, body, jnp.zeros((R_BLOCK, 1), jnp.float32))
+    out_ref[:] = phi.T                              # (1,R)
 
 
 def _make_pot(ns_pad: int, eps2: float):
     nblocks = ns_pad // R_BLOCK
     return pl.pallas_call(
         partial(_pot_kernel, np.float32(eps2)),
-        out_shape=jax.ShapeDtypeStruct((ns_pad, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, ns_pad), jnp.float32),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda b: (b // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((R_BLOCK, 4), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_BLOCK, 1), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, R_BLOCK), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),   # rows = cols_pm slice
+            pl.BlockSpec((1, R_BLOCK), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),   # rows = cols_grp slice
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((R_BLOCK, 1), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((1, R_BLOCK), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 4, CH), jnp.float32),
@@ -122,11 +128,9 @@ def potential_group_sorted(pos_s, mass_s, gid_s, offsets, ns_pad: int,
     """
     ns = pos_s.shape[0]
     pad = ns_pad - ns
-    rows_pos = jnp.zeros((ns_pad, 4), jnp.float32)
-    rows_pos = rows_pos.at[:ns, :3].set(pos_s)
-    rows_pos = rows_pos.at[ns:, :3].set(np.float32(1e15))
+    # lane-major only: rows are (k, R_BLOCK) slices of the same arrays the
+    # chunk DMA streams (row-major operands would be tile-padded k -> 128)
     gid_pad = jnp.concatenate([gid_s, jnp.zeros(pad, jnp.int32)])
-    rgrp = gid_pad[:, None]
     cols_pm = jnp.full((4, ns_pad + CH), np.float32(1e15), jnp.float32)
     cols_pm = cols_pm.at[0:3, :ns].set(pos_s.T)
     cols_pm = cols_pm.at[3, :].set(0.0)
@@ -158,13 +162,26 @@ def potential_group_sorted(pos_s, mass_s, gid_s, offsets, ns_pad: int,
     ranges = ranges.at[:nblocks, 0].set(c0ch)
     ranges = ranges.at[:nblocks, 1].set(nch)
 
-    phi = _make_pot(ns_pad, float(eps2))(ranges, rows_pos, rgrp,
+    phi = _make_pot(ns_pad, float(eps2))(ranges, cols_pm, cols_grp,
                                          cols_pm, cols_grp)
-    return phi[:ns, 0]
+    return phi[0, :ns]
+
+
+_COMPILE_FAILED = False
+
+
+def mark_compile_failed() -> None:
+    """Latch set by callers when the kernel fails to lower/compile on the
+    local backend; every subsequent availability check routes to the XLA
+    fallback instead of re-raising per call."""
+    global _COMPILE_FAILED
+    _COMPILE_FAILED = True
 
 
 def pallas_potential_available() -> bool:
     env = os.environ.get("VR_POT_PALLAS")
     if env == "0":
         return False
-    return env == "1" or jax.default_backend() == "tpu"
+    if env == "1":
+        return True   # forced: let compile errors surface
+    return not _COMPILE_FAILED and jax.default_backend() == "tpu"

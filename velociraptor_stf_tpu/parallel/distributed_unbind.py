@@ -21,6 +21,8 @@ chunks (unbind.cxx:583-586).
 from __future__ import annotations
 
 import math
+import os
+import warnings
 from functools import partial
 from typing import Optional
 
@@ -239,16 +241,32 @@ def distributed_unbind(pos, vel, mass, pfof, num_groups: int,
 
     use_pallas = (jax.default_backend() == "tpu" and
                   pallas_gravity.pallas_potential_available())
-    body = _make_unbind_body(npad, ng_loc, uinfo, G, min_size, boxsize,
-                             use_pallas)
     sh = NamedSharding(mesh, P(PARTS_AXIS))
-    mapped = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(PARTS_AXIS),) * 4,
-        out_specs=(P(PARTS_AXIS), P(PARTS_AXIS)))
-    bound_b, W_b = jax.jit(mapped)(
-        jax.device_put(pos_b, sh), jax.device_put(vel_b, sh),
-        jax.device_put(mass_b, sh), jax.device_put(gidl_b, sh))
+
+    def _run(with_pallas: bool):
+        body = _make_unbind_body(npad, ng_loc, uinfo, G, min_size, boxsize,
+                                 with_pallas)
+        mapped = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(PARTS_AXIS),) * 4,
+            out_specs=(P(PARTS_AXIS), P(PARTS_AXIS)))
+        return jax.jit(mapped)(
+            jax.device_put(pos_b, sh), jax.device_put(vel_b, sh),
+            jax.device_put(mass_b, sh), jax.device_put(gidl_b, sh))
+
+    if use_pallas:
+        try:
+            bound_b, W_b = _run(True)
+        except Exception:
+            if os.environ.get("VR_POT_PALLAS") == "1":
+                raise
+            warnings.warn("Pallas potential kernel failed to compile in "
+                          "the sharded unbind; using the XLA direct sum",
+                          RuntimeWarning)
+            pallas_gravity.mark_compile_failed()
+            bound_b, W_b = _run(False)
+    else:
+        bound_b, W_b = _run(False)
 
     bound_flat = np.asarray(jax.device_get(bound_b)).reshape(-1)
     W_flat = np.asarray(jax.device_get(W_b)).reshape(-1)
