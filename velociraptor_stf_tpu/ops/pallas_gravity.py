@@ -31,26 +31,29 @@ CH = 512
 MAX_DIRECT = 1 << 17   # groups larger than this keep the tree path
 
 
-def _pot_kernel(eps2, rng_ref, rpos_ref, rgrp_ref, pm_hbm, grp_hbm,
-                out_ref, cpm, cgrp, sem_pm, sem_grp):
+def _pot_kernel(eps2, rng_ref, rm_ref, m_hbm, out_ref, cm_, sem):
+    """Merged int32 stream (one DMA descriptor per chunk — descriptor
+    issue, not bandwidth, is the per-chunk overhead; see pallas_fof.py):
+    rows 0-2 position bits (bitcast f32), row 3 mass bits, row 4 gid,
+    rows 5-7 unused (Mosaic DMA row-slices must align to the 8-row tile;
+    see pallas_fof.py's 6D kernel note)."""
     b = pl.program_id(0)
     br = jax.lax.rem(b, 8)
     c0 = rng_ref[br, 0]
     nch = rng_ref[br, 1]
-    # lane-major row operands ((k, R) slices of the chunk-DMA arrays)
+    # lane-major row operands ((k, R) slices of the chunk-DMA array)
     # transposed once per block — row-major HBM operands would be
     # tile-padded k -> 128 by the (8,128) layout (see pallas_fof.py)
-    rp = rpos_ref[:].T                              # (R,4)
-    rg = rgrp_ref[:].T                              # (R,1)
+    rm = rm_ref[:].T                                # (R,8) i32
+    rp = jax.lax.bitcast_convert_type(rm[:, 0:3], jnp.float32)
+    rg = rm[:, 4:5]                                 # (R,1)
     row_ids = (b * R_BLOCK +
                jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, 1), 0))
 
     def get_dmas(off, slot):
         return (
-            pltpu.make_async_copy(pm_hbm.at[:, pl.ds(off, CH)],
-                                  cpm.at[slot], sem_pm.at[slot]),
-            pltpu.make_async_copy(grp_hbm.at[:, pl.ds(off, CH)],
-                                  cgrp.at[slot], sem_grp.at[slot]),
+            pltpu.make_async_copy(m_hbm.at[:, pl.ds(off, CH)],
+                                  cm_.at[slot], sem.at[slot]),
         )
 
     @pl.when(nch > 0)
@@ -69,8 +72,10 @@ def _pot_kernel(eps2, rng_ref, rpos_ref, rgrp_ref, pm_hbm, grp_hbm,
 
         for dma in get_dmas(off, slot):
             dma.wait()
-        cp = cpm[slot]                              # (4,CH) x y z mass
-        cg = cgrp[slot]                             # (1,CH)
+        cm = cm_[slot]                              # (8,CH) i32
+        cp = jax.lax.bitcast_convert_type(cm[0:3, :], jnp.float32)
+        cmass = jax.lax.bitcast_convert_type(cm[3:4, :], jnp.float32)
+        cg = cm[4:5, :]
         dx = rp[:, 0:1] - cp[0:1, :]
         d2 = dx * dx
         dy = rp[:, 1:2] - cp[1:2, :]
@@ -79,7 +84,7 @@ def _pot_kernel(eps2, rng_ref, rpos_ref, rgrp_ref, pm_hbm, grp_hbm,
         d2 += dz * dz
         col_ids = off + jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
         ok = (rg == cg) & (rg > 0) & (row_ids != col_ids)
-        contrib = jnp.where(ok, cp[3:4, :] * jax.lax.rsqrt(d2 + eps2), 0.0)
+        contrib = jnp.where(ok, cmass * jax.lax.rsqrt(d2 + eps2), 0.0)
         return acc + jnp.sum(contrib, axis=1, keepdims=True)
 
     phi = jax.lax.fori_loop(
@@ -96,19 +101,14 @@ def _make_pot(ns_pad: int, eps2: float):
         in_specs=[
             pl.BlockSpec((8, 128), lambda b: (b // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, R_BLOCK), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),   # rows = cols_pm slice
-            pl.BlockSpec((1, R_BLOCK), lambda b: (0, b),
-                         memory_space=pltpu.VMEM),   # rows = cols_grp slice
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, R_BLOCK), lambda b: (0, b),
+                         memory_space=pltpu.VMEM),   # rows = merged slice
+            pl.BlockSpec(memory_space=pl.ANY),       # merged columns
         ],
         out_specs=pl.BlockSpec((1, R_BLOCK), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, CH), jnp.float32),
-            pltpu.VMEM((2, 1, CH), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, CH), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -128,15 +128,20 @@ def potential_group_sorted(pos_s, mass_s, gid_s, offsets, ns_pad: int,
     """
     ns = pos_s.shape[0]
     pad = ns_pad - ns
-    # lane-major only: rows are (k, R_BLOCK) slices of the same arrays the
-    # chunk DMA streams (row-major operands would be tile-padded k -> 128)
+    # lane-major only: rows are (k, R_BLOCK) slices of the same array the
+    # chunk DMA streams (row-major operands would be tile-padded k -> 128).
+    # Merged int32: pos/mass travel as raw bits (pure copies, bitcast in
+    # the kernel), gid as int — one DMA descriptor per chunk.
     gid_pad = jnp.concatenate([gid_s, jnp.zeros(pad, jnp.int32)])
-    cols_pm = jnp.full((4, ns_pad + CH), np.float32(1e15), jnp.float32)
-    cols_pm = cols_pm.at[0:3, :ns].set(pos_s.T)
-    cols_pm = cols_pm.at[3, :].set(0.0)
-    cols_pm = cols_pm.at[3, :ns].set(mass_s)
-    cols_grp = jnp.concatenate(
-        [gid_s, jnp.zeros(pad + CH, jnp.int32)])[None, :]
+    sent_bits = np.int32(np.float32(1e15).view(np.int32))
+    merged = jnp.full((8, ns_pad + CH), sent_bits, jnp.int32)
+    merged = merged.at[0:3, :ns].set(jax.lax.bitcast_convert_type(
+        pos_s.T.astype(jnp.float32), jnp.int32))
+    merged = merged.at[3, :].set(0)                 # mass 0.0 bits
+    merged = merged.at[3, :ns].set(jax.lax.bitcast_convert_type(
+        mass_s.astype(jnp.float32), jnp.int32))
+    merged = merged.at[4:8, :].set(0)
+    merged = merged.at[4, :ns].set(gid_s)
 
     # per-block coverage [offsets[gmin], offsets[gmax+1]) from the MIN and
     # MAX NONZERO gid in each block: zeroed runs (untagged particles,
@@ -162,8 +167,7 @@ def potential_group_sorted(pos_s, mass_s, gid_s, offsets, ns_pad: int,
     ranges = ranges.at[:nblocks, 0].set(c0ch)
     ranges = ranges.at[:nblocks, 1].set(nch)
 
-    phi = _make_pot(ns_pad, float(eps2))(ranges, cols_pm, cols_grp,
-                                         cols_pm, cols_grp)
+    phi = _make_pot(ns_pad, float(eps2))(ranges, merged, merged)
     return phi[0, :ns]
 
 
