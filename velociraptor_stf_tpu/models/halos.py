@@ -158,6 +158,10 @@ def _search_full_set_pallas(opt: C.Options, pos, vel, mass, boxsize,
     pf6 = pf.subset(tag) if 0 < ntag <= n // 4 else pf
     if pf6 is not pf and pf6.check_overflow():
         pf6 = pf   # subset capacity miscount: sweep the full ctx
+    if pf6 is not pf:
+        # the 6D sweep only touches the subset ctx: release the parent's
+        # slot arrays (~4.5 GB at 512^3) before the sweep allocates
+        pf.ctx = None
     pfof6, ng6_d = pf6.fof6d(ell6d, pfof3, vs_per_particle, minsize)
     ng6 = int(jax.device_get(ng6_d))
     return _finish_6d(opt, pfof3, ng3, pfof6, ng6, vs_per_particle,

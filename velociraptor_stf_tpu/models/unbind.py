@@ -249,7 +249,8 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
         bound = jnp.zeros(n, bool).at[scatter_to].set(bound_sub,
                                                       mode="drop")
         return _finalize_unbind(mass, pfof, bound, W, num_groups, uinfo,
-                                min_size)
+                                min_size,
+                                subset=(mass_t, pfof_t, bound_sub))
 
     if W is None:
         W = compute_potential(pos, mass, pfof, num_groups, uinfo.eps, G,
@@ -319,19 +320,27 @@ def _check_unbound_subset(pos_t, vel_t, mass_t, pfof_t, W_t,
 
 
 def _finalize_unbind(mass, pfof, bound, W, num_groups: int,
-                     uinfo: UnbindInfo, min_size: int) -> "UnbindResult":
-    """Efrac / USYSANDPART dissolution / renumber by size (full arrays)."""
+                     uinfo: UnbindInfo, min_size: int,
+                     subset=None) -> "UnbindResult":
+    """Efrac / USYSANDPART dissolution / renumber by size.
+
+    ``subset=(mass_t, pfof_t, bound_t)``: compacted tagged arrays holding
+    every group member — the per-group reductions then scale with the
+    group population instead of the box (the full-array segment sums cost
+    ~0.5 s at 256^3).  The returned pfof/bound stay full-length."""
     ng1 = num_groups + 1
-    mass0 = seg.segment_sum(jnp.where(pfof > 0, mass, 0.0), pfof, ng1)
-    mass1 = seg.segment_sum(jnp.where(bound, mass, 0.0), pfof, ng1)
+    m_r, g_r, b_r = subset if subset is not None else (mass, pfof, bound)
+    mass0 = seg.segment_sum(jnp.where(g_r > 0, m_r, 0.0), g_r, ng1)
+    mass1 = seg.segment_sum(jnp.where(b_r, m_r, 0.0), g_r, ng1)
     Efrac = mass1 / jnp.maximum(mass0, 1e-30)
     if uinfo.unbindtype == USYSANDPART:
         ok = Efrac >= uinfo.minEfrac
         bound = bound & ok[pfof]
+        b_r = b_r & ok[g_r]
 
     new_raw = jnp.where(bound, pfof, 0)
     # renumber surviving groups by decreasing size
-    sizes = seg.group_sizes(new_raw, num_groups)
+    sizes = seg.group_sizes(jnp.where(b_r, g_r, 0), num_groups)
     eligible = (sizes >= min_size) & (jnp.arange(ng1) > 0)
     order = jnp.lexsort((jnp.arange(ng1), -jnp.where(eligible, sizes, 0)))
     ng_new = jnp.sum(eligible).astype(jnp.int32)

@@ -324,6 +324,11 @@ def build_fof_ctx(pos, vel, boxsize: Optional[float], reach: float,
     pos = jnp.asarray(pos, jnp.float32)
     vel = jnp.asarray(vel, jnp.float32)
     n = pos.shape[0]
+    if not with_vel:
+        # position-only ctx: ghost passes would otherwise replicate and
+        # concatenate velocities too (~2x vel HBM at 512^3 for nothing —
+        # 6D subsets gather from the ORIGINAL velocity array instead)
+        vel = jnp.zeros((n, 0), jnp.float32)
     periodic = boxsize is not None and boxsize > 0
     if periodic:
         lo = np.full(3, -reach)
@@ -520,30 +525,35 @@ def _sweep_kernel_3d(b2, rng_ref, rm_ref, m_hbm, out_ref, cm_, sem):
     out_ref[:] = nm.T                              # (1,R)
 
 
-def _sweep_kernel_6d(inv_b2, rng_ref, rm_ref, m_hbm, out_ref, cm_, sem):
+def _sweep_kernel_6d(inv_b2, rng_ref, rm_ref, rlab_ref, m_hbm, lab_hbm,
+                     out_ref, cm_, clab_, sem_m, sem_l):
     """6D criterion: d2/b6^2 + dv2/vscale2_row <= 1, same nonzero 3D group
-    (reference search.cxx:552-576 per-group TPHS-tree FOF).  One merged
-    int32 stream: rows 0-2 pos bits, 3-5 vel bits, 6 = 1/vscale2 bits,
-    7 = 3D group id, 8 = labels, 9-15 unused (Mosaic DMA row-slices must
-    be 8-tile aligned: 9 rows fails to lower, 16 works; the extra bytes
-    are ~60% more DMA traffic but bandwidth is ~2% of the chunk budget)."""
+    (reference search.cxx:552-576 per-group TPHS-tree FOF).  A STATIC
+    8-row int32 stream (rows 0-2 pos bits, 3-5 vel bits, 6 = 1/vscale2
+    bits, 7 = 3D group id) plus a separate label stream: 9 rows in one
+    array fails Mosaic's 8-tile row-slice alignment, a 16-row pad costs
+    ~2 GB extra HBM per sweep at 512^3 subset sizes, and two DMA
+    descriptors per chunk measure identical to one — so the per-sweep
+    label refresh touches only the small label array."""
     b = pl.program_id(0)
     br = jax.lax.rem(b, 8)
-    rm = rm_ref[:].T                               # (R,16) i32
+    rm = rm_ref[:].T                               # (R,8) i32
     rp = jax.lax.bitcast_convert_type(rm[:, 0:3], jnp.float32)
     rv = jax.lax.bitcast_convert_type(rm[:, 3:6], jnp.float32)
     rivs = jax.lax.bitcast_convert_type(rm[:, 6:7], jnp.float32)
     rgrp = rm[:, 7:8]
-    nm0 = rm[:, 8:9]
+    nm0 = rlab_ref[:].T                            # (R,1)
 
     def get_dmas(off, slot):
         return (
             pltpu.make_async_copy(m_hbm.at[:, pl.ds(off, CH)],
-                                  cm_.at[slot], sem.at[slot]),
+                                  cm_.at[slot], sem_m.at[slot]),
+            pltpu.make_async_copy(lab_hbm.at[:, pl.ds(off, CH)],
+                                  clab_.at[slot], sem_l.at[slot]),
         )
 
     def compute(nm, slot):
-        cm = cm_[slot]                             # (16,CH) i32
+        cm = cm_[slot]                             # (8,CH) i32
         cp = jax.lax.bitcast_convert_type(cm[0:3, :], jnp.float32)
         cv = jax.lax.bitcast_convert_type(cm[3:6, :], jnp.float32)
         dx = rp[:, 0:1] - cp[0:1, :]
@@ -560,7 +570,7 @@ def _sweep_kernel_6d(inv_b2, rng_ref, rm_ref, m_hbm, out_ref, cm_, sem):
         dv2 += du * du
         phase = d2 * inv_b2 + dv2 * rivs
         ok = (phase <= 1.0) & (rgrp == cm[7:8, :]) & (rgrp > 0)
-        cand = jnp.where(ok, cm[8:9, :], BIG_I32)
+        cand = jnp.where(ok, clab_[slot], BIG_I32)
         return jnp.minimum(nm, jnp.min(cand, axis=1, keepdims=True))
 
     nm = _run_chunks(rng_ref, br, nm0, get_dmas, compute)
@@ -602,12 +612,16 @@ def _make_sweep_6d(ns_pad: int, inv_b2: float):
         in_specs=[
             pl.BlockSpec((8, 128), lambda b: (b // 8, 0),
                          memory_space=pltpu.SMEM),
-            _lane_spec(16),                     # merged row block
-            pl.BlockSpec(memory_space=pl.ANY),  # merged columns (same array)
+            _lane_spec(8),                      # static row block
+            _lane_spec(1),                      # row labels
+            pl.BlockSpec(memory_space=pl.ANY),  # static columns (same array)
+            pl.BlockSpec(memory_space=pl.ANY),  # label columns
         ],
         out_specs=_lane_spec(1),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CH), jnp.int32),
+            pltpu.VMEM((2, 8, CH), jnp.int32),
+            pltpu.VMEM((2, 1, CH), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -617,13 +631,22 @@ def _make_sweep_6d(ns_pad: int, inv_b2: float):
 # Label fixed points
 # ---------------------------------------------------------------------------
 
-def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2):
+def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
+              labels0=None):
     """Shared while_loop: ghost refresh -> sweep -> ghost fold -> hook ->
     pointer jumps.  ``sweep_fn(labels) -> nmin`` (both (Ns_pad,) i32).
     Converges when a round changes nothing (min-label updates are monotone,
-    so no-change is a valid stopping rule; cf. ops/fof.py::_fof_sweeps)."""
+    so no-change is a valid stopping rule; cf. ops/fof.py::_fof_sweeps).
+
+    Resumable: returns (labels, changed) where ``changed`` is True iff the
+    LAST executed sweep still changed labels (i.e. the loop stopped on
+    ``max_sweeps``, not on convergence) — callers re-invoke with the
+    returned labels until False.  The axon tunnel (and production TPU
+    runtimes generally) kill device programs running for minutes, so
+    512^3-scale fixed points must span several bounded dispatches."""
     ns_pad = ctx.src.shape[0]      # static (shape-derived, jit-safe)
-    labels0 = jnp.arange(ns_pad, dtype=jnp.int32)
+    if labels0 is None:
+        labels0 = jnp.arange(ns_pad, dtype=jnp.int32)
 
     def body(state):
         l, _, it = state
@@ -643,22 +666,23 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2):
         _, changed, it = state
         return changed & (it < max_sweeps)
 
-    labels, _, nit = jax.lax.while_loop(
+    labels, changed, _ = jax.lax.while_loop(
         cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
 
-    # final full path compression
+    # full path compression (idempotent; also run on intermediate chunks
+    # so a resumed fixed point starts from compressed labels)
     def ccond(l):
         return jnp.any(l != l[l])
 
     def cbody(l):
         return l[l[l]]
 
-    return jax.lax.while_loop(ccond, cbody, labels), nit
+    return jax.lax.while_loop(ccond, cbody, labels), changed
 
 
 @partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps"))
 def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
-                  max_sweeps: int = 64):
+                  max_sweeps: int = 64, labels0=None):
     sweep = _make_sweep_3d(ns_pad, b2)
 
     def sweep_fn(labels):
@@ -668,12 +692,12 @@ def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
         nm = sweep(ctx.ranges, merged, merged)
         return nm[0]
 
-    return _fixpoint(sweep_fn, ctx, max_sweeps)
+    return _fixpoint(sweep_fn, ctx, max_sweeps, labels0=labels0)
 
 
 @partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps"))
 def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
-                  b2: float, max_sweeps: int = 64):
+                  b2: float, max_sweeps: int = 64, labels0=None):
     """``groups_orig``/``vscale2_orig`` indexed by ORIGINAL particle id."""
     sweep = _make_sweep_6d(ns_pad, 1.0 / b2)
     safe_src = jnp.where(ctx.src >= 0, ctx.src, 0)
@@ -690,16 +714,16 @@ def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
         jax.lax.bitcast_convert_type(ctx.cols_v[0:3], jnp.int32),
         jax.lax.bitcast_convert_type(ivs_pad, jnp.int32)[None, :],
         grp_pad[None, :],
-        jnp.full((1, ns_pad + CH), BIG_I32, jnp.int32),
-        jnp.zeros((7, ns_pad + CH), jnp.int32),    # 8-tile row alignment
-    ], axis=0)                                     # (16, ns_pad + CH)
+    ], axis=0)                                     # (8, ns_pad + CH)
 
     def sweep_fn(labels):
-        merged = base.at[8, :ns_pad].set(labels)
-        nm = sweep(ctx.ranges, merged, merged)
+        lab_col = jnp.concatenate(
+            [labels, jnp.full(CH, BIG_I32, jnp.int32)])[None, :]
+        rlab = labels[None, :]
+        nm = sweep(ctx.ranges, base, rlab, base, lab_col)
         return nm[0]
 
-    return _fixpoint(sweep_fn, ctx, max_sweeps)
+    return _fixpoint(sweep_fn, ctx, max_sweeps, labels0=labels0)
 
 
 @partial(jax.jit, static_argnames=("n", "min_size"))
@@ -824,18 +848,37 @@ class PallasFof:
         sub.grid = self.grid
         return sub
 
+    def _sweeps_per_dispatch(self) -> int:
+        # bound single-dispatch wall time: ~1.4 s per sweep per 17M slots
+        # on v5e, and dispatches beyond ~1 min get killed by the axon
+        # tunnel (production runtimes also preempt long programs)
+        return max(1, min(64, int(3e8) // max(self.ctx.ns_pad, 1)))
+
     def fof3d(self, linking_length: float, min_size: int):
-        labels, _ = _fof3d_labels(self.ctx, self.ctx.ns_pad,
-                                  float(linking_length) ** 2)
+        k = self._sweeps_per_dispatch()
+        labels = None
+        while True:
+            labels, changed = _fof3d_labels(
+                self.ctx, self.ctx.ns_pad, float(linking_length) ** 2,
+                max_sweeps=k, labels0=labels)
+            if not bool(jax.device_get(changed)):
+                break
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
 
     def fof6d(self, ell6d: float, groups_orig, vscale2_orig, min_size: int):
         if self.ctx.cols_v.shape[1] == 0:
             self.ctx = _fill_vel(self.ctx, self._vel)._replace(
                 n=self.ctx.n, ns_pad=self.ctx.ns_pad)
-        labels, _ = _fof6d_labels(self.ctx, jnp.asarray(groups_orig),
-                                  jnp.asarray(vscale2_orig, jnp.float32),
-                                  self.ctx.ns_pad, float(ell6d) ** 2)
+        groups_orig = jnp.asarray(groups_orig)
+        vscale2_orig = jnp.asarray(vscale2_orig, jnp.float32)
+        k = self._sweeps_per_dispatch()
+        labels = None
+        while True:
+            labels, changed = _fof6d_labels(
+                self.ctx, groups_orig, vscale2_orig, self.ctx.ns_pad,
+                float(ell6d) ** 2, max_sweeps=k, labels0=labels)
+            if not bool(jax.device_get(changed)):
+                break
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
 
     def check_overflow(self):
