@@ -64,6 +64,9 @@ def main():
     opt.MinSize = 20
     opt.HaloMinSize = 32
     opt.uinfo.unbindflag = 1
+    # the metric includes the field-halo unbind; the reference default is
+    # Bound_halos=0 (allvars.h:747), so request it explicitly
+    opt.iBoundHalos = 1
     opt.uinfo.Eratio = 1.0
     opt.G = 43.0211349
     opt.Omega_m, opt.Omega_Lambda = 0.3, 0.7

@@ -81,11 +81,21 @@ def test_catalog_match_detects_config_drift(snapshot):
     cfg = os.path.join(EXDIR, "sample_dmcosmological_run.cfg")
     outA = str(d / "runC")
     assert cli.main(["-C", cfg, "-i", fn, "-I", "1", "-o", outA]) == 0
-    # halve the linking length
-    text = open(cfg).read().replace("Halo_3D_linking_length=0.20",
-                                    "Halo_3D_linking_length=0.10")
+    # halve the linking length — parse the keyword programmatically so a
+    # cosmetic cfg edit cannot silently turn this into a no-op rewrite
+    base = C.parse_config_file(cfg)
+    lines, seen = [], False
+    for ln in open(cfg).read().splitlines():
+        key = ln.split("=", 1)[0].strip()
+        if key == "Halo_3D_linking_length":
+            ln = f"Halo_3D_linking_length={base.ellhalo3dxfac / 2}"
+            seen = True
+        lines.append(ln)
+    assert seen, "sample cfg lost its Halo_3D_linking_length keyword"
     cfg2 = str(d / "drift.cfg")
-    open(cfg2, "w").write(text)
+    open(cfg2, "w").write("\n".join(lines) + "\n")
+    drifted = C.parse_config_file(cfg2)
+    assert drifted.ellhalo3dxfac == base.ellhalo3dxfac / 2
     outB = str(d / "runD")
     assert cli.main(["-C", cfg2, "-i", fn, "-I", "1", "-o", outB]) == 0
     fab = CM.match_fraction(outA, outB, min_size=20)

@@ -161,6 +161,64 @@ def test_write_properties_and_catalogs(tmp_path):
     assert int(lines[0]) == n
 
 
+def test_write_binary_mode(tmp_path):
+    """Binary_output=1 writes the reference's RAW binary streams
+    (io.cxx:416-660: int32 task/nprocs header + uint64 counts + Int_t
+    arrays), not HDF5 (round-2 landmine: silent HDF5 under OUTBINARY)."""
+    opt = C.Options()
+    opt.ibinaryout = C.OUTBINARY
+    ng = 4
+    props = _dummy_props(ng)
+    out = str(tmp_path / "bincat")
+    cols = W.properties_table(opt, props, ng)
+    W.write_properties(opt, out, cols, ng)
+
+    raw = open(out + ".properties", "rb").read()
+    # NOT an HDF5 file
+    assert raw[:8] != b"\x89HDF\r\n\x1a\n"
+    task, nprocs = np.frombuffer(raw, np.int32, 2)
+    ngf, ngtot = np.frombuffer(raw, np.uint64, 2, offset=8)
+    hsize = int(np.frombuffer(raw, np.int32, 1, offset=24)[0])
+    assert (task, nprocs) == (0, 1)
+    assert ngf == ng and ngtot == ng
+    assert hsize == len(cols)
+    # payload size: per group, 8 bytes per column except 4 for Structuretype
+    rowbytes = 8 * (len(cols) - 1) + 4
+    assert len(raw) == 28 + ng * rowbytes
+    # first 8-byte field of row 0 is the halo ID
+    assert int(np.frombuffer(raw, np.int64, 1, offset=28)[0]) == \
+        int(cols["ID"][0])
+
+    n = 64
+    rng = np.random.default_rng(3)
+    pfof = rng.integers(0, ng + 1, n).astype(np.int32)
+    pids = np.arange(500, 500 + n)
+    ptype = np.ones(n, np.int32)
+    W.write_group_catalog(opt, out, pfof, pids, ng, ptype=ptype)
+    raw = open(out + ".catalog_groups", "rb").read()
+    assert raw[:8] != b"\x89HDF\r\n\x1a\n"
+    ngf = int(np.frombuffer(raw, np.uint64, 1, offset=8)[0])
+    assert ngf == ng
+    sizes = np.frombuffer(raw, np.int64, ng, offset=24)
+    assert sizes.sum() == (pfof > 0).sum()
+    assert len(raw) == 24 + 3 * 8 * ng
+    raw_p = open(out + ".catalog_particles", "rb").read()
+    nids = int(np.frombuffer(raw_p, np.uint64, 1, offset=8)[0])
+    got = np.frombuffer(raw_p, np.int64, nids, offset=24)
+    assert set(got) == set(pids[pfof > 0])
+    raw_t = open(out + ".catalog_parttypes", "rb").read()
+    ntyp = int(np.frombuffer(raw_t, np.uint64, 1, offset=8)[0])
+    assert ntyp == nids
+    assert len(raw_t) == 24 + 4 * ntyp       # int32 types (io.cxx:1100)
+
+    parent = np.array([0, 0, 1, 0, 2])
+    W.write_hierarchy(opt, out, parent, ng)
+    raw_h = open(out + ".hierarchy", "rb").read()
+    assert len(raw_h) == 24 + 2 * 8 * ng
+    pa = np.frombuffer(raw_h, np.int64, ng, offset=24 + 8 * ng)
+    assert pa[1] == 1 and pa[0] == -1
+
+
 def test_write_ascii_mode(tmp_path):
     opt = C.Options()
     opt.ibinaryout = C.OUTASCII

@@ -127,6 +127,7 @@ def test_reference_frame_minpot_changes_centre():
     opt.fofbgtype = C.FOF3D   # pure 3DFOF: cloud+core stay ONE group
     opt.ellphys = 2.0
     opt.uinfo.unbindflag = 1
+    opt.iBoundHalos = 1   # field-halo unbind supplies the potentials
     opt.uinfo.Eratio = 100.0   # keep everything bound
     # plain mass-weighted CM (the shrinking-sphere iteration would walk
     # the CM into the dense core, where the potential minimum also sits)

@@ -7,10 +7,11 @@ from ``PropDataHeader``, allvars.h:3305), ``WriteGroupCatalog``:377,
 the run metadata writers ``WriteVELOCIraptorConfig``:3658 (.configuration),
 ``WriteSimulationInfo``:3698 (.siminfo), ``WriteUnitInfo``:3737 (.units).
 
-Formats: HDF5 (``Binary_output=2``) and ASCII (``Binary_output=0``); the
-reference's raw-binary mode maps to HDF5 here (HDF is its production mode).
-Single-file output (the MPI per-rank ``name.N`` split collapses on a
-single-controller TPU run: File_id=0, Num_of_files=1).
+Formats: HDF5 (``Binary_output=2``), raw binary streams (``Binary_output=1``,
+matching the reference fwrite layout with Int_t = int64, the LONG_INT
+default), and ASCII (``Binary_output=0``).  Single-file output (the MPI
+per-rank ``name.N`` split collapses on a single-controller TPU run:
+File_id=0, Num_of_files=1).
 """
 
 from __future__ import annotations
@@ -21,6 +22,18 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..utils import config as C
+
+
+_INT_T = np.int64     # reference Int_t under VR_LONG_INT (CMakeLists.txt:43)
+
+
+def _bin_header(f, *counts):
+    """Raw-binary file header: int32 ThisTask, int32 NProcs, then the given
+    64-bit counts (reference io.cxx:440-444 and siblings; single-controller
+    run => task 0 of 1)."""
+    np.asarray([0, 1], np.int32).tofile(f)
+    for c in counts:
+        np.asarray([c], np.uint64).tofile(f)
 
 
 def _halo_ids(ngroups: int, snapshotvalue: int) -> np.ndarray:
@@ -262,7 +275,7 @@ def _file_header_attrs(opt: C.Options, ngroups: int) -> Dict[str, np.ndarray]:
 def write_properties(opt: C.Options, outname: str, cols: Dict[str, np.ndarray],
                      ngroups: int):
     """.properties file (reference WriteProperties, io.cxx:1570)."""
-    if opt.ibinaryout == C.OUTHDF or opt.ibinaryout == C.OUTBINARY:
+    if opt.ibinaryout == C.OUTHDF:
         import h5py
 
         with h5py.File(f"{outname}.properties", "w") as f:
@@ -270,6 +283,28 @@ def write_properties(opt: C.Options, outname: str, cols: Dict[str, np.ndarray],
                 f.create_dataset(k, data=v)
             for k, v in cols.items():
                 f.create_dataset(k, data=v)
+    elif opt.ibinaryout == C.OUTBINARY:
+        # raw stream (reference io.cxx:1573-1580 + PropData::WriteBinary,
+        # allvars.h:2291): header ints + 64-bit group counts + int32 column
+        # count, then per-group packed values in PropDataHeader column
+        # order — 8-byte ids/counts, 4-byte Structuretype, float64 values
+        def _bdt(k, a):
+            if k == "Structuretype":
+                return np.uint32
+            return _INT_T if np.issubdtype(a.dtype, np.integer) \
+                else np.float64
+
+        keys = list(cols.keys())
+        rec = np.dtype([(k, _bdt(k, np.asarray(cols[k])))
+                        for k in keys])
+        table = np.zeros(ngroups, rec)
+        for k in keys:
+            table[k] = np.asarray(cols[k])
+        with open(f"{outname}.properties", "wb") as f:
+            np.asarray([0, 1], np.int32).tofile(f)
+            np.asarray([ngroups, ngroups], np.uint64).tofile(f)
+            np.asarray([len(keys)], np.int32).tofile(f)
+            table.tofile(f)
     else:
         # reference ASCII layout (io.cxx:1699-1727): "task nprocs" /
         # "ng ngtot" / name(i) header items each followed by a space /
@@ -336,7 +371,28 @@ def write_group_catalog(opt: C.Options, outname: str, pfof: np.ndarray,
     typ_bound = ptype[perm[bound]] if ptype is not None else None
     typ_unbound = ptype[perm[~bound]] if ptype is not None else None
 
-    if opt.ibinaryout in (C.OUTHDF, C.OUTBINARY):
+    if opt.ibinaryout == C.OUTBINARY:
+        # reference io.cxx:416-646: .catalog_groups = header + sizes +
+        # bound offsets + unbound offsets; .catalog_particles(.unbound) =
+        # header + Int_t ids; .catalog_parttypes(.unbound) = header +
+        # int32 types (io.cxx:1048-1141)
+        with open(f"{outname}.catalog_groups", "wb") as f:
+            _bin_header(f, ngroups, ngroups)
+            sizes.astype(_INT_T).tofile(f)
+            off_bound.astype(_INT_T).tofile(f)
+            off_unbound.astype(_INT_T).tofile(f)
+        for nm, pidlist in ((".catalog_particles", pid_bound),
+                            (".catalog_particles.unbound", pid_unbound)):
+            with open(outname + nm, "wb") as f:
+                _bin_header(f, len(pidlist), len(pidlist))
+                pidlist.astype(_INT_T).tofile(f)
+        if ptype is not None:
+            for nm, tl in ((".catalog_parttypes", typ_bound),
+                           (".catalog_parttypes.unbound", typ_unbound)):
+                with open(outname + nm, "wb") as f:
+                    _bin_header(f, len(tl), len(tl))
+                    tl.astype(np.int32).tofile(f)
+    elif opt.ibinaryout == C.OUTHDF:
         import h5py
 
         with h5py.File(f"{outname}.catalog_groups", "w") as f:
@@ -402,7 +458,14 @@ def write_hierarchy(opt: C.Options, outname: str, parent: np.ndarray,
             nsubs[p] += 1
     parent_out = np.where(parent[1:ngroups + 1] > 0,
                           parent[1:ngroups + 1], -1).astype(np.int64)
-    if opt.ibinaryout in (C.OUTHDF, C.OUTBINARY):
+    if opt.ibinaryout == C.OUTBINARY:
+        # reference WriteHierarchy standalone-file branch (io.cxx:3282+):
+        # header + nsub[1..ng] + parentgid[1..ng], Int_t streams
+        with open(f"{outname}.hierarchy", "wb") as f:
+            _bin_header(f, ngroups, ngroups)
+            nsubs[1:].astype(_INT_T).tofile(f)
+            parent_out.astype(_INT_T).tofile(f)
+    elif opt.ibinaryout == C.OUTHDF:
         import h5py
 
         with h5py.File(f"{outname}.hierarchy", "w") as f:
@@ -427,7 +490,16 @@ def write_so_catalog(opt: C.Options, outname: str, so_offsets: np.ndarray,
     within each halo's largest SO sphere, CSR (Offset + SO_Size + IDs)."""
     sizes = np.diff(so_offsets).astype(np.uint32)
     spids = pids[so_indices]
-    if opt.ibinaryout in (C.OUTHDF, C.OUTBINARY):
+    if opt.ibinaryout == C.OUTBINARY:
+        # reference WriteSOCatalog binary (io.cxx:1209-1420): 6-value
+        # header (task, nprocs, ng, ngtot, nSOids, nSOidstot) + per-group
+        # sizes + offsets + particle ids, Int_t streams
+        with open(f"{outname}.catalog_SOlist", "wb") as f:
+            _bin_header(f, ngroups, ngroups, len(spids), len(spids))
+            sizes.astype(_INT_T).tofile(f)
+            so_offsets[:-1].astype(_INT_T).tofile(f)
+            spids.astype(_INT_T).tofile(f)
+    elif opt.ibinaryout == C.OUTHDF:
         import h5py
 
         with h5py.File(f"{outname}.catalog_SOlist", "w") as f:
@@ -466,7 +538,18 @@ def write_profiles(opt: C.Options, outname: str, props: Dict[str, np.ndarray],
     edges = np.asarray(opt.profile_bin_edges, np.float64)
     hostid_out = (hostid[g].astype(np.int64) if hostid is not None
                   else np.full(ngroups, -1, np.int64))
-    if opt.ibinaryout in (C.OUTHDF, C.OUTBINARY):
+    if opt.ibinaryout == C.OUTBINARY:
+        # reference binary header (io.cxx:2779-2790); the reference's own
+        # per-group binary profile write is a commented-out stub, so the
+        # data section here (mass profile float64 rows + Int_t count rows)
+        # is this repo's documented completion of that layout
+        with open(f"{outname}.profiles", "wb") as f:
+            _bin_header(f, ngroups, ngroups, ngroups, ngroups)
+            np.asarray([opt.iprofilenorm, len(edges)], np.int32).tofile(f)
+            edges.astype(np.float64).tofile(f)
+            mprof.astype(np.float64).tofile(f)
+            nprof.astype(_INT_T).tofile(f)
+    elif opt.ibinaryout == C.OUTHDF:
         import h5py
 
         with h5py.File(f"{outname}.profiles", "w") as f:

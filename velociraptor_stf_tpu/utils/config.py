@@ -338,11 +338,11 @@ class Options:
     HaloLocalSigmaV: float = 0.0
     fmergebg: float = 0.5
     iSingleHalo: int = 0
-    # deviation from the reference default (allvars.h: iBoundHalos=0): the
-    # standalone field-halo unbind stage runs by default here (the repo's
-    # headline FOF+6DFOF+unbind pipeline); Bound_halos=0 restores the
-    # reference behaviour of unbinding only substructures
-    iBoundHalos: int = 1
+    # reference default (allvars.h:747): field halos are NOT themselves
+    # unbound unless Bound_halos>=1 (substructure candidates are always
+    # unbound inside the recursion, search.cxx:702); the bench sets
+    # Bound_halos=1 explicitly since its metric includes the unbind stage
+    iBoundHalos: int = 0
     iInclusiveHalo: int = 0
     iKeepFOF: int = 0
     num3dfof: int = 0
