@@ -89,9 +89,21 @@ def main():
         ptype = np.where(np.arange(n) % 6 == 5, 0, 1).astype(np.int32)
     C.config_check(opt)
 
+    # multi-chip: shard the metric path over all local devices (VR_MESH
+    # overrides; single-chip benches keep mesh=None and its zero overhead)
+    mesh = None
+    nchips = 1
+    want = os.environ.get("VR_MESH")
+    ndev = jax.device_count() if want is None else min(int(want),
+                                                       jax.device_count())
+    if ndev > 1:
+        from velociraptor_stf_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(ndev)
+        nchips = ndev
+
     def run_once():
         return find_structures(opt, pos, vel, mass, boxsize=boxsize,
-                               ptype=ptype)
+                               ptype=ptype, mesh=mesh)
 
     # warmup (compile; run twice so every data-dependent shape branch is
     # compiled before timing)
@@ -114,7 +126,6 @@ def main():
     # best rep: a rep polluted by residual jit compiles (cold persistent
     # cache) misstates steady-state throughput
     dt = float(np.min(metric_times))
-    nchips = 1  # bench runs single-chip
     value = n / dt / nchips
     target = 1024 ** 3 / 16 / 60.0  # north-star particles/sec/chip
     print(json.dumps({

@@ -176,6 +176,24 @@ def read_snapshot(opt: C.Options):
             boxsize if boxsize > 0 else None, extras)
 
 
+def _auto_mesh():
+    """Device mesh for the run: all local devices when more than one (the
+    TPU analog of launching the reference under mpirun, main.cxx:33); the
+    VR_MESH env var overrides (0/1 = force single-device, N = first N
+    devices)."""
+    import jax
+
+    want = os.environ.get("VR_MESH")
+    ndev = jax.device_count()
+    if want is not None:
+        ndev = min(int(want), ndev)
+    if ndev <= 1:
+        return None
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(ndev)
+
+
 def run(opt: C.Options) -> pipeline.CatalogResult:
     """Full standalone run: read, search, write (reference main())."""
     import os
@@ -185,13 +203,17 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
     timer = PhaseTimer(verbose=opt.iverbose)
     with timer.phase("read"):
         pos, vel, pids, ptype, mass, boxsize, extras = read_snapshot(opt)
+    mesh = _auto_mesh()
+    if mesh is not None and opt.iverbose:
+        print(f"Running sharded over {mesh.devices.size} devices")
     # VR_PROFILE=<dir>: jax.profiler trace of the compute pipeline
     # (SURVEY.md §5 — the structured replacement for the reference's
     # TIME:: wall-clock lines)
     with profile_trace(os.environ.get("VR_PROFILE")):
         res = pipeline.find_structures(opt, pos, vel, mass,
                                        boxsize=boxsize,
-                                       ptype=ptype, extras=extras)
+                                       ptype=ptype, extras=extras,
+                                       mesh=mesh)
     for k, v in res.timings.items():
         timer.record(k, v)
 

@@ -285,6 +285,69 @@ def search_full_set(opt: C.Options, pos, vel, mass,
     return _finish_6d(opt, pfof3, ng3, pfof6, ng6, vs_per_particle, minsize)
 
 
+def search_full_set_sharded(opt: C.Options, pos, vel, mass, boxsize: float,
+                            mesh) -> FieldSearchResult:
+    """Field halo search over a device mesh (the integrated sharded analog
+    of ``search_full_set``): SlabPlan slab decomposition + ppermute ghost
+    exchange for the 3DFOF and 6DFOF label fixed points
+    (parallel/distributed_fof.py), with per-group velocity scales reduced
+    across the mesh (the analog of the reference's MPI_Allreduce over
+    group bulk quantities, search.cxx:443-499).
+
+    Matches ``search_full_set`` semantics: same criteria, same
+    renumber-by-size group ids, same iKeepFOF envelope handling.
+    """
+    from ..parallel.distributed_fof import (SlabPlan, distributed_fof3d,
+                                            _velocity_scales_sharded)
+
+    pos_np = np.asarray(jax.device_get(pos))
+    minsize = opt.HaloMinSize if opt.HaloMinSize > 0 else opt.MinSize
+    b3d = opt.ellphys * opt.ellxscale * opt.ellhalophysfac
+    run6d = opt.fofbgtype in (C.FOF6D, C.FOF6DADAPTIVE)
+    # one plan serves both passes: cells must span the larger reach
+    reach = b3d * max(1.0, opt.ellhalo6dxfac if run6d else 1.0)
+    plan = SlabPlan(pos_np, reach, float(boxsize), mesh)
+    pfof3_np, ng3 = distributed_fof3d(pos_np, b3d, float(boxsize), mesh,
+                                      min_size=minsize, plan=plan)
+    pfof3 = jnp.asarray(pfof3_np)
+    if not (run6d and ng3 > 0):
+        return FieldSearchResult(pfof=pfof3, ngroups=ng3)
+
+    vel_np = np.asarray(jax.device_get(vel))
+    mass_np = np.asarray(jax.device_get(mass))
+    if (opt.fofbgtype == C.FOF6D and not opt.iKeepFOF
+            and opt.iVscaleReferenceBugCompat):
+        # the stray-statement accumulation depends on one specific particle
+        # (search.cxx:450) — no meaningful sharded reduction exists, so the
+        # single-device formula runs replicated
+        vscale2 = velocity_scale_largest_group(
+            jnp.asarray(vel_np), jnp.asarray(mass_np), pfof3, ng3 + 1,
+            opt.ellhalo6dvfac, bug_compat=True)
+        vs_pp_np = np.where(pfof3_np > 0,
+                            float(jax.device_get(vscale2)), 1.0)
+    else:
+        sig2 = _velocity_scales_sharded(plan, vel_np, mass_np, pfof3_np,
+                                        ng3)
+        fac2 = opt.ellhalo6dvfac ** 2
+        if opt.fofbgtype == C.FOF6D and not opt.iKeepFOF:
+            # single scale from the largest group (group 1 after the size
+            # renumber, matching velocity_scale_largest_group)
+            vs_pp_np = np.where(pfof3_np > 0,
+                                max(float(sig2[1]) * fac2, 1e-30), 1.0)
+        else:  # FOF6DADAPTIVE / iKeepFOF: per-group scales
+            vs_pp_np = np.where(
+                pfof3_np > 0,
+                np.maximum(sig2[np.clip(pfof3_np, 0, ng3)] * fac2, 1e-30),
+                1.0)
+
+    pfof6_np, ng6 = distributed_fof3d(
+        pos_np, b3d * opt.ellhalo6dxfac, float(boxsize), mesh,
+        min_size=minsize, vel=vel_np, vscale2=vs_pp_np, group=pfof3_np,
+        plan=plan)
+    return _finish_6d(opt, pfof3, ng3, jnp.asarray(pfof6_np), ng6,
+                      jnp.asarray(vs_pp_np.astype(np.float32)), minsize)
+
+
 def _finish_6d(opt: C.Options, pfof3, ng3: int, pfof6, ng6: int,
                vs_per_particle, minsize: int) -> FieldSearchResult:
     if opt.iKeepFOF:

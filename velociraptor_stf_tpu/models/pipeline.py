@@ -73,10 +73,30 @@ def _remap_hierarchy(gid_map: np.ndarray, ng_new: int, hostid, parent,
     return new_host, new_parent, new_level
 
 
+def _check_unbound(opt: C.Options, mesh, spos, svel, smass, pfof,
+                   ngpad: int, minsize: int, boxsize):
+    """Unbind dispatch: the mesh-sharded whole-groups-per-device path
+    (parallel/distributed_unbind.py, the analog of MPIGroupExchange +
+    per-rank CheckUnboundGroups) when a mesh is given, else the
+    single-device path.  Both share _finalize_unbind semantics."""
+    if mesh is not None:
+        from ..parallel.distributed_unbind import distributed_unbind
+
+        return distributed_unbind(
+            np.asarray(jax.device_get(spos)),
+            np.asarray(jax.device_get(svel)),
+            np.asarray(jax.device_get(smass)),
+            np.asarray(jax.device_get(pfof)), ngpad, opt.uinfo, opt.G,
+            mesh, boxsize=boxsize, min_size=minsize)
+    return unbind_mod.check_unbound_groups(
+        spos, svel, smass, pfof, ngpad, opt.uinfo, opt.G,
+        boxsize=boxsize, min_size=minsize)
+
+
 def find_structures(opt: C.Options, pos, vel, mass,
                     boxsize: Optional[float] = None,
-                    ptype=None, extras: Optional[Dict] = None
-                    ) -> CatalogResult:
+                    ptype=None, extras: Optional[Dict] = None,
+                    mesh=None) -> CatalogResult:
     """Run field search [+ unbinding] [+ substructure] [+ baryons]
     [+ properties]; the ``main()`` path (reference main.cxx:20-544).
 
@@ -84,6 +104,14 @@ def find_structures(opt: C.Options, pos, vel, mass,
     runs on the dark matter subset and gas/star/BH particles are then
     associated in phase space and included in a combined unbinding pass
     (reference SearchBaryons, search.cxx:3053; main.cxx:397).
+
+    With ``mesh`` (a jax.sharding.Mesh), the pipeline runs SHARDED — the
+    integrated analog of the reference's MPI ``main()`` path
+    (main.cxx:33-540 + mpiroutines.cxx): slab-decomposed FOF/6DFOF with
+    ppermute ghost exchange, mesh-reduced velocity scales, whole-groups-
+    per-device unbinding, structure-batch-sharded recursion, and psum'd SO
+    histograms.  Catalogs match the single-device run (the property stage
+    runs on the group-compacted subset, which is group-local work).
     """
     timings: Dict[str, float] = {}
     units.calc_cosmo_params(opt, opt.a)
@@ -119,8 +147,12 @@ def find_structures(opt: C.Options, pos, vel, mass,
         pfof3d_np = None
         num3dfof_host, parent3d_host = 0, None
     else:
-        fres = halos.search_full_set(opt, spos, svel, smass,
-                                     boxsize=boxsize)
+        if mesh is not None and boxsize:
+            fres = halos.search_full_set_sharded(opt, spos, svel, smass,
+                                                 boxsize, mesh)
+        else:
+            fres = halos.search_full_set(opt, spos, svel, smass,
+                                         boxsize=boxsize)
         pfof, ng = fres.pfof, fres.ngroups
         jax.block_until_ready(pfof)
     timings["fof"] = time.time() - t0
@@ -163,9 +195,8 @@ def find_structures(opt: C.Options, pos, vel, mass,
     if opt.uinfo.unbindflag and ng > 0 and opt.iBoundHalos >= 1:
         t0 = time.time()
         minsize = opt.HaloMinSize if opt.HaloMinSize > 0 else opt.MinSize
-        ures = unbind_mod.check_unbound_groups(
-            spos, svel, smass, pfof, _pad_pow2(ng), opt.uinfo, opt.G,
-            boxsize=boxsize, min_size=minsize)
+        ures = _check_unbound(opt, mesh, spos, svel, smass, pfof,
+                              _pad_pow2(ng), minsize, boxsize)
         pfof, ng, W = ures.pfof, ures.ngroups, ures.W
         gid_map = ures.gid_map
         jax.block_until_ready(pfof)
@@ -177,7 +208,8 @@ def find_structures(opt: C.Options, pos, vel, mass,
         from . import substructure as sub_mod
 
         pfof, ng, hostid, parent, level = sub_mod.search_sub_sub(
-            opt, spos, svel, smass, np.asarray(pfof), ng, boxsize=boxsize)
+            opt, spos, svel, smass, np.asarray(pfof), ng, boxsize=boxsize,
+            mesh=mesh)
         pfof = jnp.asarray(pfof)
         timings["substructure"] = time.time() - t0
 
@@ -194,9 +226,9 @@ def find_structures(opt: C.Options, pos, vel, mass,
             pfof_h = np.where(halo_of_p, pfof_np_, 0).astype(np.int32)
             minsize = opt.HaloMinSize if opt.HaloMinSize > 0 \
                 else opt.MinSize
-            ures = unbind_mod.check_unbound_groups(
-                spos, svel, smass, jnp.asarray(pfof_h), _pad_pow2(ng),
-                opt.uinfo, opt.G, boxsize=boxsize, min_size=minsize)
+            ures = _check_unbound(opt, mesh, spos, svel, smass,
+                                  jnp.asarray(pfof_h), _pad_pow2(ng),
+                                  minsize, boxsize)
             gm_h = np.asarray(jax.device_get(ures.gid_map))[:ng + 1]
             ng_h = ures.ngroups
             # combined old->new id map: surviving halos 1..ng_h, then the
@@ -245,9 +277,8 @@ def find_structures(opt: C.Options, pos, vel, mass,
         # combined unbinding with baryons attached (reference search.cxx:
         # 3500+: SearchBaryons re-runs CheckUnboundGroups on the full set)
         if opt.uinfo.unbindflag and ng > 0:
-            ures = unbind_mod.check_unbound_groups(
-                pos, vel, mass, pfof, _pad_pow2(ng), opt.uinfo, opt.G,
-                boxsize=boxsize, min_size=opt.MinSize)
+            ures = _check_unbound(opt, mesh, pos, vel, mass, pfof,
+                                  _pad_pow2(ng), opt.MinSize, boxsize)
             pfof, W = ures.pfof, ures.W
             gm = np.asarray(ures.gid_map)
             if parent is not None:
@@ -440,7 +471,7 @@ def find_structures(opt: C.Options, pos, vel, mass,
         so_offsets, so_indices = _so_stage(
             opt, pos, vel, mass, props_np, ng, hostid, boxsize,
             pfof_fof=pfof_fof, ng_fof=ng_fof, gid_map=gid_map, W=W,
-            pfof=pfof)
+            pfof=pfof, mesh=mesh)
         timings["so"] = time.time() - t0
 
     return CatalogResult(
@@ -458,7 +489,7 @@ _SO_KEYS = ("gMvir", "gRvir", "gM200c", "gR200c", "gM200m", "gR200m",
 
 def _so_stage(opt: C.Options, pos, vel, mass, props_np, ng: int,
               hostid, boxsize, *, pfof_fof=None, ng_fof=0, gid_map=None,
-              W=None, pfof=None):
+              W=None, pfof=None, mesh=None):
     """Inclusive / all-particle spherical-overdensity masses for field halos.
 
     ``Inclusive_halo_masses`` semantics (reference allvars.h:520 + main.cxx
@@ -511,9 +542,21 @@ def _so_stage(opt: C.Options, pos, vel, mass, props_np, ng: int,
             (opt.SphericalOverdensityMinHaloFac * num + 1).astype(np.int32),
             int(minsize * opt.SphericalOverdensityMinHaloFac + 1))
         mmin = float(jax.device_get(jnp.min(jnp.asarray(mass))))
-        M, R = so_ops.so_masses_all_particles(
-            pos, mass, centers, rsearch, lnthr, boxsize=boxsize,
-            minnum=minnum, first_mass=np.full(len(field_sel), mmin))
+        if mesh is not None:
+            # psum'd per-(halo, radius-bin) histograms over the mesh (the
+            # analog of the reference's halo-region import,
+            # mpiroutines.cxx:1723-2165); same crossing semantics
+            from ..parallel.distributed_so import distributed_so_masses
+
+            M, R = distributed_so_masses(
+                np.asarray(jax.device_get(pos)),
+                np.asarray(jax.device_get(mass)), centers, rsearch, lnthr,
+                mesh, boxsize=boxsize, minnum=minnum,
+                first_mass=np.full(len(field_sel), mmin))
+        else:
+            M, R = so_ops.so_masses_all_particles(
+                pos, mass, centers, rsearch, lnthr, boxsize=boxsize,
+                minnum=minnum, first_mass=np.full(len(field_sel), mmin))
         for i, (mk, rk) in enumerate(key_of):
             props_np[mk][field_sel] = M[:, i]
             props_np[rk][field_sel] = R[:, i]

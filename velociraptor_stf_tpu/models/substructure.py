@@ -1032,13 +1032,19 @@ def _search_subset_batch(opt: C.Options, entries: List[dict],
 
 
 def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
-                   boxsize: Optional[float] = None):
+                   boxsize: Optional[float] = None, mesh=None):
     """Recursive substructure search (reference SearchSubSub,
     search.cxx:2480-2946).
 
     Returns (pfof, ngroups_total, hostid, parentgid, level) where the per-
     group arrays are indexed by group id (entry 0 unused; hostid=-1 for
     field objects, reference GetHierarchy semantics).
+
+    With ``mesh``, the same-size structure-class batches are sharded over
+    the device mesh (whole structures per device,
+    parallel/distributed_substructure.py — the analog of the reference's
+    per-rank SearchSubSub over locally-owned halos); results are
+    bit-exact vs the single-device batch by construction.
     """
     pos = np.asarray(pos)
     vel = np.asarray(vel)
@@ -1179,7 +1185,13 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                 byn.setdefault(e["npad"], []).append(e)
             for entries in byn.values():
                 if len(entries) >= 2:
-                    _search_subset_batch(opt, entries)
+                    if mesh is not None:
+                        from ..parallel.distributed_substructure import \
+                            distributed_subset_batch
+
+                        distributed_subset_batch(opt, entries, mesh)
+                    else:
+                        _search_subset_batch(opt, entries)
 
         # pass 3: per-structure search / cores / merges / unbind
         for e in prep:
