@@ -97,6 +97,59 @@ def test_sharded_pipeline_with_recursion_matches():
 
 
 @pytest.mark.slow
+def test_fof_epilogue_scales_on_device():
+    """10^7 particles / 10^6 roots: the distributed-FOF renumber epilogue
+    is a device program (round-2 weakness: a Python root-walk here cost
+    minutes of host time)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from velociraptor_stf_tpu.parallel.distributed_fof import _fof_epilogue
+
+    n = 10_000_000
+    ndev = 8
+    npad = n // ndev
+    gid = jnp.arange(n, dtype=jnp.int32).reshape(ndev, npad)
+    # components of 10 consecutive particles; raw label = min member index
+    labels = (jnp.arange(n, dtype=jnp.int32) // 10 * 10).reshape(ndev, npad)
+    t0 = time.time()
+    pfof, ng = _fof_epilogue(labels, gid, n, 8)
+    pfof_np = np.asarray(jax.device_get(pfof))
+    dt = time.time() - t0
+    assert int(ng) == n // 10
+    # members of one component share one group id
+    assert (pfof_np[:10] == pfof_np[0]).all() and pfof_np[0] > 0
+    assert (pfof_np[10:20] == pfof_np[10]).all()
+    assert pfof_np[10] != pfof_np[0]
+    assert dt < 60, f"epilogue took {dt:.1f}s"
+
+
+def test_group_assignment_balanced_and_vectorised():
+    """Serpentine size-balanced assignment: 10^6 groups in well under a
+    second (no per-group argmin walk), loads within 1.5x of ideal."""
+    import time
+
+    from velociraptor_stf_tpu.parallel.distributed_unbind import \
+        assign_groups_lpt
+
+    rng = np.random.default_rng(5)
+    ng = 1_000_000
+    sizes = np.concatenate(
+        [[0], (20 * (1 + rng.pareto(1.8, ng))).astype(np.int64)])
+    t0 = time.time()
+    dev_of = assign_groups_lpt(sizes, 8)
+    dt = time.time() - t0
+    load = np.bincount(dev_of[1:], weights=sizes[1:], minlength=8)
+    ideal = sizes[1:].sum() / 8
+    assert load.max() < 1.5 * ideal + sizes.max()
+    assert dt < 5, f"assignment took {dt:.2f}s"
+    # deterministic
+    assert (assign_groups_lpt(sizes, 8) == dev_of).all()
+
+
+@pytest.mark.slow
 def test_cli_sharded_end_to_end_catalogs_match(tmp_path, monkeypatch):
     """Full CLI (read -> sharded search -> write) on the 8-virtual-device
     mesh vs the single-device run: catalog match 1.0 both ways

@@ -445,25 +445,26 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
         out_specs=(P(PARTS_AXIS), P(PARTS_AXIS)))
     labels_b, gid_out = jax.jit(mapped)(pos_b, gid_b, valid_b, pay_b, grp_b)
 
-    labels_flat = np.asarray(jax.device_get(labels_b)).reshape(-1)
-    gid_flat = np.asarray(jax.device_get(gid_out)).reshape(-1)
-    ok = gid_flat < n
-    # scatter to original particle order; labels are min global ids
-    raw = np.zeros(n, np.int64)
-    raw[gid_flat[ok]] = labels_flat[ok]
-    # renumber by size (same semantics as fof.renumber_by_size)
-    roots, counts_r = np.unique(raw, return_counts=True)
-    eligible = counts_r >= min_size
-    sel = np.argsort(np.where(eligible, -counts_r, 0), kind="stable")
-    gid_of_root = np.zeros(len(roots), np.int64)
-    ngroups = int(eligible.sum())
-    rank = 0
-    for s in sel:
-        if eligible[s]:
-            rank += 1
-            gid_of_root[s] = rank
-    pfof = gid_of_root[np.searchsorted(roots, raw)]
-    return pfof.astype(np.int32), ngroups
+    # DEVICE-SIDE epilogue (round-2 weakness: a Python root-walk + host
+    # scatter here cost minutes at 10^9 scale): scatter the converged min-
+    # global-id labels to original particle order and renumber by size with
+    # the shared fof.renumber_by_size program — raw labels ARE root indices
+    # (every member carries its component's min global id), exactly the
+    # label form renumber_by_size consumes.
+    pfof_d, ng_d = _fof_epilogue(labels_b, gid_out, n, min_size)
+    return (np.asarray(jax.device_get(pfof_d)),
+            int(jax.device_get(ng_d)))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _fof_epilogue(labels_b, gid_out, n: int, min_size):
+    """Scatter block labels to original order + size renumber, on device
+    (the analog of MPICompileGroups, mpiroutines.cxx:2818)."""
+    labels_flat = labels_b.reshape(-1)
+    gid_flat = gid_out.reshape(-1)
+    raw = jnp.zeros(n, jnp.int32).at[gid_flat].set(labels_flat,
+                                                   mode="drop")
+    return fof.renumber_by_size(raw, min_size)
 
 
 def distributed_fof6d(pos, vel, mass, linking_length: float,

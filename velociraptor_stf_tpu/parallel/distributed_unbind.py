@@ -40,18 +40,24 @@ _CHUNK = 512
 
 
 def assign_groups_lpt(sizes: np.ndarray, ndev: int) -> np.ndarray:
-    """Greedy longest-processing-time assignment: group id -> device.
+    """Size-balanced group -> device assignment, fully vectorised.
 
-    ``sizes``: (ng+1,) member counts (entry 0 ignored).  Deterministic:
-    ties broken by device index, groups scanned largest-first."""
+    Groups sorted largest-first are dealt in SERPENTINE rounds
+    (0..ndev-1, ndev-1..0, ...), the closed-form cousin of greedy LPT:
+    each device receives one group per round, and the direction flip
+    pairs every round's largest remainder with the previous round's
+    lightest device.  O(ng log ng) with no Python loop (the round-2
+    per-group argmin walk was minutes of host time at 10^6 groups).
+    Results are assignment-independent — unbinding is per-group local —
+    so only balance matters.  ``sizes``: (ng+1,) counts (entry 0
+    ignored)."""
     ng = len(sizes) - 1
-    dev_of = np.zeros(ng + 1, np.int32)
-    load = np.zeros(ndev, np.int64)
     order = np.argsort(-sizes[1:], kind="stable") + 1
-    for g in order:
-        d = int(np.argmin(load))
-        dev_of[g] = d
-        load[d] += sizes[g]
+    k = np.arange(ng, dtype=np.int64)
+    pos = k % ndev
+    dev = np.where((k // ndev) % 2 == 0, pos, ndev - 1 - pos)
+    dev_of = np.zeros(ng + 1, np.int32)
+    dev_of[order] = dev.astype(np.int32)
     return dev_of
 
 
@@ -209,13 +215,18 @@ def distributed_unbind(pos, vel, mass, pfof, num_groups: int,
 
     # local group ids: densely renumber each device's groups 1..k_d in
     # global-id order (deterministic; ejection order matches single-device)
-    k_of_dev = np.zeros(ndev, np.int64)
+    # — vectorised rank-within-device (no per-group Python loop)
+    gsel = np.nonzero(sizes)[0]                 # ascending global gid
+    d_of = dev_of[gsel]
+    k_of_dev = np.bincount(d_of, minlength=ndev).astype(np.int64)
+    dstart = np.zeros(ndev, np.int64)
+    dstart[1:] = np.cumsum(k_of_dev)[:-1]
+    gorder = np.argsort(d_of, kind="stable")    # stable: keeps gid order
+    rank_in_dev = np.empty(len(gsel), np.int64)
+    rank_in_dev[gorder] = np.arange(len(gsel)) - dstart[d_of[gorder]]
     gid_local = np.zeros(num_groups + 1, np.int32)
-    for g in np.nonzero(sizes)[0]:
-        d = dev_of[g]
-        k_of_dev[d] += 1
-        gid_local[g] = k_of_dev[d]
-    ng_loc = int(k_of_dev.max())
+    gid_local[gsel] = (rank_in_dev + 1).astype(np.int32)
+    ng_loc = int(k_of_dev.max()) if len(gsel) else 0
 
     # block packing: tagged particles sorted by (device, local gid, index)
     key = dev_p.astype(np.int64) * (num_groups + 2) + gid_local[pfof_np]
