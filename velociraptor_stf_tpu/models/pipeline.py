@@ -274,6 +274,13 @@ def find_structures(opt: C.Options, pos, vel, mass,
         pfof_full[dmi] = np.asarray(pfof)
         pfof_full[bi] = np.asarray(grp_b)
         pfof = jnp.asarray(pfof_full)
+        if W is not None:
+            # field-unbind potentials live on the DM subset; expand to the
+            # full set (overwritten when the combined re-unbind runs, but
+            # it is skipped when every group dissolved)
+            W_full = np.zeros(pos.shape[0], np.asarray(W).dtype)
+            W_full[dmi] = np.asarray(jax.device_get(W))
+            W = jnp.asarray(W_full)
         # combined unbinding with baryons attached (reference search.cxx:
         # 3500+: SearchBaryons re-runs CheckUnboundGroups on the full set)
         if opt.uinfo.unbindflag and ng > 0:
