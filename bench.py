@@ -135,8 +135,13 @@ def main():
         "vs_baseline": round(value / target, 4),
     }))
     if os.environ.get("VR_BENCH_VERBOSE"):
+        from velociraptor_stf_tpu.utils import telemetry
+
         print(json.dumps({"n": n, "ngroups": res.ngroups,
                           "times": times, "timings": res.timings}))
+        # silent-fallback counters: batched-vs-sequential recursion work,
+        # Pallas compile/capacity fallbacks (round-2 weakness #4)
+        print(telemetry.report())
 
 
 if __name__ == "__main__":

@@ -431,3 +431,50 @@ def test_search_sub_sub_batched_matches_sequential(monkeypatch):
     np.testing.assert_array_equal(out[2], ref[2])        # hostid
     np.testing.assert_array_equal(out[3], ref[3])        # parent
     np.testing.assert_array_equal(out[4], ref[4])        # level
+
+
+def test_fallback_counters_track_batched_vs_sequential(monkeypatch):
+    """The de-batching decisions are SURFACED (round-2 weakness: a
+    pathological box could lose the whole batching win silently): the
+    telemetry counters record how many structures ran batched vs
+    sequential."""
+    from velociraptor_stf_tpu.utils import telemetry
+
+    halos = []
+    for k in range(3):
+        p, v, m, _ = host_with_subhalo(seed=20 + k, nhost=3000, nsub=400)
+        p = p + np.array([4.0 * k, 0.0, 0.0], np.float32)
+        halos.append((p, v, m))
+    pos = np.concatenate([h[0] for h in halos])
+    vel = np.concatenate([h[1] for h in halos])
+    mass = np.concatenate([h[2] for h in halos])
+    pfof = np.concatenate([np.full(len(h[0]), k + 1, np.int32)
+                           for k, h in enumerate(halos)])
+
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = 0.25
+    opt.iiterflag = 1
+    opt.ellthreshold = 2.5
+    opt.Vratio = 2.0
+    opt.thetaopen = 0.10
+    opt.ellfac = 1.0
+    opt.MinSize = 20
+    opt.uinfo.unbindflag = 0
+    opt.G = G
+
+    monkeypatch.setenv("VR_SUBSET_BATCH", "1")
+    telemetry.reset()
+    S.search_sub_sub(opt, pos, vel, mass, pfof.copy(), 3)
+    snap = telemetry.snapshot()
+    assert snap.get("subset_batched_structures", 0) >= 3
+    assert snap.get("subset_batched_particles", 0) > 0
+
+    monkeypatch.setenv("VR_SUBSET_BATCH", "0")
+    telemetry.reset()
+    S.search_sub_sub(opt, pos, vel, mass, pfof.copy(), 3)
+    snap = telemetry.snapshot()
+    assert snap.get("subset_batched_structures", 0) == 0
+    assert snap.get("subset_sequential_structures", 0) >= 3
+    assert "none" not in telemetry.report()
+    telemetry.reset()

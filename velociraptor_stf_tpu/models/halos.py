@@ -38,6 +38,7 @@ import numpy as np
 
 from ..ops import fof, pallas_fof, segments
 from ..utils import config as C
+from ..utils import telemetry
 
 
 def _pred_unit6d_samegroup(d2, own, nbr):
@@ -132,6 +133,7 @@ def _search_full_set_pallas(opt: C.Options, pos, vel, mass, boxsize,
     n = pos.shape[0]
     pf = pallas_fof.PallasFof(pos, vel, boxsize, reach)
     if pf.check_overflow():
+        telemetry.count("pallas_fof_overflow_fallbacks")
         return None   # ghost capacity exceeded: XLA path
     pfof3, ng3_d = pf.fof3d(b3d, minsize)
     ng3 = int(jax.device_get(ng3_d))
@@ -157,6 +159,7 @@ def _search_full_set_pallas(opt: C.Options, pos, vel, mass, boxsize,
     ntag = int(jax.device_get(jnp.sum(tag)))
     pf6 = pf.subset(tag) if 0 < ntag <= n // 4 else pf
     if pf6 is not pf and pf6.check_overflow():
+        telemetry.count("pallas_fof_overflow_fallbacks")
         pf6 = pf   # subset capacity miscount: sweep the full ctx
     if pf6 is not pf:
         # the 6D sweep only touches the subset ctx: release the parent's

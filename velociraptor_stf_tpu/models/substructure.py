@@ -44,6 +44,7 @@ from scipy.special import erf
 from ..ops import fof, segments as seg
 from ..ops.cells import bin_particles, build_grid
 from ..utils import config as C
+from ..utils import telemetry
 from . import bgfield, localfield, unbind as unbind_mod
 
 
@@ -939,6 +940,10 @@ def _subset_batch_run(opt: C.Options, entries: List[dict], pos_b, vel_b,
         if ngk == 0:
             continue
         if int(nuni_h[k]) > pair_cap:
+            # sparse pair table overflowed: this lane de-batches to the
+            # sequential path (surfaced — a pathological box can quietly
+            # lose the whole batching win otherwise)
+            telemetry.count("subset_pair_cap_overflows")
             handled[k] = False
             continue
         # sequential host merge mirroring MergeGroups' lexicographic
@@ -1001,6 +1006,7 @@ def _search_subset_batch(opt: C.Options, entries: List[dict],
     grid = build_grid(lo.astype(np.float64), hi.astype(np.float64),
                       b_build, periodic=False, boxsize=0.0)
     if grid.total_cells > fof._DENSE_TABLE_MAX_CELLS:
+        telemetry.count("subset_dense_table_bailouts")
         return
     pos_b = jnp.asarray(np.stack([e["ppos"] for e in entries]))
     vel_b = jnp.asarray(np.stack([e["pvel"] for e in entries]))
@@ -1199,8 +1205,12 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             ppos, pvel, pmass = e["ppos"], e["pvel"], e["pmass"]
             valid, ell = e["valid"], e["ell"]
             if "sub_np" in e:
+                telemetry.count("subset_batched_structures")
+                telemetry.count("subset_batched_particles", e["npad"])
                 sub_pfof, ng_sub = e["sub_np"], e["ng_sub"]
             else:
+                telemetry.count("subset_sequential_structures")
+                telemetry.count("subset_sequential_particles", e["npad"])
                 sub_pfof, ng_sub = search_subset(
                     opt, jnp.asarray(ppos), jnp.asarray(pvel),
                     jnp.asarray(pmass), ell,

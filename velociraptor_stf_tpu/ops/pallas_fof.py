@@ -789,6 +789,9 @@ def mark_compile_failed() -> None:
     sweep takes the XLA edge pipeline instead of re-raising."""
     global _COMPILE_FAILED
     _COMPILE_FAILED = True
+    from ..utils import telemetry
+
+    telemetry.count("pallas_fof_compile_fallbacks")
 
 
 def pallas_fof_available(n: int, boxsize: Optional[float],

@@ -180,6 +180,9 @@ def mark_compile_failed() -> None:
     fallback instead of re-raising per call."""
     global _COMPILE_FAILED
     _COMPILE_FAILED = True
+    from ..utils import telemetry
+
+    telemetry.count("pallas_gravity_compile_fallbacks")
 
 
 def pallas_potential_available() -> bool:
