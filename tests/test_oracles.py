@@ -133,3 +133,85 @@ def test_vscale_matches_oracle_and_bug_compat():
                                   reproduce_reference_bug=True)[1]
     assert abs(gotb - wantb) / wantb < 1e-3
     assert abs(gotb - got1) / got1 > 0.5   # the bug is not subtle
+
+
+def test_outlier_fit_matches_oracle():
+    """The JAX histogram + LM skew-Gaussian outlier normalisation
+    (models/bgfield.py outlier_values) against the float64 sequential
+    oracle with an independent optimiser (scipy LM): planted skew-Gaussian
+    parameters recovered by both, outlier classification agreeing."""
+    from velociraptor_stf_tpu.models import bgfield
+    from velociraptor_stf_tpu.validation.oracles import outlier_fit_oracle
+
+    rng = np.random.default_rng(17)
+    n = 60000
+    mu_t, sdlow_t, sdhigh_t = 0.4, 0.6, 1.1
+    # piecewise-Gaussian draw + a 2% positive outlier tail
+    side = rng.uniform(size=n) < sdlow_t / (sdlow_t + sdhigh_t)
+    R = np.where(side, mu_t - np.abs(rng.normal(0, sdlow_t, n)),
+                 mu_t + np.abs(rng.normal(0, sdhigh_t, n)))
+    ntail = n // 50
+    R[:ntail] = rng.uniform(4.0, 8.0, ntail)
+    R = R.astype(np.float64)
+    mass = np.ones(n)
+
+    mode_o, sdl_o, sdh_o, ell_o = outlier_fit_oracle(R, mass)
+    # the oracle recovers the planted parameters
+    assert abs(mode_o - mu_t) < 0.15
+    assert abs(sdl_o - sdlow_t) / sdlow_t < 0.25
+    assert abs(sdh_o - sdhigh_t) / sdhigh_t < 0.25
+
+    ell_j, (mode_j, sdl_j, sdh_j) = bgfield.outlier_values(
+        jnp.asarray(R, jnp.float32), jnp.asarray(mass, jnp.float32))
+    mode_j, sdl_j, sdh_j = (float(mode_j), float(sdl_j), float(sdh_j))
+    assert abs(mode_j - mode_o) < 0.2
+    assert abs(sdl_j - sdl_o) / sdl_o < 0.3
+    assert abs(sdh_j - sdh_o) / sdh_o < 0.3
+    # what matters downstream: the > ellthreshold classification
+    thr = 2.5
+    sel_o = ell_o > thr
+    sel_j = np.asarray(ell_j) > thr
+    assert (sel_o != sel_j).mean() < 0.02
+    assert sel_j[:ntail].mean() > 0.95      # planted tail flagged
+
+
+def test_phase_tensor_core_growth_matches_oracle():
+    """_phase_tensor_growth (vmapped Mahalanobis assignment) against the
+    float64 per-particle oracle on a two-core merger mock."""
+    from velociraptor_stf_tpu.models.substructure import \
+        _phase_tensor_growth
+    from velociraptor_stf_tpu.validation.oracles import core_growth_oracle
+
+    rng = np.random.default_rng(23)
+    n1, n2, nfree = 700, 400, 2000
+    c1p = rng.normal(0, 0.08, (n1, 3))
+    c1v = rng.normal(0, 40.0, (n1, 3))
+    c2p = np.array([0.9, 0, 0]) + rng.normal(0, 0.05, (n2, 3))
+    c2v = np.array([0, 120.0, 0]) + rng.normal(0, 25.0, (n2, 3))
+    # free particles: haloes around BOTH cores so each grows
+    fp = np.concatenate([rng.normal(0, 0.3, (nfree // 2, 3)),
+                         np.array([0.9, 0, 0]) +
+                         rng.normal(0, 0.2, (nfree // 2, 3))])
+    fv = np.concatenate([rng.normal(0, 60.0, (nfree // 2, 3)),
+                         np.array([0, 120.0, 0]) +
+                         rng.normal(0, 40.0, (nfree // 2, 3))])
+    pos = np.concatenate([c1p, c2p, fp]).astype(np.float32)
+    vel = np.concatenate([c1v, c2v, fv]).astype(np.float32)
+    n = len(pos)
+    mass = np.ones(n, np.float32)
+    valid = np.ones(n, bool)
+    pfof_sub = np.zeros(n, np.int32)
+    core0 = np.concatenate([np.ones(n1), np.full(n2, 2),
+                            np.zeros(nfree)]).astype(np.int32)
+
+    got = np.asarray(_phase_tensor_growth(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(mass),
+        jnp.asarray(valid), jnp.asarray(pfof_sub), jnp.asarray(core0),
+        2, iters=4))
+    want = core_growth_oracle(pos, vel, mass, valid, pfof_sub, core0, 2,
+                              iters=4)
+    # seeded members never move; free particles agree except f32-boundary
+    # ties between the two cores
+    np.testing.assert_array_equal(got[:n1 + n2], want[:n1 + n2])
+    assert (got != want).mean() < 0.005
+    assert (got[n1 + n2:] == 2).sum() > 0  # second core grew
