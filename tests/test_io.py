@@ -363,3 +363,76 @@ def test_ascii_catalogs_match_hdf(tmp_path):
     body = np.array(agl[4:], dtype=np.int64)
     np.testing.assert_array_equal(body,
                                   np.concatenate([sizes, offs, offs_u]))
+
+
+def test_parallel_multifile_gadget_read(tmp_path):
+    """-Z/nsnapread parallel multi-file ingest (the analog of the
+    reference's read-rank split, mpiroutines.cxx:527-782): a 16-file
+    snapshot read with 8 reader threads returns exactly the serial
+    result, and the read-phase timing is reported."""
+    import time
+
+    from velociraptor_stf_tpu.io import gadget as G
+
+    rng = np.random.default_rng(6)
+    n = 1 << 17
+    boxsize = 10.0
+    pos = rng.uniform(0, boxsize, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 50, (n, 3)).astype(np.float32)
+    pids = np.arange(1, n + 1)
+    mass = np.ones(n, np.float32)
+    fn = str(tmp_path / "multisnap")
+    G.write_gadget(fn, pos, vel, pids, np.ones(n, np.int8), mass,
+                   boxsize=boxsize, num_files=16)
+    assert os.path.exists(fn + ".0") and os.path.exists(fn + ".15")
+
+    t0 = time.time()
+    hdr_s, p_s, v_s, id_s, t_s, m_s = G.read_gadget(fn, nsnapread=1)
+    t_serial = time.time() - t0
+    t0 = time.time()
+    hdr_p, p_p, v_p, id_p, t_p, m_p = G.read_gadget(fn, nsnapread=8)
+    t_par = time.time() - t0
+    print(f"read timing: serial={t_serial:.3f}s parallel(8)={t_par:.3f}s")
+
+    assert hdr_p.num_files == 16
+    assert int(hdr_p.ntotal) == n
+    np.testing.assert_array_equal(id_p, id_s)
+    np.testing.assert_array_equal(p_p, p_s)
+    np.testing.assert_array_equal(v_p, v_s)
+    np.testing.assert_array_equal(m_p, m_s)
+    assert len(p_s) == n and set(id_s) == set(pids)
+
+
+def test_parallel_multifile_hdf_read(tmp_path, snap):
+    """HDF multi-file parallel read equals the serial read."""
+    import h5py
+
+    pos, vel, pids, ptype, mass = snap
+    n = len(pos)
+    # split into 4 EAGLE-convention files
+    bounds = np.linspace(0, n, 5).astype(int)
+    base = str(tmp_path / "hsnap")
+    for k in range(4):
+        sl = slice(bounds[k], bounds[k + 1])
+        with h5py.File(f"{base}.{k}.hdf5", "w") as f:
+            h = f.create_group("Header")
+            h.attrs["BoxSize"] = 10.0
+            h.attrs["NumFilesPerSnapshot"] = 4
+            h.attrs["NumPart_ThisFile"] = np.array(
+                [0, sl.stop - sl.start, 0, 0, 0, 0])
+            h.attrs["NumPart_Total"] = np.array([0, n, 0, 0, 0, 0])
+            h.attrs["Time"] = 1.0
+            h.attrs["Omega0"] = 0.3
+            h.attrs["OmegaLambda"] = 0.7
+            h.attrs["HubbleParam"] = 0.7
+            h.attrs["MassTable"] = np.zeros(6)
+            g = f.create_group("PartType1")
+            g["Coordinates"] = pos[sl]
+            g["Velocity"] = vel[sl]
+            g["ParticleIDs"] = pids[sl]
+            g["Mass"] = mass[sl]
+    out_s = H.read_hdf(base + ".hdf5", nsnapread=1)
+    out_p = H.read_hdf(base + ".hdf5", nsnapread=4)
+    np.testing.assert_array_equal(out_p[3], out_s[3])
+    np.testing.assert_array_equal(out_p[1], out_s[1])
+    assert len(out_s[1]) == n

@@ -65,9 +65,10 @@ def read_snapshot(opt: C.Options):
         want_types = [4]
 
     extras = None
+    nread = max(1, int(getattr(opt, "nsnapread", 1)))
     if opt.inputtype == C.IOGADGET:
         hdr, pos, vel, pids, ptype, mass = gadget_io.read_gadget(
-            opt.fname, parttypes=want_types)
+            opt.fname, parttypes=want_types, nsnapread=nread)
         boxsize = hdr.boxsize
         opt.a = hdr.time if opt.icosmologicalin else 1.0
         opt.Omega_m = hdr.omega0 or opt.Omega_m
@@ -77,7 +78,7 @@ def read_snapshot(opt: C.Options):
     elif opt.inputtype == C.IOHDF:
         hdr, pos, vel, pids, ptype, mass, extras = hdf_io.read_hdf(
             opt.fname, parttypes=want_types,
-            convention=opt.ihdfnameconvention)
+            convention=opt.ihdfnameconvention, nsnapread=nread)
         if extras is not None and not any(
                 np.abs(v).max() > 0 for v in extras.values() if len(v)):
             extras = None

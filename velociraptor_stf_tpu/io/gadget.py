@@ -137,26 +137,47 @@ def _snapshot_files(fname: str) -> List[str]:
 
 
 def read_gadget(fname: str, parttypes: Optional[List[int]] = None,
-                pos_dtype=np.float32):
+                pos_dtype=np.float32, nsnapread: int = 1):
     """Read a (multi-file) Gadget snapshot.
 
     Returns (header, pos (N,3), vel (N,3), pids (N,), ptype (N,), mass (N,)).
     Particle order: file order, types concatenated per file (gadget layout).
     Mirrors reference ReadGadget (gadgetio.cxx:14): unit conversions are the
     caller's job (pipeline applies Options conversions).
+
+    ``nsnapread > 1`` reads that many snapshot files concurrently (the
+    analog of the reference's read-rank split, ``MPIDistributeReadTasks``
+    mpiroutines.cxx:527-782; threads instead of ranks — file I/O releases
+    the GIL and frombuffer is zero-copy, so reads overlap).
     """
     files = _snapshot_files(fname)
-    poss, vels, idss, typs, masss = [], [], [], [], []
-    hdr0 = None
-    for fn in files:
-        with open(fn, "rb") as f:
+    if nsnapread > 1 and len(files) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(nsnapread, len(files))) as ex:
+            parts = list(ex.map(
+                lambda fn: _read_gadget_file(fn, parttypes, pos_dtype),
+                files))
+    else:
+        parts = [_read_gadget_file(fn, parttypes, pos_dtype)
+                 for fn in files]
+    hdr0 = parts[0][0]
+    return (hdr0,
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+            np.concatenate([p[3] for p in parts]),
+            np.concatenate([p[4] for p in parts]),
+            np.concatenate([p[5] for p in parts]))
+
+
+def _read_gadget_file(fn: str, parttypes, pos_dtype):
+    """One snapshot file -> (hdr, pos, vel, pid, ptype, mass)."""
+    with open(fn, "rb") as f:
             endian = _detect_endian(f)
             fmt = _peek_format(f, endian)
             if fmt == 2:
                 _next_block(f, endian, fmt)
             hdr = _parse_header(_read_record(f, endian), endian)
-            if hdr0 is None:
-                hdr0 = hdr
             ntot = int(hdr.npart.sum())
             # POS
             if fmt == 2:
@@ -200,26 +221,24 @@ def read_gadget(fname: str, parttypes: Optional[List[int]] = None,
                     mass[off:off + n] = fmass[moff:moff + n]
                     moff += n
                 off += n
-            sel = slice(None)
             if parttypes is not None:
                 selm = np.isin(ptype, parttypes)
                 pos, vel, pid, ptype, mass = (a[selm] for a in
                                               (pos, vel, pid, ptype, mass))
-            poss.append(np.ascontiguousarray(pos, pos_dtype))
-            vels.append(np.ascontiguousarray(vel, pos_dtype))
-            idss.append(pid.copy())
-            typs.append(ptype if parttypes is None else ptype)
-            masss.append(mass.astype(pos_dtype))
-    return (hdr0, np.concatenate(poss), np.concatenate(vels),
-            np.concatenate(idss), np.concatenate(typs),
-            np.concatenate(masss))
+    return (hdr, np.ascontiguousarray(pos, pos_dtype),
+            np.ascontiguousarray(vel, pos_dtype), pid.copy(), ptype,
+            mass.astype(pos_dtype))
 
 
 def write_gadget(fname: str, pos, vel, pids, ptype, mass,
                  boxsize: float, time: float = 1.0, redshift: float = 0.0,
                  omega0: float = 0.3, omega_lambda: float = 0.7,
-                 hubble: float = 0.7):
-    """Write a single-file format-1 Gadget snapshot (test fixture writer)."""
+                 hubble: float = 0.7, num_files: int = 1):
+    """Write a format-1 Gadget snapshot (test fixture writer).
+
+    ``num_files > 1`` splits the particles evenly over ``fname.0`` ..
+    ``fname.{num_files-1}`` with the multi-file header fields set (the
+    layout the parallel ``-Z`` read path consumes)."""
     pos = np.asarray(pos, np.float32)
     vel = np.asarray(vel, np.float32)
     pids = np.asarray(pids, np.uint32)
@@ -228,24 +247,34 @@ def write_gadget(fname: str, pos, vel, pids, ptype, mass,
     order = np.argsort(ptype, kind="stable")
     pos, vel, pids, ptype, mass = (a[order] for a in
                                    (pos, vel, pids, ptype, mass))
-    npart = np.array([(ptype == t).sum() for t in range(NTYPES)], np.uint32)
     import struct
 
-    hdr = bytearray(256)
-    struct.pack_into("<6I", hdr, 0, *npart.tolist())
-    struct.pack_into("<6d", hdr, 24, *([0.0] * 6))
-    struct.pack_into("<dd", hdr, 72, time, redshift)
-    struct.pack_into("<ii", hdr, 88, 0, 0)
-    struct.pack_into("<6I", hdr, 96, *npart.tolist())
-    struct.pack_into("<ii", hdr, 120, 0, 1)
-    struct.pack_into("<dddd", hdr, 128, boxsize, omega0, omega_lambda, hubble)
+    n = len(pos)
+    npart_tot = np.array([(ptype == t).sum() for t in range(NTYPES)],
+                         np.uint32)
 
     def rec(b: bytes):
         return struct.pack("<I", len(b)) + b + struct.pack("<I", len(b))
 
-    with open(fname, "wb") as f:
-        f.write(rec(bytes(hdr)))
-        f.write(rec(pos.astype("<f4").tobytes()))
-        f.write(rec(vel.astype("<f4").tobytes()))
-        f.write(rec(pids.astype("<u4").tobytes()))
-        f.write(rec(mass.astype("<f4").tobytes()))
+    bounds = np.linspace(0, n, num_files + 1).astype(np.int64)
+    for k in range(num_files):
+        sl = slice(bounds[k], bounds[k + 1])
+        pt = ptype[sl]
+        npart = np.array([(pt == t).sum() for t in range(NTYPES)],
+                         np.uint32)
+        hdr = bytearray(256)
+        struct.pack_into("<6I", hdr, 0, *npart.tolist())
+        struct.pack_into("<6d", hdr, 24, *([0.0] * 6))
+        struct.pack_into("<dd", hdr, 72, time, redshift)
+        struct.pack_into("<ii", hdr, 88, 0, 0)
+        struct.pack_into("<6I", hdr, 96, *npart_tot.tolist())
+        struct.pack_into("<ii", hdr, 120, 0, num_files)
+        struct.pack_into("<dddd", hdr, 128, boxsize, omega0,
+                         omega_lambda, hubble)
+        out = fname if num_files == 1 else f"{fname}.{k}"
+        with open(out, "wb") as f:
+            f.write(rec(bytes(hdr)))
+            f.write(rec(pos[sl].astype("<f4").tobytes()))
+            f.write(rec(vel[sl].astype("<f4").tobytes()))
+            f.write(rec(pids[sl].astype("<u4").tobytes()))
+            f.write(rec(mass[sl].astype("<f4").tobytes()))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -157,23 +158,60 @@ def _snapshot_files(fname: str) -> List[str]:
 
 def read_hdf(fname: str, parttypes: Optional[List[int]] = None,
              convention: int = HDFEAGLENAMES, pos_dtype=np.float32,
-             load_baryon_extras: bool = True):
+             load_baryon_extras: bool = True, nsnapread: int = 1):
     """Read a (multi-file) HDF5 snapshot in any supported convention.
 
     Returns (header, pos, vel, pids, ptype, mass, extras) where extras is a
     dict of optional per-particle baryon arrays (u, sfr, zmet, tage) aligned
     with the particle axis (zero where absent).
-    """
-    import h5py
 
+    ``nsnapread > 1`` reads that many snapshot files concurrently (the
+    analog of the reference's ``-Z`` read-rank split,
+    ``MPIDistributeReadTasks`` mpiroutines.cxx:527-782; h5py releases the
+    GIL during dataset I/O so per-file reads overlap).
+    """
     files = _snapshot_files(fname)
     hdr = read_hdf_header(files[0], convention)
     types = parttypes if parttypes is not None else list(range(6))
     names = _convention_names(convention)
+
+    read_one = partial(_read_hdf_file, types=types, names=names, hdr=hdr,
+                       pos_dtype=pos_dtype,
+                       load_baryon_extras=load_baryon_extras)
+    if nsnapread > 1 and len(files) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(nsnapread, len(files))) as ex:
+            parts = list(ex.map(read_one, files))
+    else:
+        parts = [read_one(fn) for fn in files]
+
     poss, vels, idss, typs, masss = [], [], [], [], []
     extras: Dict[str, List[np.ndarray]] = {k: [] for k in
                                            ("u", "sfr", "zmet", "tage",
                                             "bhmdot")}
+    for (ps, vs, ids, ts, ms, ex_f) in parts:
+        poss += ps
+        vels += vs
+        idss += ids
+        typs += ts
+        masss += ms
+        for k in extras:
+            extras[k] += ex_f[k]
+    if not poss:
+        raise ValueError(f"no particles of types {types} in {fname}")
+    out_extras = {k: np.concatenate(v) for k, v in extras.items()
+                  if load_baryon_extras}
+    return (hdr, np.concatenate(poss), np.concatenate(vels),
+            np.concatenate(idss), np.concatenate(typs),
+            np.concatenate(masss), out_extras)
+
+
+def _read_hdf_file(fn: str, *, types, names, hdr, pos_dtype,
+                   load_baryon_extras):
+    """One snapshot file -> per-type list tuple (pos, vel, id, type, mass,
+    extras-dict)."""
+    import h5py
 
     def _first(g, cands, dtype=pos_dtype):
         for c in cands:
@@ -182,41 +220,38 @@ def read_hdf(fname: str, parttypes: Optional[List[int]] = None,
                 return a if a.ndim == 1 else a[:, 0]
         return None
 
-    for fn in files:
-        with h5py.File(fn, "r") as f:
-            for t in types:
-                key = f"PartType{t}"
-                if key not in f:
-                    continue
-                g = f[key]
-                if "Coordinates" not in g:
-                    continue
-                p = np.asarray(g["Coordinates"], pos_dtype)
-                n = len(p)
-                if n == 0:
-                    continue
-                vname = next((c for c in names["vel"] if c in g), None)
-                v = np.asarray(g[vname], pos_dtype) if vname \
-                    else np.zeros_like(p)
-                pid = np.asarray(g["ParticleIDs"]) if "ParticleIDs" in g \
-                    else np.arange(n, dtype=np.int64)
-                m = _first(g, names["mass"])
-                if m is None:
-                    m = np.full(n, hdr.mass_table[t], pos_dtype)
-                poss.append(p)
-                vels.append(v)
-                idss.append(pid)
-                typs.append(np.full(n, t, np.int8))
-                masss.append(m)
-                if load_baryon_extras:
-                    for ek in ("u", "sfr", "zmet", "tage", "bhmdot"):
-                        arr = _first(g, names[ek])
-                        extras[ek].append(
-                            arr if arr is not None else np.zeros(n, pos_dtype))
-    if not poss:
-        raise ValueError(f"no particles of types {types} in {fname}")
-    out_extras = {k: np.concatenate(v) for k, v in extras.items()
-                  if load_baryon_extras}
-    return (hdr, np.concatenate(poss), np.concatenate(vels),
-            np.concatenate(idss), np.concatenate(typs),
-            np.concatenate(masss), out_extras)
+    poss, vels, idss, typs, masss = [], [], [], [], []
+    extras: Dict[str, List[np.ndarray]] = {k: [] for k in
+                                           ("u", "sfr", "zmet", "tage",
+                                            "bhmdot")}
+    with h5py.File(fn, "r") as f:
+        for t in types:
+            key = f"PartType{t}"
+            if key not in f:
+                continue
+            g = f[key]
+            if "Coordinates" not in g:
+                continue
+            p = np.asarray(g["Coordinates"], pos_dtype)
+            n = len(p)
+            if n == 0:
+                continue
+            vname = next((c for c in names["vel"] if c in g), None)
+            v = np.asarray(g[vname], pos_dtype) if vname \
+                else np.zeros_like(p)
+            pid = np.asarray(g["ParticleIDs"]) if "ParticleIDs" in g \
+                else np.arange(n, dtype=np.int64)
+            m = _first(g, names["mass"])
+            if m is None:
+                m = np.full(n, hdr.mass_table[t], pos_dtype)
+            poss.append(p)
+            vels.append(v)
+            idss.append(pid)
+            typs.append(np.full(n, t, np.int8))
+            masss.append(m)
+            if load_baryon_extras:
+                for ek in ("u", "sfr", "zmet", "tage", "bhmdot"):
+                    arr = _first(g, names[ek])
+                    extras[ek].append(
+                        arr if arr is not None else np.zeros(n, pos_dtype))
+    return poss, vels, idss, typs, masss, extras
