@@ -405,3 +405,49 @@ def test_distributed_subset_batch_matches_single_device():
         if "sub_np" in ea:
             assert ea["ng_sub"] == eb["ng_sub"]
             np.testing.assert_array_equal(ea["sub_np"], eb["sub_np"])
+
+
+@pytest.mark.slow
+def test_distributed_fof6d_group_spanning_many_slabs():
+    """A coherent-velocity filament crossing EVERY slab boundary under the
+    6D criterion (velocity payloads riding multi-hop ghost exchange): the
+    label fixed point needs several cross-slab rounds and must still
+    produce ONE group; a velocity break in the middle must split it."""
+    import jax.numpy as jnp
+
+    from velociraptor_stf_tpu.parallel.distributed_fof import \
+        distributed_fof6d
+
+    rng = np.random.default_rng(9)
+    boxsize = 16.0
+    n_fil = 6000
+    xs = np.linspace(0, boxsize, n_fil, endpoint=False)
+    fil = np.stack([xs, np.full(n_fil, 8.0), np.full(n_fil, 8.0)], axis=1)
+    fil += rng.normal(0, 0.004, fil.shape)
+    # coherent stream velocity... with a hard break at x = boxsize/2
+    vfil = np.tile(np.array([50.0, 0.0, 0.0]), (n_fil, 1))
+    vfil[xs >= boxsize / 2] = np.array([-50.0, 0.0, 0.0])
+    vfil += rng.normal(0, 0.5, vfil.shape)
+    bg = rng.random((20000, 3)) * boxsize
+    vbg = rng.normal(0, 300.0, (20000, 3))
+    pos = np.concatenate([fil, bg]).astype(np.float32)
+    vel = np.concatenate([vfil, vbg]).astype(np.float32)
+    mass = np.ones(len(pos), np.float32)
+    mesh = M.make_mesh(8)
+    b = 0.05
+    pfof6, ng6, pfof3, ng3 = distributed_fof6d(
+        pos, vel, mass, b, 1.0, 1.0, boxsize, mesh, min_size=20,
+        adaptive=True)
+    # 3D: one wrapped filament group; 6D: the velocity break splits it
+    # in two (each half is periodic-wrapped to the other's far end, but
+    # the velocities there differ by 100 >> the per-group dispersion)
+    lab3 = pfof3[:n_fil]
+    assert len(np.unique(lab3)) == 1 and (lab3 > 0).all()
+    lab6 = pfof6[:n_fil]
+    labs = np.unique(lab6[lab6 > 0])
+    assert len(labs) == 2, f"6D split expected 2 groups, got {len(labs)}"
+    # each half coherent: the break is at the half boundary
+    left = lab6[xs < boxsize / 2]
+    right = lab6[xs >= boxsize / 2]
+    assert len(np.unique(left[left > 0])) == 1
+    assert len(np.unique(right[right > 0])) == 1
