@@ -21,6 +21,7 @@ Minimum_halo_size=32
 Halo_3D_linking_length=0.2
 Halo_6D_vel_linking_length_factor=1.25
 Unbind_flag=1
+Bound_halos=1
 Allowed_kinetic_potential_ratio=1.0
 Cosmological_input=1
 Gravity=43.0211349

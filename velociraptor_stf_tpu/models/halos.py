@@ -135,7 +135,23 @@ def _search_full_set_pallas(opt: C.Options, pos, vel, mass, boxsize,
     if pf.check_overflow():
         telemetry.count("pallas_fof_overflow_fallbacks")
         return None   # ghost capacity exceeded: XLA path
-    pfof3, ng3_d = pf.fof3d(b3d, minsize)
+    # linked-subset prune: one detect pass flags particles with >= 1
+    # neighbour within b3d; at FOF linking lengths that is typically
+    # ~20-30% of the box, so the label fixed point (the dominant cost,
+    # ~6 full sweeps) runs on a ~4x smaller compacted context.  Isolated
+    # particles can never join a group (pairs need BOTH ends kept, and
+    # the detect criterion is exactly the link criterion).
+    pf3 = pf
+    if os.environ.get("VR_FOF_PRUNE", "1") != "0":
+        keep, nkeep = pf.linked_mask(b3d)
+        if nkeep < 0.45 * n:
+            cand = pf.subset(keep)
+            if cand.check_overflow():
+                telemetry.count("pallas_fof_overflow_fallbacks")
+            else:
+                pf3 = cand
+                pf.ctx = None   # the full ctx is not needed again
+    pfof3, ng3_d = pf3.fof3d(b3d, minsize)
     ng3 = int(jax.device_get(ng3_d))
     if not (run6d and ng3 > 0):
         return FieldSearchResult(pfof=pfof3, ngroups=ng3)
@@ -153,17 +169,20 @@ def _search_full_set_pallas(opt: C.Options, pos, vel, mass, boxsize,
             pfof3 > 0,
             jnp.maximum(vs_group[jnp.clip(pfof3, 0, nseg - 1)], 1e-30),
             1.0)
-    # 6D links only connect 3DFOF-tagged particles; sweep a compacted
+    # 6D links only connect 3DFOF-tagged particles (tagged implies
+    # b3d-linked, so the pruned ctx still covers them); sweep a compacted
     # subset context when the tagged fraction is small
     tag = pfof3 > 0
     ntag = int(jax.device_get(jnp.sum(tag)))
-    pf6 = pf.subset(tag) if 0 < ntag <= n // 4 else pf
-    if pf6 is not pf and pf6.check_overflow():
+    nbase = pf3.ctx.ns_pad
+    pf6 = pf3.subset(tag) if 0 < ntag <= nbase // 4 else pf3
+    if pf6 is not pf3 and pf6.check_overflow():
         telemetry.count("pallas_fof_overflow_fallbacks")
-        pf6 = pf   # subset capacity miscount: sweep the full ctx
-    if pf6 is not pf:
+        pf6 = pf3   # subset capacity miscount: sweep the base ctx
+    if pf6 is not pf3:
         # the 6D sweep only touches the subset ctx: release the parent's
         # slot arrays (~4.5 GB at 512^3) before the sweep allocates
+        pf3.ctx = None
         pf.ctx = None
     pfof6, ng6_d = pf6.fof6d(ell6d, pfof3, vs_per_particle, minsize)
     ng6 = int(jax.device_get(ng6_d))

@@ -525,6 +525,73 @@ def _sweep_kernel_3d(b2, rng_ref, rm_ref, m_hbm, out_ref, cm_, sem):
     out_ref[:] = nm.T                              # (1,R)
 
 
+def _detect_kernel_3d(b2, rng_ref, rm_ref, m_hbm, out_ref, cm_, sem):
+    """Link-detection pass: per row, the number of candidates within the
+    linking length (self included, so isolated rows count exactly 1).
+    Same chunk stream as the 3D sweep; the count feeds the linked-subset
+    prune (most particles at FOF linking lengths have NO neighbour, so
+    the label fixed point can run on a compacted context)."""
+    b = pl.program_id(0)
+    br = jax.lax.rem(b, 8)
+    rm = rm_ref[:].T                               # (R,4) i32
+    rp = jax.lax.bitcast_convert_type(rm[:, 0:3], jnp.float32)
+    cnt0 = jnp.zeros_like(rm[:, 3:4])              # (R,1) i32
+
+    def get_dmas(off, slot):
+        return (
+            pltpu.make_async_copy(m_hbm.at[:, pl.ds(off, CH)],
+                                  cm_.at[slot], sem.at[slot]),
+        )
+
+    def compute(cnt, slot):
+        cm = cm_[slot]                             # (4,CH) i32
+        cp = jax.lax.bitcast_convert_type(cm[0:3, :], jnp.float32)
+        dx = rp[:, 0:1] - cp[0:1, :]
+        d2 = dx * dx
+        dy = rp[:, 1:2] - cp[1:2, :]
+        d2 += dy * dy
+        dz = rp[:, 2:3] - cp[2:3, :]
+        d2 += dz * dz
+        ok = (d2 <= b2).astype(jnp.int32)
+        return cnt + jnp.sum(ok, axis=1, keepdims=True)
+
+    cnt = _run_chunks(rng_ref, br, cnt0, get_dmas, compute)
+    out_ref[:] = cnt.T                             # (1,R)
+
+
+def _make_detect_3d(ns_pad: int, b2: float):
+    nblocks = ns_pad // R_BLOCK
+    return pl.pallas_call(
+        partial(_detect_kernel_3d, np.float32(b2)),
+        out_shape=jax.ShapeDtypeStruct((1, ns_pad), jnp.int32),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+            _lane_spec(4),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=_lane_spec(1),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, CH), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+
+@partial(jax.jit, static_argnames=("ns_pad", "b2"))
+def _linked_mask(ctx: FofSortCtx, ns_pad: int, b2: float):
+    """(n,) bool: particle has >= 1 neighbour within sqrt(b2) (any image
+    counts — ghost rows fold into their source particle)."""
+    detect = _make_detect_3d(ns_pad, b2)
+    cnt = detect(ctx.ranges, ctx.cols_p, ctx.cols_p)[0]
+    has = (cnt >= 2) & (ctx.src >= 0)
+    n = ctx.real_slot.shape[0]
+    keep = jnp.zeros(n, bool).at[
+        jnp.where(ctx.src >= 0, ctx.src, n)].max(has, mode="drop")
+    return keep, jnp.sum(keep)
+
+
 def _sweep_kernel_6d(inv_b2, rng_ref, rm_ref, rlab_ref, m_hbm, lab_hbm,
                      out_ref, cm_, clab_, sem_m, sem_l):
     """6D criterion: d2/b6^2 + dv2/vscale2_row <= 1, same nonzero 3D group
@@ -850,6 +917,15 @@ class PallasFof:
                                                   ns_pad=ns_pad_new)
         sub.grid = self.grid
         return sub
+
+    def linked_mask(self, linking_length: float):
+        """(keep, nkept): particles with >= 1 neighbour within the linking
+        length (one detect pass; the prune that lets the label fixed point
+        run on the linked subset only — at FOF linking lengths most
+        particles are isolated and their labels never change)."""
+        keep, cnt = _linked_mask(self.ctx, self.ctx.ns_pad,
+                                 float(linking_length) ** 2)
+        return keep, int(jax.device_get(cnt))
 
     def _sweeps_per_dispatch(self) -> int:
         # bound single-dispatch wall time: ~1.4 s per sweep per 17M slots
