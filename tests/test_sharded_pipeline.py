@@ -181,3 +181,47 @@ def test_cli_sharded_end_to_end_catalogs_match(tmp_path, monkeypatch):
 
     assert CM.match_fraction(out1, out8, min_size=20) == 1.0
     assert CM.match_fraction(out8, out1, min_size=20) == 1.0
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_baryon_mode_matches():
+    """Baryon association + combined re-unbind inside the sharded run
+    (distributed unbind on the full multi-type set) matches single-device."""
+    rng = np.random.default_rng(3)
+    boxsize = 40.0
+    n = 1 << 14
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=10, seed=5)
+    ptype = np.where(np.arange(n) % 6 == 5, 0, 1).astype(np.int32)
+    opt = _base_opt(n, boxsize)
+    opt.iBaryonSearch = 1
+    opt.partsearchtype = C.PSTALL
+    C.config_check(opt)
+
+    res1 = find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                           ptype=ptype)
+    res8 = find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                           ptype=ptype, mesh=make_mesh(8))
+    assert res8.ngroups == res1.ngroups
+    assert _canon(res8.pfof) == _canon(res1.pfof)
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_keepfof_matches():
+    """iKeepFOF (3DFOF envelopes kept as parents) through the sharded
+    field search: same envelopes, same 6D structures, same hierarchy."""
+    boxsize = 40.0
+    n = 1 << 14
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=10, seed=19)
+    opt = _base_opt(n, boxsize)
+    opt.iKeepFOF = 1
+    opt.fofbgtype = C.FOF6DADAPTIVE
+    C.config_check(opt)
+
+    res1 = find_structures(opt, pos, vel, mass, boxsize=boxsize)
+    res8 = find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                           mesh=make_mesh(8))
+    assert res8.ngroups == res1.ngroups
+    assert _canon(res8.pfof) == _canon(res1.pfof)
+    if res1.stype is not None:
+        np.testing.assert_array_equal(np.asarray(res8.stype),
+                                      np.asarray(res1.stype))
