@@ -167,9 +167,15 @@ def _bucket_direct_pass(pos_s, mass_s, direct, p_pad: int, q: int, eps2, G):
         out_idx = jnp.where(ok[:, None], gidx_a, npad)
         return out_idx.reshape(-1), phi.reshape(-1)
 
-    idxs, vals = jax.lax.map(do_chunk, pidx)
-    return jnp.zeros(npad, pos_s.dtype).at[idxs.reshape(-1)].add(
-        vals.reshape(-1), mode="drop")
+    # accumulate per chunk instead of materialising all (nchunk, chunk*q)
+    # outputs — under a vmapped size class the collected form blew the
+    # HBM budget at 512^3 (25.5G requested on a 16G chip)
+    def body(ci, acc):
+        out_idx, phi = do_chunk(pidx[ci])
+        return acc.at[out_idx].add(phi, mode="drop")
+
+    return jax.lax.fori_loop(0, nchunk, body,
+                             jnp.zeros(npad, pos_s.dtype))
 
 
 @partial(jax.jit, static_argnames=("q", "row_chunk"))
@@ -207,6 +213,15 @@ def bucket_tree_potential_batch(posb, massb, eps2, G, q: int = 1024,
     posb = jnp.asarray(posb)
     massb = jnp.asarray(massb)
     B, K, _ = posb.shape
+    # cap the vmapped batch so the per-dispatch transients (bucket pair
+    # tables are O((K/q)^2) per lane) stay inside the HBM budget
+    bc = max(1, (1 << 24) // max(K, 1))
+    if B > bc:
+        outs = [bucket_tree_potential_batch(posb[i:i + bc],
+                                            massb[i:i + bc], eps2, G,
+                                            q=q, theta=theta)
+                for i in range(0, B, bc)]
+        return jnp.concatenate(outs, axis=0)
     eps2 = jnp.asarray(eps2, posb.dtype)
     pad_idx, pos_s, mass_s, bcm, bmass, direct = jax.vmap(
         lambda p, m: _bucket_structure(p, m, q, theta))(posb, massb)
@@ -217,8 +232,8 @@ def bucket_tree_potential_batch(posb, massb, eps2, G, q: int = 1024,
         p_pad *= 2
     w_near = jax.vmap(lambda ps, ms, d: _bucket_direct_pass(
         ps, ms, d, p_pad, q, eps2, G))(pos_s, mass_s, direct)
-    w_far = jax.vmap(lambda ps, bc, bm, d: _bucket_far_pass(
-        ps, bc, bm, d, q, eps2, G))(pos_s, bcm, bmass, direct)
+    w_far = jax.vmap(lambda ps, bc_, bm, d: _bucket_far_pass(
+        ps, bc_, bm, d, q, eps2, G))(pos_s, bcm, bmass, direct)
     w = w_near + w_far
     out = jax.vmap(lambda pi, wi: jnp.zeros(K, posb.dtype)
                    .at[pi[:K]].set(wi[:K]))(pad_idx, w)
