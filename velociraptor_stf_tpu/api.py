@@ -115,8 +115,14 @@ class VelociraptorSession:
         opt = self.opt
         opt.snapshotvalue = snapnum
         boxsize = opt.p if opt.p > 0 else None
+        # sharded run when more than one device is visible (same policy
+        # as the CLI; the SWIFT in-situ route gets the mesh for free)
+        from .cli import _auto_mesh
+
         res = pipeline.find_structures(opt, pos, vel, mass, boxsize=boxsize,
-                                       ptype=ptype, extras=extras)
+                                       ptype=ptype, extras=extras,
+                                       mesh=_auto_mesh() if boxsize
+                                       else None)
         out = {
             "group_id": res.pfof,
             "ngroups": res.ngroups,
