@@ -288,8 +288,13 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
     # when many particles are removed (unbind.cxx:583-586,1199 — "more
     # computationally effective to simply recalculate"); here the potential
     # is recomputed from the bound survivors between device chunks (<= 4
-    # ejection rounds per recompute).
+    # ejection rounds per recompute), and ONLY for groups that ejected a
+    # particle since their last recompute — an unchanged bound set yields an
+    # identical potential, so the gating is exact.  This matters at scale:
+    # the multi-million-particle bucket-tree groups usually stabilise after
+    # the first round, and re-treeing them dominated unbind at 512^3.
     W_cur = W
+    prev_bound = pfof > 0
     chunk_iters = 4 if uinfo.bgpot == 0 else 16
     for _ in range(64):  # host-chunked: bounded device time per dispatch
         bound, changed = _unbind_loop(
@@ -301,9 +306,15 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
         if not bool(jax.device_get(changed)):
             break
         if uinfo.bgpot == 0:
-            W_cur = compute_potential(
-                pos, jnp.where(bound, mass, 0.0), pfof, num_groups,
+            lost = seg.segment_sum(
+                (prev_bound & ~bound).astype(jnp.int32), pfof, ng1)
+            grp_changed = lost > 0
+            pfof_rec = jnp.where(grp_changed[pfof], pfof, 0)
+            W_new = compute_potential(
+                pos, jnp.where(bound, mass, 0.0), pfof_rec, num_groups,
                 uinfo.eps, G, boxsize=boxsize)
+            W_cur = jnp.where(grp_changed[pfof], W_new, W_cur)
+            prev_bound = bound
     return bound
 
 
