@@ -57,7 +57,7 @@ def search_baryons(opt: C.Options, pos_dm, vel_dm, pfof_dm,
     pos_b = jnp.asarray(pos_b)
     vel_b = jnp.asarray(vel_b)
     pfof_dm = jnp.asarray(pfof_dm)
-    nd, nb = pos_dm.shape[0], pos_b.shape[0]
+    nb = pos_b.shape[0]
 
     ellx = opt.ellphys * opt.ellxscale * opt.ellhalophysfac
     if vscale2 is None:
@@ -72,12 +72,26 @@ def search_baryons(opt: C.Options, pos_dm, vel_dm, pfof_dm,
                 jnp.sum(jnp.sum((vel_dm - vm) ** 2, -1) * w) / mt))
     ellv2 = max(vscale2, 1e-30) * opt.ellhalovelfac ** 2
 
-    pos = jnp.concatenate([pos_dm, pos_b])
-    vel = jnp.concatenate([vel_dm, vel_b])
+    # the reference builds its search tree over ONLY the DM particles in
+    # groups (search.cxx:3150 "sort particles so that tree only uses
+    # particles in groups", :3196 KDTree over npartingroups) — untagged DM
+    # can never win the assignment, so compact it away before the edge
+    # build: the combined set shrinks from N_dm + N_b to ~0.15 N_dm + N_b
+    # and the candidate-window build (the dominant cost) shrinks with it
+    tag = pfof_dm > 0
+    ntag = int(jax.device_get(jnp.sum(tag)))
+    if ntag == 0:
+        return jnp.zeros(nb, jnp.int32)
+    didx = jnp.nonzero(tag, size=ntag)[0]
+    pos_d, vel_d = pos_dm[didx], vel_dm[didx]
+    grp_d = pfof_dm[didx].astype(jnp.int32)
+    nd = ntag
+
+    pos = jnp.concatenate([pos_d, pos_b])
+    vel = jnp.concatenate([vel_d, vel_b])
     isb = jnp.concatenate([jnp.zeros(nd, jnp.int32),
                            jnp.ones(nb, jnp.int32)])
-    groups = jnp.concatenate([pfof_dm.astype(jnp.int32),
-                              jnp.zeros(nb, jnp.int32)])
+    groups = jnp.concatenate([grp_d, jnp.zeros(nb, jnp.int32)])
     n = nd + nb
 
     metric = PhaseMetric(float(ellx * ellx), float(ellv2))
