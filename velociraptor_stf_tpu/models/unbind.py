@@ -171,16 +171,32 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         # cap removals per group: least-bound (highest E) first
         nb = seg.segment_sum(bound.astype(jnp.int32), pfof, ng1)
         cap = jnp.maximum((maxunbindfrac * nb).astype(jnp.int32), 1)
-        order = jnp.lexsort((-E, jnp.where(unbound, pfof, ng1)))
-        # rank among unbound of same group
-        gseq = jnp.where(unbound, pfof, ng1)[order]
-        offs = jnp.searchsorted(gseq, jnp.arange(ng1 + 1, dtype=jnp.int32),
-                                side="left").astype(jnp.int32)
-        rank_sorted = jnp.arange(n, dtype=jnp.int32) - \
-            offs[jnp.clip(gseq, 0, ng1)]
-        remove_sorted = (gseq < ng1) & (rank_sorted < cap[
-            jnp.clip(gseq, 0, num_groups)])
-        remove = jnp.zeros(n, bool).at[order].set(remove_sorted)
+        nu = seg.segment_sum(unbound.astype(jnp.int32), pfof, ng1)
+
+        def ranked(_):
+            # some group exceeds its cap: rank its unbound by -E and keep
+            # the cap least-bound (full lexsort over the subset — the
+            # expensive path, ~O(n log n) per iteration at 512^3)
+            order = jnp.lexsort((-E, jnp.where(unbound, pfof, ng1)))
+            gseq = jnp.where(unbound, pfof, ng1)[order]
+            offs = jnp.searchsorted(gseq,
+                                    jnp.arange(ng1 + 1, dtype=jnp.int32),
+                                    side="left").astype(jnp.int32)
+            rank_sorted = jnp.arange(n, dtype=jnp.int32) - \
+                offs[jnp.clip(gseq, 0, ng1)]
+            remove_sorted = (gseq < ng1) & (rank_sorted < cap[
+                jnp.clip(gseq, 0, num_groups)])
+            return jnp.zeros(n, bool).at[order].set(remove_sorted)
+
+        def plain(_):
+            return unbound
+
+        # when every group's unbound count fits its cap, the ranked
+        # removal keeps nothing back — removing all unbound is identical,
+        # and the per-iteration lexsort is skipped (after the first
+        # mass-ejection iterations this is the common case, and the sort
+        # dominated the 512^3 ejection loop)
+        remove = jax.lax.cond(jnp.any(nu > cap), ranked, plain, None)
         bound2 = bound & ~remove
         # dissolve groups below min size
         nb2 = seg.segment_sum(bound2.astype(jnp.int32), pfof, ng1)
