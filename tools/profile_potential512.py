@@ -82,7 +82,10 @@ print(f"ntag={ntag} tpad={tpad}", flush=True)
 
 
 def sync(x):
-    jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[-1:])
+    # block_until_ready, NOT device_get of a slice: an eager ravel/slice
+    # compiles a one-op program whose (N,3) layout copy pads to 128 lanes
+    for leaf in jax.tree_util.tree_leaves(x):
+        jax.block_until_ready(leaf)
 
 
 for rep in range(2):
