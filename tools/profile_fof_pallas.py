@@ -50,7 +50,9 @@ def main():
     b3d = opt.ellphys * opt.ellxscale * opt.ellhalophysfac
     reach = b3d * max(1.0, opt.ellhalo6dxfac)
 
-    for rep in range(2):
+    import gc
+
+    def one_rep(rep):
         t0 = time.time()
         pf = pallas_fof.PallasFof(pos, vel, boxsize, reach)
         ov = pf.check_overflow()
@@ -97,6 +99,12 @@ def main():
               f"subset6={t6-t5:.2f} (ntag={ntag}) fof6d={t7-t6:.2f} "
               f"finish={t8-t7:.2f} total={t8-t0:.2f} "
               f"ng3={ng3} ng6={ng6}", flush=True)
+
+    # run reps as calls so each rep's contexts die before the next builds
+    # (two live 512^3 contexts OOM the chip)
+    for rep in range(2):
+        one_rep(rep)
+        gc.collect()
 
 
 if __name__ == "__main__":

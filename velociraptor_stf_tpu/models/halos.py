@@ -171,11 +171,18 @@ def _search_full_set_pallas(opt: C.Options, pos, vel, mass, boxsize,
             1.0)
     # 6D links only connect 3DFOF-tagged particles (tagged implies
     # b3d-linked, so the pruned ctx still covers them); sweep a compacted
-    # subset context when the tagged fraction is small
+    # subset context whenever compaction halves the padded slot count —
+    # sweep cost scales with slots, the build costs ~1 sweep-equivalent,
+    # and the fixed point runs >= 3 sweeps (512^3 measured: subset build
+    # ~5 s vs fof6d 55 s on the uncompacted 67M-slot ctx)
     tag = pfof3 > 0
     ntag = int(jax.device_get(jnp.sum(tag)))
     nbase = pf3.ctx.ns_pad
-    pf6 = pf3.subset(tag) if 0 < ntag <= nbase // 4 else pf3
+    pf6 = pf3
+    if ntag > 0:
+        sub_pad = pf3.subset_pad(tag)
+        if sub_pad <= nbase // 2:
+            pf6 = pf3.subset(tag, ns_pad_new=sub_pad)
     if pf6 is not pf3 and pf6.check_overflow():
         telemetry.count("pallas_fof_overflow_fallbacks")
         pf6 = pf3   # subset capacity miscount: sweep the base ctx

@@ -894,7 +894,21 @@ class PallasFof:
         self.ctx, self.grid = build_fof_ctx(pos, vel, boxsize, reach,
                                             return_grid=True)
 
-    def subset(self, keep_orig) -> "PallasFof":
+    def subset_pad(self, keep_orig) -> int:
+        """Padded slot capacity a subset over ``keep_orig`` would need
+        (kept particle slots + their surviving ghost images, pow2-padded).
+        Sweep cost scales with this, so callers compare it against
+        ``ctx.ns_pad`` to decide whether compaction pays for itself."""
+        keep_orig = jnp.asarray(keep_orig)
+        safe_src = jnp.clip(self.ctx.src, 0,
+                            keep_orig.shape[0] - 1)
+        keep_slots = jnp.where(self.ctx.src >= 0, keep_orig[safe_src],
+                               False)
+        count = int(jax.device_get(jnp.sum(keep_slots)))
+        return _pad_pow2(max(count, R_BLOCK), lo=R_BLOCK)
+
+    def subset(self, keep_orig, ns_pad_new: Optional[int] = None
+               ) -> "PallasFof":
         """Compacted context over the kept particles (e.g. 3DFOF-tagged
         before the 6D sweep); ~(N/ntag)x cheaper per sweep.
 
@@ -903,12 +917,8 @@ class PallasFof:
         count alone would overflow (and silently drop tagged particles)
         whenever the tagged count sits at a power of two."""
         keep_orig = jnp.asarray(keep_orig)
-        safe_src = jnp.clip(self.ctx.src, 0,
-                            keep_orig.shape[0] - 1)
-        keep_slots = jnp.where(self.ctx.src >= 0, keep_orig[safe_src],
-                               False)
-        count = int(jax.device_get(jnp.sum(keep_slots)))
-        ns_pad_new = _pad_pow2(max(count, R_BLOCK), lo=R_BLOCK)
+        if ns_pad_new is None:
+            ns_pad_new = self.subset_pad(keep_orig)
         sub = object.__new__(PallasFof)
         sub._vel = self._vel
         sub.ctx = _subset_ctx(self.ctx, keep_orig, self._vel,

@@ -3,9 +3,9 @@
 Replaces the bucketed direct / Barnes-Hut classes of ops/gravity.py on the
 unbinding hot path (reference KD-tree monopole walk,
 /root/reference/src/unbind.cxx:1480,1607 + MarkCell:24-45) for groups up to
-``MAX_DIRECT`` particles: at halo-finder group sizes (<= ~1e5) a dense
-tiled direct sum on the VPU beats any tree — the pair count Sigma s^2 is a
-few Gops while tree construction alone is gather-bound.
+``MAX_DIRECT`` particles: at halo-finder group sizes (up to ~1e6) a dense
+tiled direct sum on the VPU beats any tree — the streaming kernel sustains
+~1.2e11 pairs/s while tree construction alone is gather-bound.
 
 Layout/structure mirrors ops/pallas_fof.py: particles sorted by group id,
 each 512-row block interacts with ONE contiguous sorted-index coverage
@@ -28,7 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 R_BLOCK = 512
 CH = 512
 
-MAX_DIRECT = 1 << 17   # groups larger than this keep the tree path
+# Groups larger than this keep the bucket-tree path.  Measured on v5e at
+# 512^3 (29 groups of 131k-503k particles): the streaming kernel sustains
+# ~1.2e11 pairs/s, so a direct group costs ~8.3e-12*s^2 s, while the
+# vmapped bucket tree costs ~10.7e-6*s s (HBM-bound (q,q) tiles + cross
+# -lane pair padding) — break-even ~1.3e6 particles.  Below the cut the
+# exact direct sum is both faster AND exact (no monopole error).
+MAX_DIRECT = 1 << 20
 
 
 def _pot_kernel(eps2, rng_ref, rm_ref, m_hbm, out_ref, cm_, sem):
