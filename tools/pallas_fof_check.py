@@ -49,7 +49,7 @@ def main():
         pf2 = pallas_fof.PallasFof(pos, vel, boxsize, b3d)
         jax.device_get(pf2.ctx.ranges[-1:, :1])
         t1 = time.time()
-        labels, nit = pallas_fof._fof3d_labels(
+        labels, _, nit = pallas_fof._fof3d_labels(
             pf2.ctx, pf2.ctx.ns_pad, b3d ** 2)
         nit = int(jax.device_get(nit))
         t2 = time.time()

@@ -78,6 +78,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cells import CellGrid, build_grid, cell_coords
+from ..utils import telemetry
 
 BIG_I32 = np.int32(2**31 - 1)
 SENTINEL = np.float32(1e15)
@@ -733,7 +734,7 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
         _, changed, it = state
         return changed & (it < max_sweeps)
 
-    labels, changed, _ = jax.lax.while_loop(
+    labels, changed, nsweeps = jax.lax.while_loop(
         cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
 
     # full path compression (idempotent; also run on intermediate chunks
@@ -744,12 +745,12 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
     def cbody(l):
         return l[l[l]]
 
-    return jax.lax.while_loop(ccond, cbody, labels), changed
+    return jax.lax.while_loop(ccond, cbody, labels), changed, nsweeps
 
 
-@partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps"))
+@partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps", "jumps"))
 def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
-                  max_sweeps: int = 64, labels0=None):
+                  max_sweeps: int = 64, labels0=None, jumps: int = 2):
     sweep = _make_sweep_3d(ns_pad, b2)
 
     def sweep_fn(labels):
@@ -759,12 +760,14 @@ def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
         nm = sweep(ctx.ranges, merged, merged)
         return nm[0]
 
-    return _fixpoint(sweep_fn, ctx, max_sweeps, labels0=labels0)
+    return _fixpoint(sweep_fn, ctx, max_sweeps, labels0=labels0,
+                     jumps=jumps)
 
 
-@partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps"))
+@partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps", "jumps"))
 def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
-                  b2: float, max_sweeps: int = 64, labels0=None):
+                  b2: float, max_sweeps: int = 64, labels0=None,
+                  jumps: int = 2):
     """``groups_orig``/``vscale2_orig`` indexed by ORIGINAL particle id."""
     sweep = _make_sweep_6d(ns_pad, 1.0 / b2)
     safe_src = jnp.where(ctx.src >= 0, ctx.src, 0)
@@ -790,7 +793,8 @@ def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
         nm = sweep(ctx.ranges, base, rlab, base, lab_col)
         return nm[0]
 
-    return _fixpoint(sweep_fn, ctx, max_sweeps, labels0=labels0)
+    return _fixpoint(sweep_fn, ctx, max_sweeps, labels0=labels0,
+                     jumps=jumps)
 
 
 @partial(jax.jit, static_argnames=("n", "min_size"))
@@ -945,11 +949,14 @@ class PallasFof:
 
     def fof3d(self, linking_length: float, min_size: int):
         k = self._sweeps_per_dispatch()
+        jumps = int(os.environ.get("VR_FOF_JUMPS", "2"))
         labels = None
         while True:
-            labels, changed = _fof3d_labels(
+            labels, changed, nsw = _fof3d_labels(
                 self.ctx, self.ctx.ns_pad, float(linking_length) ** 2,
-                max_sweeps=k, labels0=labels)
+                max_sweeps=k, labels0=labels, jumps=jumps)
+            telemetry.count("fof3d_dispatches")
+            telemetry.count("fof3d_sweeps", int(jax.device_get(nsw)))
             if not bool(jax.device_get(changed)):
                 break
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
@@ -961,11 +968,15 @@ class PallasFof:
         groups_orig = jnp.asarray(groups_orig)
         vscale2_orig = jnp.asarray(vscale2_orig, jnp.float32)
         k = self._sweeps_per_dispatch()
+        jumps = int(os.environ.get("VR_FOF_JUMPS", "2"))
         labels = None
         while True:
-            labels, changed = _fof6d_labels(
+            labels, changed, nsw = _fof6d_labels(
                 self.ctx, groups_orig, vscale2_orig, self.ctx.ns_pad,
-                float(ell6d) ** 2, max_sweeps=k, labels0=labels)
+                float(ell6d) ** 2, max_sweeps=k, labels0=labels,
+                jumps=jumps)
+            telemetry.count("fof6d_dispatches")
+            telemetry.count("fof6d_sweeps", int(jax.device_get(nsw)))
             if not bool(jax.device_get(changed)):
                 break
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
