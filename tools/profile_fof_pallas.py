@@ -105,6 +105,8 @@ def main():
     for rep in range(2):
         one_rep(rep)
         gc.collect()
+    from velociraptor_stf_tpu.utils import telemetry
+    print(telemetry.report(), flush=True)
 
 
 if __name__ == "__main__":

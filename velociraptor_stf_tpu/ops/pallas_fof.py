@@ -380,14 +380,14 @@ def _fill_vel(ctx: FofSortCtx, vel_orig):
 
 
 @partial(jax.jit, static_argnames=("ns_pad_new", "grid"))
-def _subset_ctx(ctx: FofSortCtx, keep_orig, vel_orig, ns_pad_new: int,
+def _subset_ctx(ctx: FofSortCtx, keep_orig, ns_pad_new: int,
                 grid: CellGrid):
     """Compact the ctx to the slots whose ORIGINAL particle is in
     ``keep_orig`` (ghost slots follow their source), preserving cell-sort
     order.  Valid when the criterion swept on the subset can only link kept
     particles (e.g. 6DFOF within 3DFOF groups: all members are tagged).
-    Velocities are always materialised (subsets exist for 6D sweeps),
-    gathered from ``vel_orig`` so the parent ctx may be position-only."""
+    Velocities stay lazy (``_fill_vel`` materialises them on first 6D
+    use), so the subset build costs no velocity traffic."""
     ns_pad = ctx.src.shape[0]
     n = keep_orig.shape[0]
     safe_src = jnp.clip(ctx.src, 0, n - 1)
@@ -410,14 +410,14 @@ def _subset_ctx(ctx: FofSortCtx, keep_orig, vel_orig, ns_pad_new: int,
         [jnp.where(svalid, ctx.cols_p[k, :][sub_idx], SENT_BITS)
          for k in range(3)], axis=-1)
     src = jnp.where(svalid, ctx.src[sub_idx], -1)
-    vel_sub = jnp.where((src >= 0)[:, None],
-                        vel_orig[jnp.clip(src, 0, n - 1)], 0.0).astype(
-        jnp.float32)
     cols_p = jnp.full((4, ns_pad_new + CH), SENT_BITS, jnp.int32)
     cols_p = cols_p.at[0:3, :ns_pad_new].set(pos_sub.T)
     cols_p = cols_p.at[3, :].set(BIG_I32)
-    cols_v = jnp.zeros((4, ns_pad_new + CH), jnp.float32)
-    cols_v = cols_v.at[0:3, :ns_pad_new].set(vel_sub.T)
+    # velocities stay lazy (zero-size placeholder): 3D-phase subsets (the
+    # linked-particle prune) never touch them, and fof6d materialises them
+    # through _fill_vel on first use — the eager (4, ns_pad_new) build +
+    # gather cost several seconds and ~1 GB HBM at 512^3 for nothing
+    cols_v = jnp.zeros((4, 0), jnp.float32)
     is_real = jnp.where(svalid, ctx.is_real[sub_idx], False)
     new_slots = jnp.arange(ns_pad_new, dtype=jnp.int32)
     real_slot = jnp.zeros(n, jnp.int32).at[
@@ -925,7 +925,7 @@ class PallasFof:
             ns_pad_new = self.subset_pad(keep_orig)
         sub = object.__new__(PallasFof)
         sub._vel = self._vel
-        sub.ctx = _subset_ctx(self.ctx, keep_orig, self._vel,
+        sub.ctx = _subset_ctx(self.ctx, keep_orig,
                               ns_pad_new,
                               self.grid)._replace(n=self.ctx.n,
                                                   ns_pad=ns_pad_new)
