@@ -49,7 +49,7 @@ def main():
         pf2 = pallas_fof.PallasFof(pos, vel, boxsize, b3d)
         jax.device_get(pf2.ctx.ranges[-1:, :1])
         t1 = time.time()
-        labels, _, nit = pallas_fof._fof3d_labels(
+        labels, _, nit, work, _aux = pallas_fof._fof3d_labels(
             pf2.ctx, pf2.ctx.ns_pad, b3d ** 2)
         nit = int(jax.device_get(nit))
         t2 = time.time()
@@ -58,7 +58,8 @@ def main():
         jax.device_get(ng_p2)
         t3 = time.time()
         print(f"pallas warm: build {t1-t0:.3f}s fixpoint {t2-t1:.3f}s "
-              f"({nit} sweeps) renumber {t3-t2:.3f}s total {t3-t0:.3f}s")
+              f"({nit} sweeps, {int(jax.device_get(work))} chunks) "
+              f"renumber {t3-t2:.3f}s total {t3-t0:.3f}s")
 
     # --- reference XLA path ---
     pfof_x, ng_x = fof.fof3d(pos, b3d, boxsize=boxsize, min_size=minsize)

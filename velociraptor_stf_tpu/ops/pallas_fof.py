@@ -197,9 +197,12 @@ def _build_ctx(pos, vel, grid: CellGrid, caps: Tuple[int, int, int],
         # flat key fits int32: one sort
         order = jnp.argsort(ccx * (ny * nz) + ccr).astype(jnp.int32)
     else:
-        # lexicographic (cx, r) via two stable sorts (int64-free)
-        o1 = jnp.argsort(ccr, stable=True).astype(jnp.int32)
-        order = o1[jnp.argsort(ccx[o1], stable=True).astype(jnp.int32)]
+        # lexicographic (cx, r) in ONE variadic sort (int64-free); the
+        # index operand is a third key, making the order fully
+        # deterministic (equivalent to two stable argsorts, at half the
+        # cost — the sort dominates the 512^3 ctx build)
+        _, _, order = jax.lax.sort(
+            (ccx, ccr, jnp.arange(ntot, dtype=jnp.int32)), num_keys=3)
     cx_s = ccx[order]
     cr_s = ccr[order]
     pos_s = pos[order]
@@ -700,42 +703,77 @@ def _make_sweep_6d(ns_pad: int, inv_b2: float):
 # ---------------------------------------------------------------------------
 
 def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
-              labels0=None):
+              labels0=None, aux0=None):
     """Shared while_loop: ghost refresh -> sweep -> ghost fold -> hook ->
-    pointer jumps.  ``sweep_fn(labels) -> nmin`` (both (Ns_pad,) i32).
-    Converges when a round changes nothing (min-label updates are monotone,
-    so no-change is a valid stopping rule; cf. ops/fof.py::_fof_sweeps).
+    pointer jumps.  ``sweep_fn(labels, ranges) -> nmin`` (labels/nmin are
+    (Ns_pad,) i32; ``ranges`` the per-round coverage windows).  Converges
+    when a round changes nothing (min-label updates are monotone, so
+    no-change is a valid stopping rule; cf. ops/fof.py::_fof_sweeps).
 
-    Resumable: returns (labels, changed) where ``changed`` is True iff the
-    LAST executed sweep still changed labels (i.e. the loop stopped on
-    ``max_sweeps``, not on convergence) — callers re-invoke with the
-    returned labels until False.  The axon tunnel (and production TPU
+    Dirty-block tracking: a block whose coverage windows saw NO label
+    change since its last sweep must reproduce its cached neighbour-min
+    (the candidates it would scan are bit-identical), so its windows are
+    zeroed for the round and its cached ``nm`` reused — an EXACT skip,
+    not an approximation.  Label changes localise to a few merge frontiers
+    after the first sweeps, so late rounds touch a tiny fraction of the
+    box.  Cost: two (Ns_pad,) i32 carries + a per-round chunk-change
+    prefix sum (trivial next to a sweep).
+
+    Resumable: returns (labels, changed, nsweeps, work, aux) where
+    ``changed`` is True iff the LAST executed sweep still changed labels
+    (i.e. the loop stopped on ``max_sweeps``, not on convergence) —
+    callers re-invoke with the returned labels AND ``aux`` (the dirty
+    -tracking carries) until False.  ``work`` counts chunk DMAs actually
+    issued (f32; telemetry).  The axon tunnel (and production TPU
     runtimes generally) kill device programs running for minutes, so
     512^3-scale fixed points must span several bounded dispatches."""
     ns_pad = ctx.src.shape[0]      # static (shape-derived, jit-safe)
+    nch_total = -(-ns_pad // CH)
+    pad_cols = nch_total * CH - ns_pad
     if labels0 is None:
         labels0 = jnp.arange(ns_pad, dtype=jnp.int32)
+    if aux0 is None:
+        # all-dirty first round: prev_ref cannot equal any real label
+        aux0 = (jnp.full(ns_pad, -1, jnp.int32),
+                jnp.full(ns_pad, BIG_I32, jnp.int32))
+    prev0, nm0 = aux0
+
+    nb8 = ctx.ranges.shape[0]
+    win_c0 = ctx.ranges[:, 0:6:2]                       # (nb8, 3)
+    win_nch = ctx.ranges[:, 1:6:2]                      # (nb8, 3)
 
     def body(state):
-        l, _, it = state
+        l, prev_ref, nm_cache, _, it, work = state
         # ghosts mirror their source before the sweep (compact list;
         # padded entries are (0, 0) self-copies)
         l = l.at[ctx.gslots].set(l[ctx.grs])
-        nm = sweep_fn(l)
+        # chunk-level change map vs the labels each block last swept
+        ch_dirty = jnp.any(jnp.pad(l != prev_ref, (0, pad_cols)).reshape(
+            nch_total, CH), axis=1)
+        cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(ch_dirty.astype(jnp.int32))])
+        wd = (cum[jnp.minimum(win_c0 + win_nch, nch_total)] -
+              cum[jnp.minimum(win_c0, nch_total)]) > 0   # (nb8, 3)
+        blk_dirty = jnp.any(wd, axis=1)
+        nch_round = win_nch * blk_dirty[:, None].astype(jnp.int32)
+        ranges = ctx.ranges.at[:, 1:6:2].set(nch_round)
+        nm = jnp.minimum(nm_cache, sweep_fn(l, ranges))
         # fold ghost rows' minima back into their real slot
         nm = nm.at[ctx.grs].min(nm[ctx.gslots])
         hooked = l.at[l].min(nm)
         x = hooked
         for _ in range(jumps):
             x = x[x]
-        return x, jnp.any(x != l), it + 1
+        return (x, l, nm, jnp.any(x != l), it + 1,
+                work + jnp.sum(nch_round).astype(jnp.float32))
 
     def cond(state):
-        _, changed, it = state
+        _, _, _, changed, it, _ = state
         return changed & (it < max_sweeps)
 
-    labels, changed, nsweeps = jax.lax.while_loop(
-        cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+    labels, prev_ref, nm_cache, changed, nsweeps, work = jax.lax.while_loop(
+        cond, body, (labels0, prev0, nm0, jnp.bool_(True), jnp.int32(0),
+                     jnp.float32(0)))
 
     # full path compression (idempotent; also run on intermediate chunks
     # so a resumed fixed point starts from compressed labels)
@@ -745,29 +783,31 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
     def cbody(l):
         return l[l[l]]
 
-    return jax.lax.while_loop(ccond, cbody, labels), changed, nsweeps
+    labels = jax.lax.while_loop(ccond, cbody, labels)
+    return labels, changed, nsweeps, work, (prev_ref, nm_cache)
 
 
 @partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps", "jumps"))
 def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
-                  max_sweeps: int = 64, labels0=None, jumps: int = 2):
+                  max_sweeps: int = 64, labels0=None, jumps: int = 2,
+                  aux0=None):
     sweep = _make_sweep_3d(ns_pad, b2)
 
-    def sweep_fn(labels):
+    def sweep_fn(labels, ranges):
         # refresh the label row of the merged array (one full-array copy
         # per sweep, ~0.4 ms/GB — noise next to the sweep itself)
         merged = ctx.cols_p.at[3, :ns_pad].set(labels)
-        nm = sweep(ctx.ranges, merged, merged)
+        nm = sweep(ranges, merged, merged)
         return nm[0]
 
     return _fixpoint(sweep_fn, ctx, max_sweeps, labels0=labels0,
-                     jumps=jumps)
+                     jumps=jumps, aux0=aux0)
 
 
 @partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps", "jumps"))
 def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
                   b2: float, max_sweeps: int = 64, labels0=None,
-                  jumps: int = 2):
+                  jumps: int = 2, aux0=None):
     """``groups_orig``/``vscale2_orig`` indexed by ORIGINAL particle id."""
     sweep = _make_sweep_6d(ns_pad, 1.0 / b2)
     safe_src = jnp.where(ctx.src >= 0, ctx.src, 0)
@@ -786,15 +826,15 @@ def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
         grp_pad[None, :],
     ], axis=0)                                     # (8, ns_pad + CH)
 
-    def sweep_fn(labels):
+    def sweep_fn(labels, ranges):
         lab_col = jnp.concatenate(
             [labels, jnp.full(CH, BIG_I32, jnp.int32)])[None, :]
         rlab = labels[None, :]
-        nm = sweep(ctx.ranges, base, rlab, base, lab_col)
+        nm = sweep(ranges, base, rlab, base, lab_col)
         return nm[0]
 
     return _fixpoint(sweep_fn, ctx, max_sweeps, labels0=labels0,
-                     jumps=jumps)
+                     jumps=jumps, aux0=aux0)
 
 
 @partial(jax.jit, static_argnames=("n", "min_size"))
@@ -950,13 +990,14 @@ class PallasFof:
     def fof3d(self, linking_length: float, min_size: int):
         k = self._sweeps_per_dispatch()
         jumps = int(os.environ.get("VR_FOF_JUMPS", "2"))
-        labels = None
+        labels = aux = None
         while True:
-            labels, changed, nsw = _fof3d_labels(
+            labels, changed, nsw, work, aux = _fof3d_labels(
                 self.ctx, self.ctx.ns_pad, float(linking_length) ** 2,
-                max_sweeps=k, labels0=labels, jumps=jumps)
+                max_sweeps=k, labels0=labels, jumps=jumps, aux0=aux)
             telemetry.count("fof3d_dispatches")
             telemetry.count("fof3d_sweeps", int(jax.device_get(nsw)))
+            telemetry.count("fof3d_chunks", int(jax.device_get(work)))
             if not bool(jax.device_get(changed)):
                 break
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
@@ -969,14 +1010,15 @@ class PallasFof:
         vscale2_orig = jnp.asarray(vscale2_orig, jnp.float32)
         k = self._sweeps_per_dispatch()
         jumps = int(os.environ.get("VR_FOF_JUMPS", "2"))
-        labels = None
+        labels = aux = None
         while True:
-            labels, changed, nsw = _fof6d_labels(
+            labels, changed, nsw, work, aux = _fof6d_labels(
                 self.ctx, groups_orig, vscale2_orig, self.ctx.ns_pad,
                 float(ell6d) ** 2, max_sweeps=k, labels0=labels,
-                jumps=jumps)
+                jumps=jumps, aux0=aux)
             telemetry.count("fof6d_dispatches")
             telemetry.count("fof6d_sweeps", int(jax.device_get(nsw)))
+            telemetry.count("fof6d_chunks", int(jax.device_get(work)))
             if not bool(jax.device_get(changed)):
                 break
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
