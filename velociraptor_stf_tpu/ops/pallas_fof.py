@@ -787,9 +787,9 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
     return labels, changed, nsweeps, work, (prev_ref, nm_cache)
 
 
-@partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps", "jumps"))
+@partial(jax.jit, static_argnames=("ns_pad", "b2", "jumps"))
 def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
-                  max_sweeps: int = 64, labels0=None, jumps: int = 2,
+                  max_sweeps=64, labels0=None, jumps: int = 2,
                   aux0=None):
     sweep = _make_sweep_3d(ns_pad, b2)
 
@@ -804,9 +804,9 @@ def _fof3d_labels(ctx: FofSortCtx, ns_pad: int, b2: float,
                      jumps=jumps, aux0=aux0)
 
 
-@partial(jax.jit, static_argnames=("ns_pad", "b2", "max_sweeps", "jumps"))
+@partial(jax.jit, static_argnames=("ns_pad", "b2", "jumps"))
 def _fof6d_labels(ctx: FofSortCtx, groups_orig, vscale2_orig, ns_pad: int,
-                  b2: float, max_sweeps: int = 64, labels0=None,
+                  b2: float, max_sweeps=64, labels0=None,
                   jumps: int = 2, aux0=None):
     """``groups_orig``/``vscale2_orig`` indexed by ORIGINAL particle id."""
     sweep = _make_sweep_6d(ns_pad, 1.0 / b2)
@@ -1000,6 +1000,10 @@ class PallasFof:
             telemetry.count("fof3d_chunks", int(jax.device_get(work)))
             if not bool(jax.device_get(changed)):
                 break
+            # later dispatches carry the dirty-block state: their sweeps
+            # touch only merge frontiers, so a longer leash stays well
+            # under the tunnel's dispatch-time limit
+            k = min(64, k * 4)
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
 
     def fof6d(self, ell6d: float, groups_orig, vscale2_orig, min_size: int):
@@ -1021,6 +1025,8 @@ class PallasFof:
             telemetry.count("fof6d_chunks", int(jax.device_get(work)))
             if not bool(jax.device_get(changed)):
                 break
+            k = min(64, k * 4)   # see fof3d: dirty-skip makes resumed
+            # dispatches cheap, so fewer tunnel round-trips
         return _renumber_masked(labels, self.ctx, self.ctx.n, min_size)
 
     def check_overflow(self):
