@@ -53,23 +53,32 @@ class CatalogResult:
     stype: Optional[np.ndarray] = None
 
 
+def _map_gids(gid_map: np.ndarray, ids, absent):
+    """Vectorised old->new gid lookup: ids outside (0, len(gid_map)) map to
+    ``absent`` (genesis-scale boxes carry 10^6+ groups, so every per-group
+    epilogue here must be a numpy scatter/gather, not a Python loop)."""
+    ids = np.asarray(ids)
+    ok = (ids > 0) & (ids < len(gid_map))
+    return np.where(ok, gid_map[np.clip(ids, 0, len(gid_map) - 1)], absent)
+
+
 def _remap_hierarchy(gid_map: np.ndarray, ng_new: int, hostid, parent,
                      level):
     """Re-index per-group hierarchy arrays through an old->new gid map
     (used after a renumbering unbind pass dissolves/reorders groups)."""
+    gid_map = np.asarray(gid_map)
     new_host = np.full(ng_new + 1, -1, np.int64)
     new_parent = np.zeros(ng_new + 1, np.int64)
     new_level = np.zeros(ng_new + 1, np.int32)
-    for old in range(1, len(parent)):
-        newg = gid_map[old] if old < len(gid_map) else 0
-        if newg == 0 or newg > ng_new:
-            continue
-        p = parent[old]
-        new_parent[newg] = gid_map[p] if (0 < p < len(gid_map)) else 0
-        if hostid is not None:
-            h = hostid[old]
-            new_host[newg] = gid_map[h] if (0 < h < len(gid_map)) else -1
-        new_level[newg] = level[old] if level is not None else 0
+    old = np.arange(1, len(parent))
+    newg = _map_gids(gid_map, old, 0)
+    keep = (newg > 0) & (newg <= ng_new)
+    old, newg = old[keep], newg[keep]
+    new_parent[newg] = _map_gids(gid_map, parent[old], 0)
+    if hostid is not None:
+        new_host[newg] = _map_gids(gid_map, hostid[old], -1)
+    if level is not None:
+        new_level[newg] = level[old]
     return new_host, new_parent, new_level
 
 
@@ -246,16 +255,14 @@ def find_structures(opt: C.Options, pos, vel, mass,
             new_parent = np.zeros(ng_new + 1, np.int64)
             new_host = np.full(ng_new + 1, -1, np.int64)
             new_level = np.zeros(ng_new + 1, np.int32)
-            for old in range(1, ng + 1):
-                newg = remap[old]
-                if newg == 0:
-                    continue
-                p = parent[old]
-                new_parent[newg] = remap[p] if 0 < p <= ng else 0
-                h = hostid[old]
-                hv = remap[h] if 0 < h <= ng else 0
-                new_host[newg] = hv if hv > 0 else -1
-                new_level[newg] = level[old]
+            olds = np.arange(1, ng + 1)
+            newg = remap[olds]
+            keep = newg > 0
+            olds, newg = olds[keep], newg[keep]
+            new_parent[newg] = _map_gids(remap, parent[olds], 0)
+            hv = _map_gids(remap, hostid[olds], 0)
+            new_host[newg] = np.where(hv > 0, hv, -1)
+            new_level[newg] = level[olds]
             hostid, parent, level = new_host, new_parent, new_level
             ng = ng_new
             if W is not None:
@@ -322,20 +329,23 @@ def find_structures(opt: C.Options, pos, vel, mass,
         new_parent = np.zeros(ng_final + 1, np.int64)
         new_host = np.full(ng_final + 1, -1, np.int64)
         new_level = np.zeros(ng_final + 1, np.int32)
-        for old6 in range(1, len(parent3d_host) - keepfof):
-            newid = gm[old6] if old6 < len(gm) else 0
-            if 0 < newid <= ng:
-                env = parent3d_host[keepfof + old6]
-                new_parent[keepfof + newid] = env
-                new_host[keepfof + newid] = env if env > 0 else -1
-                new_level[keepfof + newid] = 1
+        gm = np.asarray(gm)
+        old6 = np.arange(1, len(parent3d_host) - keepfof)
+        newid = _map_gids(gm, old6, 0)
+        sel6 = (newid > 0) & (newid <= ng)
+        env = np.asarray(parent3d_host)[keepfof + old6[sel6]]
+        dest = keepfof + newid[sel6]
+        new_parent[dest] = env
+        new_host[dest] = np.where(env > 0, env, -1)
+        new_level[dest] = 1
         if parent is not None:
-            for g in range(1, len(parent)):
-                if parent[g] > 0:
-                    new_parent[keepfof + g] = keepfof + parent[g]
-                    new_level[keepfof + g] = level[g] + 1
-                if hostid is not None and hostid[g] > 0:
-                    new_host[keepfof + g] = keepfof + hostid[g]
+            g = np.arange(1, len(parent))
+            hasp = g[parent[g] > 0]
+            new_parent[keepfof + hasp] = keepfof + parent[hasp]
+            new_level[keepfof + hasp] = level[hasp] + 1
+            if hostid is not None:
+                hash_ = g[hostid[g] > 0]
+                new_host[keepfof + hash_] = keepfof + hostid[hash_]
         hostid, parent, level = new_host, new_parent, new_level
         ng = ng_final
         # structure types: envelopes FOF3DTYPE, the rest HALOSTYPE+10*level
@@ -580,11 +590,9 @@ def _so_stage(opt: C.Options, pos, vel, mass, props_np, ng: int,
             counts = np.zeros(ng + 1, np.int64)
             counts[field_sel] = np.diff(offs_f)
             so_offsets = np.concatenate([[0], np.cumsum(counts[1:])])
-            so_indices = np.empty(int(counts.sum()), np.int64)
-            for j, g in enumerate(field_sel):
-                s = so_offsets[g - 1]
-                so_indices[s:s + offs_f[j + 1] - offs_f[j]] = \
-                    idx[offs_f[j]:offs_f[j + 1]]
+            # field_sel ascends and only its groups have particles, so the
+            # group-ordered concatenation of per-halo segments IS idx
+            so_indices = np.asarray(idx, np.int64)
     elif pfof_fof is not None and ng_fof > 0:
         # inclusive FOF masses: member-only SO on the pre-unbinding labels
         ngpad = _pad_pow2(max(ng_fof, 1))

@@ -146,7 +146,9 @@ class SlabPlan:
 
         dev_j, xc_j, scal = _plan_stats(jnp.asarray(pos), n, ndev, W,
                                         nx, ny, nz, float(boxsize))
-        cmax, bmax, t_max = (int(v) for v in jax.device_get(scal))
+        # f32 device sums: apply the 1e-4 safety margin (see _plan_stats)
+        cmax, bmax, t_max = (int(float(v) * 1.0001) + 1
+                             for v in jax.device_get(scal))
         self.npad = int(1 << math.ceil(math.log2(max(cmax, 1))))
         self.B = 1 << math.ceil(math.log2(max(bmax, 1)))
         self.t_pad = 1 << math.ceil(math.log2(max(t_max, 1024)))
@@ -227,19 +229,24 @@ def _plan_stats(pos, n: int, ndev: int, W: int, nx: int, ny: int, nz: int,
     lsL = jnp.roll(sten, 1, axis=0).reshape(ndev, W, ny, nz)   # x-1 rows
     lsR = jnp.roll(sten, -1, axis=0).reshape(ndev, W, ny, nz)  # x+1 rows
     ls = sten.reshape(ndev, W, ny, nz)
-    tot = jnp.sum(lc.astype(jnp.int64) * ls, axis=(1, 2, 3))
-    tot += jnp.sum(lc.astype(jnp.int64) * lsL, axis=(1, 2, 3))
-    tot += jnp.sum(lc.astype(jnp.int64) * lsR, axis=(1, 2, 3))
+    # candidate totals can pass 2^31 at 1024^3 scale and int64 is
+    # unavailable without x64 (it silently truncates); f32 sums carry a
+    # ~1e-6 relative error which the HOST absorbs with a 1e-4 margin
+    # before the pow2 capacity round-up — over-provisioning only
+    lcf = lc.astype(jnp.float32)
+    tot = jnp.sum(lcf * ls, axis=(1, 2, 3))
+    tot += jnp.sum(lcf * lsL, axis=(1, 2, 3))
+    tot += jnp.sum(lcf * lsR, axis=(1, 2, 3))
     # ghost-row candidates: ghosts also scan their own stencils locally
     gL = jnp.roll(cnt3, 1, axis=0).reshape(ndev, W, ny, nz)[:, 0]
     gR = jnp.roll(cnt3, -1, axis=0).reshape(ndev, W, ny, nz)[:, -1]
     sL0 = ls[:, 0] + lsL[:, 0]
     sR0 = ls[:, -1] + lsR[:, -1]
-    tot += jnp.sum(gL.astype(jnp.int64) * sL0, axis=(1, 2))
-    tot += jnp.sum(gR.astype(jnp.int64) * sR0, axis=(1, 2))
+    tot += jnp.sum(gL.astype(jnp.float32) * sL0, axis=(1, 2))
+    tot += jnp.sum(gR.astype(jnp.float32) * sR0, axis=(1, 2))
     t_max = jnp.max(tot)
-    return dev, xc, jnp.stack([jnp.max(counts).astype(jnp.int64),
-                               bmax.astype(jnp.int64), t_max])
+    return dev, xc, jnp.stack([jnp.max(counts).astype(jnp.float32),
+                               bmax.astype(jnp.float32), t_max])
 
 
 def distributed_fof3d(pos, linking_length: float, boxsize: float,

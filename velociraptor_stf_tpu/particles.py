@@ -102,7 +102,15 @@ class ParticleSet:
         pos = jnp.asarray(pos, dtype=dtype)
         vel = jnp.asarray(vel, dtype=dtype)
         mass = jnp.asarray(mass, dtype=dtype)
-        pid = jnp.asarray(pid, dtype=jnp.int64 if (pid is not None and np.asarray(pid).max(initial=0) > 2**31 - 1) else jnp.int32) if pid is not None else None
+        if pid is not None:
+            pid_np = np.asarray(pid)
+            if pid_np.max(initial=0) > 2 ** 31 - 1:
+                # >2^31 ids (reference VR_LONG_INT, CMakeLists.txt:43) stay
+                # HOST-resident int64: they are only read back for catalog
+                # output (api.py), and device int64 truncates without x64
+                pid = pid_np.astype(np.int64)
+            else:
+                pid = jnp.asarray(pid_np, dtype=jnp.int32)
         ptype = jnp.asarray(ptype, dtype=jnp.int8) if ptype is not None else None
         return cls(pos, vel, mass, pid=pid, ptype=ptype)
 

@@ -286,6 +286,101 @@ def outlier_fit_oracle(R: np.ndarray, mass: np.ndarray,
     return mode, sdlow, sdhigh, ell
 
 
+def _union_find(n: int, pairs: np.ndarray) -> np.ndarray:
+    """Root label per element from an (npairs, 2) edge list — plain
+    sequential union-find with path halving (shares nothing with the
+    pipeline's min-label fixed point)."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return np.fromiter((find(i) for i in range(n)), np.int64, n)
+
+
+def renumber_by_size_oracle(labels: np.ndarray, min_size: int,
+                            tiebreak: str = "minindex"
+                            ) -> Tuple[np.ndarray, int]:
+    """(pfof, ngroups): ids 1..ng by decreasing member count; groups below
+    ``min_size`` get 0.  ``tiebreak``: equal-size groups are ordered by
+    smallest original member index ("minindex", the FOF renumber) or by
+    ascending input label ("label", the post-unbind renumber)."""
+    labels = np.asarray(labels)
+    n = len(labels)
+    roots, inv, counts = np.unique(labels, return_inverse=True,
+                                   return_counts=True)
+    first = np.full(len(roots), n, np.int64)
+    np.minimum.at(first, inv, np.arange(n))
+    key = first if tiebreak == "minindex" else roots
+    order = np.lexsort((key, -counts))
+    eligible = counts[order] >= min_size
+    ng = int(eligible.sum())
+    gid = np.zeros(len(roots), np.int64)
+    gid[order[eligible]] = np.arange(1, ng + 1)
+    return gid[inv], ng
+
+
+def fof3d_partition_oracle(pos: np.ndarray, b: float, boxsize: float,
+                           min_size: int) -> Tuple[np.ndarray, int]:
+    """3DFOF partition via scipy cKDTree pair query + union-find, float64,
+    periodic.  Independent of the pipeline's cell-list / Pallas machinery
+    (reference method: NBodylib KDTree::FOF, used at
+    /root/reference/src/search.cxx:110)."""
+    from scipy.spatial import cKDTree
+
+    pos = np.asarray(pos, np.float64)
+    tree = cKDTree(pos, boxsize=boxsize)
+    pairs = tree.query_pairs(float(b), output_type="ndarray")
+    roots = _union_find(len(pos), pairs)
+    return renumber_by_size_oracle(roots, min_size)
+
+
+def fof6d_partition_oracle(pos: np.ndarray, vel: np.ndarray,
+                           pfof3: np.ndarray, ell6d: float,
+                           vscale2: float, boxsize: float,
+                           min_size: int) -> Tuple[np.ndarray, int]:
+    """6DFOF refinement partition: brute-force O(ng^2) float64 pair test
+    ``dx^2/ell6d^2 + dv^2/vscale2 <= 1`` per 3DFOF group (min-image
+    periodic), union-find, size renumber (reference: per-group phase-tree
+    FOF, search.cxx:552-576)."""
+    pos = np.asarray(pos, np.float64)
+    vel = np.asarray(vel, np.float64)
+    pfof3 = np.asarray(pfof3)
+    n = len(pfof3)
+    all_pairs = []
+    for g in np.unique(pfof3[pfof3 > 0]):
+        idx = np.nonzero(pfof3 == g)[0]
+        p, v = pos[idx], vel[idx]
+        dx = p[:, None, :] - p[None, :, :]
+        dx -= boxsize * np.round(dx / boxsize)
+        d2 = np.sum(dx * dx, -1)
+        dv2 = np.sum((v[:, None, :] - v[None, :, :]) ** 2, -1)
+        adj = d2 / ell6d ** 2 + dv2 / vscale2 <= 1.0
+        iu, ju = np.triu_indices(len(idx), k=1)
+        sel = adj[iu, ju]
+        all_pairs.append(np.stack([idx[iu[sel]], idx[ju[sel]]], axis=1))
+    pairs = np.concatenate(all_pairs) if all_pairs else \
+        np.empty((0, 2), np.int64)
+    roots = _union_find(n, pairs)
+    return renumber_by_size_oracle(roots, min_size)
+
+
+def unwrap_group_oracle(pos: np.ndarray, boxsize: float) -> np.ndarray:
+    """Min-image unwrap of ONE group's positions about its first member
+    (the reference removes the periodic wrap per group before unbinding,
+    search.cxx:856 AdjustStructureForPeriod)."""
+    pos = np.asarray(pos, np.float64)
+    d = pos - pos[0]
+    return pos[0] + d - boxsize * np.round(d / boxsize)
+
+
 def core_growth_oracle(pos: np.ndarray, vel: np.ndarray, mass: np.ndarray,
                        valid: np.ndarray, pfof_sub: np.ndarray,
                        core: np.ndarray, ncores: int,
