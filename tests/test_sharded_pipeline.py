@@ -225,3 +225,68 @@ def test_sharded_pipeline_keepfof_matches():
     if res1.stype is not None:
         np.testing.assert_array_equal(np.asarray(res8.stype),
                                       np.asarray(res1.stype))
+
+
+def test_sharded_property_stage_matches_all_keys():
+    """The whole-groups-per-device property stage (r4: distributed_
+    properties wired into find_structures(mesh=)) reproduces EVERY
+    property array of the single-device bundle, including the extended
+    aperture/RVmax/energy stages."""
+    boxsize = 50.0
+    n = 1 << 15
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=24, seed=13)
+    opt = _base_opt(n, boxsize)
+    opt.iaperturecalc = 1
+    opt.aperture_values_kpc = [30.0, 100.0]
+    opt.aperturenum = 2
+    opt.lengthtokpc = 1000.0
+    opt.iextrahalooutput = 1
+    C.config_check(opt)
+
+    res1 = find_structures(opt, pos, vel, mass, boxsize=boxsize)
+    res8 = find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                           mesh=make_mesh(8))
+    assert res8.ngroups == res1.ngroups
+    assert set(res8.props) == set(res1.props)
+    for k in res1.props:
+        a = np.asarray(res1.props[k], np.float64)[1:]
+        b = np.asarray(res8.props[k], np.float64)[1:]
+        assert a.shape == b.shape, k
+        scale = np.maximum(np.abs(a), np.abs(b)).max(initial=0.0)
+        np.testing.assert_allclose(b, a, rtol=5e-5,
+                                   atol=5e-5 * max(scale, 1e-30),
+                                   err_msg=k)
+
+
+def test_sharded_recursion_with_distributed_density(monkeypatch):
+    """Force the sharded kNN density (VR_DIST_DENSITY_MIN=1) under the
+    integrated mesh recursion: slab-local leaf splits perturb the
+    approximative candidate sets, so the gate is a near-1 catalog match
+    (field halos stay EXACT — density only shapes substructure
+    candidates)."""
+    from velociraptor_stf_tpu.io.synthetic import labels_match_rate
+
+    monkeypatch.setenv("VR_DIST_DENSITY_MIN", "1")
+    boxsize = 40.0
+    n = 1 << 15
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=12, seed=9)
+    opt = _base_opt(n, boxsize)
+    opt.iSubSearch = 1
+    opt.iiterflag = 1
+    C.config_check(opt)
+
+    res1 = find_structures(opt, pos, vel, mass, boxsize=boxsize)
+    res8 = find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                           mesh=make_mesh(8))
+    # hosts (parent==0) partition exactly; overall match near 1
+    host1 = np.asarray(res1.pfof).copy()
+    host8 = np.asarray(res8.pfof).copy()
+    if res1.parent is not None:
+        sub1 = np.asarray(res1.parent)[host1] > 0
+        host1[sub1] = 0
+    if res8.parent is not None:
+        sub8 = np.asarray(res8.parent)[host8] > 0
+        host8[sub8] = 0
+    assert labels_match_rate(host1, host8, min_size=20) == 1.0
+    assert labels_match_rate(np.asarray(res1.pfof),
+                             np.asarray(res8.pfof), min_size=20) > 0.98

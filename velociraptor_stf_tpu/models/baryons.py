@@ -44,8 +44,8 @@ class PhaseMetric:
 def search_baryons(opt: C.Options, pos_dm, vel_dm, pfof_dm,
                    pos_b, vel_b,
                    boxsize: Optional[float] = None,
-                   vscale2: Optional[float] = None
-                   ) -> jnp.ndarray:
+                   vscale2: Optional[float] = None,
+                   mesh=None) -> jnp.ndarray:
     """Assign baryons to DM groups; returns (Nb,) group ids (0=unassigned).
 
     Linking length: the halo linking length scaled like the reference's
@@ -86,6 +86,22 @@ def search_baryons(opt: C.Options, pos_dm, vel_dm, pfof_dm,
     pos_d, vel_d = pos_dm[didx], vel_dm[didx]
     grp_d = pfof_dm[didx].astype(jnp.int32)
     nd = ntag
+
+    if mesh is not None and boxsize:
+        # sharded assignment: slab decomposition + ghost DM exchange (the
+        # analog of the reference's MPI baryon export machinery,
+        # mpiroutines.cxx:2170-3031); same metric and tie-break as below
+        from ..parallel.distributed_baryons import distributed_baryon_assign
+
+        pos_c = np.concatenate([np.asarray(jax.device_get(pos_d)),
+                                np.asarray(jax.device_get(pos_b))])
+        vel_c = np.concatenate([np.asarray(jax.device_get(vel_d)),
+                                np.asarray(jax.device_get(vel_b))])
+        grp_c = np.concatenate([np.asarray(jax.device_get(grp_d)),
+                                np.zeros(nb, np.int32)])
+        return jnp.asarray(distributed_baryon_assign(
+            pos_c, vel_c, grp_c, nd, float(ellx * ellx), float(ellv2),
+            mesh, float(boxsize)))
 
     pos = jnp.concatenate([pos_d, pos_b])
     vel = jnp.concatenate([vel_d, vel_b])

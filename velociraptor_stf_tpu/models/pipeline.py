@@ -276,7 +276,8 @@ def find_structures(opt: C.Options, pos, vel, mass,
         from . import baryons as baryons_mod
 
         grp_b = baryons_mod.search_baryons(
-            opt, spos, svel, pfof, pos[bi], vel[bi], boxsize=boxsize)
+            opt, spos, svel, pfof, pos[bi], vel[bi], boxsize=boxsize,
+            mesh=mesh)
         pfof_full = np.zeros(pos.shape[0], np.int32)
         pfof_full[dmi] = np.asarray(pfof)
         pfof_full[bi] = np.asarray(grp_b)
@@ -380,104 +381,42 @@ def find_structures(opt: C.Options, pos, vel, mass,
         p_W = None if W is None else jnp.asarray(W)
         p_ptype = ptype_np
         p_sub = None
-    # Reference_frame_for_properties (reference iPropertyReferencePosition,
-    # substructureproperties.cxx:327-329): radius-dependent properties are
-    # measured about the CM (default), the most-bound particle, or the
-    # potential-minimum particle; Particle_type_for_reference_frames
-    # restricts the mbp/minpot candidate set (:3966).  The reference picks
-    # the mbp with the frame velocity known at sort time; here the plain
-    # mass-weighted group velocity serves as that frame.
-    refpos = refvel = None
-    if (opt.iPropertyReferencePosition != C.PROPREFCM and W is not None
-            and ng > 0):
-        from ..ops import segments as seg_ops
-        npp = p_pos.shape[0]
-        if opt.iPropertyReferencePosition == C.PROPREFMINPOT:
-            key = p_W
-        else:  # PROPREFMBP
-            wm = jnp.where(p_pfof > 0, p_mass, 0.0)
-            vmean = seg_ops.segment_mean(p_vel, wm, p_pfof, ngpad + 1)
-            dvv = p_vel - seg_ops.gather_rows(vmean, p_pfof)
-            key = 0.5 * p_mass * jnp.sum(dvv * dvv, axis=-1) + p_W
-        key = jnp.where(p_pfof > 0, key, jnp.inf)
-        if opt.ParticleTypeForRefenceFrame != -1 and p_ptype is not None:
-            key = jnp.where(
-                jnp.asarray(p_ptype) == opt.ParticleTypeForRefenceFrame,
-                key, jnp.inf)
-        ridx = seg_ops.segment_argmin(key, p_pfof, ngpad + 1)
-        safe = jnp.clip(ridx, 0, npp - 1)
-        refpos = seg_ops.gather_rows(p_pos, safe)
-        refvel = seg_ops.gather_rows(p_vel, safe)
-    pr = props_mod.compute_properties(
-        p_pos, p_vel, p_mass,
-        p_pfof, ngpad,
-        G=opt.G, boxsize=boxsize,
-        rhocrit=opt.rhocrit, rhobg=opt.rhobg,
-        virlevel=opt.virlevel if opt.virlevel > 0 else 200.0,
-        virBN98=opt.virBN98,
-        so_thresholds=tuple(opt.SOthresholds_values_crit),
-        min_size=opt.MinSize,
-        iIterateCM=bool(opt.iIterateCM),
-        cmfrac=opt.pinfo.cmfrac, cmadjustfac=opt.pinfo.cmadjustfac,
-        refpos=refpos)
-    # centre used by every radius-dependent stage below (the reference
-    # re-references ALL particle positions to cmref up front, :320-340)
-    ref_c = refpos if refpos is not None else pr["gcm"]
-    # per-type (gas/star/BH) sub-properties (reference GASON/STARON/BHON
-    # blocks of GetProperties; only when multiple particle types searched)
-    if ptype_np is not None and len(np.unique(ptype_np)) > 1:
-        ex = extras or {}
+    pertype = ptype_np is not None and len(np.unique(ptype_np)) > 1
+    ex = extras or {}
 
-        def _exf2(key):
-            v = ex.get(key)
-            if v is None:
-                return None
-            v = np.asarray(v)
-            if p_sub is not None:
-                v = v[p_sub]
-            return jnp.asarray(v)
+    def _exf2(key):
+        v = ex.get(key)
+        if v is None:
+            return None
+        v = np.asarray(v)
+        if p_sub is not None:
+            v = v[p_sub]
+        return jnp.asarray(v)
 
-        # fixed 30/50 kpc apertures need a configured length unit
-        to_int = 1.0 / opt.lengthtokpc if opt.lengthtokpc > 0 else 0.0
-        ex_sub = (lambda v: None if v is None else
-                  (v[p_sub] if p_sub is not None else v))
-        pr.update(props_mod.compute_pertype_properties(
-            p_pos, p_vel, p_mass,
-            jnp.asarray(p_ptype), p_pfof, ngpad,
-            refpos=ref_c, refvel=pr["gcmvel"],
-            u=_exf2("u"), sfr=_exf2("sfr"), zmet=_exf2("zmet"),
-            tage=_exf2("tage"), bhmdot=_exf2("bhmdot"),
-            rvmax=pr.get("gRmaxvel"), r200c=pr.get("gR200c"),
-            r200m=pr.get("gR200m"), r500c=pr.get("gR500c"),
-            rBN98=pr.get("gRBN98"),
-            r30=30.0 * to_int, r50=50.0 * to_int,
-            zoomlowmassdm=float(opt.zoomlowmassdm)))
+    ex_kw = {k: _exf2(k) for k in ("u", "sfr", "zmet", "tage", "bhmdot")}
+    if mesh is not None and ng > 0:
+        # whole-groups-per-device property stage: no device ever holds the
+        # full tagged subset (the reference computes properties per rank
+        # after MPIGroupExchange localises groups,
+        # substructureproperties.cxx:266 + mpiroutines.cxx:2548)
+        from ..parallel.distributed_props import distributed_properties
 
-    # extended properties: apertures / profiles / RVmax / energies
-    if opt.iaperturecalc or opt.iprofilecalc:
-        to_int = 1.0 / opt.lengthtokpc if opt.lengthtokpc > 0 else 1.0
-        aps = tuple(a * to_int for a in opt.aperture_values_kpc) \
-            if opt.iaperturecalc else ()
-        aps_proj = tuple(a * to_int for a in opt.aperture_proj_values_kpc) \
-            if opt.iaperturecalc else ()
-        edges = tuple(opt.profile_bin_edges) if opt.iprofilecalc else ()
-        extra = props_mod.compute_aperture_properties(
-            p_pos, p_vel, p_mass,
-            p_pfof, ngpad, refpos=ref_c, refvel=pr["gcmvel"],
-            apertures=aps, apertures_proj=aps_proj, profile_edges=edges,
-            iprofilenorm=opt.iprofilenorm, R200c=pr["gR200c"])
-        pr.update(extra)
-    if opt.iextrahalooutput:
-        pr.update(props_mod.compute_rvmax_properties(
-            p_pos, p_vel, p_mass,
-            p_pfof, ngpad, refpos=ref_c,
-            refvel=pr["gcmvel"], rmax=pr["gRmaxvel"]))
-    if W is not None:
-        pr.update(props_mod.compute_energies(
-            p_vel, p_mass, p_pfof,
-            p_W, ngpad, pr["gcmvel"],
-            jnp.asarray(opt.uinfo.Eratio, jnp.float32)))
-    jax.block_until_ready(pr["gmass"])
+        pr = distributed_properties(
+            opt, np.asarray(jax.device_get(p_pos)),
+            np.asarray(jax.device_get(p_vel)),
+            np.asarray(jax.device_get(p_mass)),
+            np.asarray(jax.device_get(p_pfof)), ng, mesh,
+            W=None if p_W is None else np.asarray(jax.device_get(p_W)),
+            ptype=p_ptype, boxsize=boxsize, pertype=pertype,
+            **{k: (None if v is None else np.asarray(v))
+               for k, v in ex_kw.items()})
+    else:
+        pr = props_mod.property_bundle(
+            opt, p_pos, p_vel, p_mass, p_pfof, ngpad,
+            W=p_W,
+            ptype=None if p_ptype is None else jnp.asarray(p_ptype),
+            boxsize=boxsize, pertype=pertype, **ex_kw)
+        jax.block_until_ready(pr["gmass"])
     timings["properties"] = time.time() - t0
 
     props_np = {k: np.asarray(v)[: ng + 1] for k, v in pr.items()}

@@ -653,3 +653,94 @@ def compute_energies(vel, mass, pfof, W, num_groups: int, gcmvel,
         "Epot": 0.5 * seg.segment_sum(jnp.where(ing, W, 0.0), pfof, ng1),
         "Ekin_unbind": seg.segment_sum(jnp.where(ing, T, 0.0), pfof, ng1),
     }
+
+
+def property_bundle(opt, pos, vel, mass, pfof, num_groups: int, *,
+                    W=None, ptype=None, boxsize=None, pertype: bool = False,
+                    u=None, sfr=None, zmet=None, tage=None, bhmdot=None
+                    ) -> Dict[str, jnp.ndarray]:
+    """The full property-stage orchestration: reference frame selection,
+    core properties, per-type blocks, apertures/profiles, RVmax extras and
+    binding energies, exactly as the reference sequences them inside
+    ``GetProperties`` (/root/reference/src/substructureproperties.cxx:266+,
+    frame selection :327-340, GASON/STARON/BHON blocks, apertures :4539).
+
+    Pure given static ``opt`` fields and array-presence flags, so the SAME
+    function serves the single-device pipeline (models/pipeline.py) and
+    each device's shard of the mesh path
+    (parallel/distributed_props.py::distributed_properties).
+    """
+    from ..utils import config as C
+
+    refpos = refvel = None
+    if opt.iPropertyReferencePosition != C.PROPREFCM and W is not None:
+        # Reference_frame_for_properties (iPropertyReferencePosition):
+        # most-bound / potential-minimum particle instead of the CM;
+        # Particle_type_for_reference_frames restricts the candidate set
+        npp = pos.shape[0]
+        ng1 = num_groups + 1
+        if opt.iPropertyReferencePosition == C.PROPREFMINPOT:
+            key = W
+        else:  # PROPREFMBP
+            wm = jnp.where(pfof > 0, mass, 0.0)
+            vmean = seg.segment_mean(vel, wm, pfof, ng1)
+            dvv = vel - seg.gather_rows(vmean, pfof)
+            key = 0.5 * mass * jnp.sum(dvv * dvv, axis=-1) + W
+        key = jnp.where(pfof > 0, key, jnp.inf)
+        if opt.ParticleTypeForRefenceFrame != -1 and ptype is not None:
+            key = jnp.where(
+                jnp.asarray(ptype) == opt.ParticleTypeForRefenceFrame,
+                key, jnp.inf)
+        ridx = seg.segment_argmin(key, pfof, ng1)
+        safe = jnp.clip(ridx, 0, npp - 1)
+        refpos = seg.gather_rows(pos, safe)
+        refvel = seg.gather_rows(vel, safe)
+
+    pr = compute_properties(
+        pos, vel, mass, pfof, num_groups,
+        G=opt.G, boxsize=boxsize,
+        rhocrit=opt.rhocrit, rhobg=opt.rhobg,
+        virlevel=opt.virlevel if opt.virlevel > 0 else 200.0,
+        virBN98=opt.virBN98,
+        so_thresholds=tuple(opt.SOthresholds_values_crit),
+        min_size=opt.MinSize,
+        iIterateCM=bool(opt.iIterateCM),
+        cmfrac=opt.pinfo.cmfrac, cmadjustfac=opt.pinfo.cmadjustfac,
+        refpos=refpos)
+    # centre used by every radius-dependent stage below (the reference
+    # re-references ALL particle positions to cmref up front, :320-340)
+    ref_c = refpos if refpos is not None else pr["gcm"]
+
+    if pertype and ptype is not None:
+        to_int = 1.0 / opt.lengthtokpc if opt.lengthtokpc > 0 else 0.0
+        pr.update(compute_pertype_properties(
+            pos, vel, mass, jnp.asarray(ptype), pfof, num_groups,
+            refpos=ref_c, refvel=pr["gcmvel"],
+            u=u, sfr=sfr, zmet=zmet, tage=tage, bhmdot=bhmdot,
+            rvmax=pr.get("gRmaxvel"), r200c=pr.get("gR200c"),
+            r200m=pr.get("gR200m"), r500c=pr.get("gR500c"),
+            rBN98=pr.get("gRBN98"),
+            r30=30.0 * to_int, r50=50.0 * to_int,
+            zoomlowmassdm=float(opt.zoomlowmassdm)))
+
+    if opt.iaperturecalc or opt.iprofilecalc:
+        to_int = 1.0 / opt.lengthtokpc if opt.lengthtokpc > 0 else 1.0
+        aps = tuple(a * to_int for a in opt.aperture_values_kpc) \
+            if opt.iaperturecalc else ()
+        aps_proj = tuple(a * to_int for a in opt.aperture_proj_values_kpc) \
+            if opt.iaperturecalc else ()
+        edges = tuple(opt.profile_bin_edges) if opt.iprofilecalc else ()
+        pr.update(compute_aperture_properties(
+            pos, vel, mass, pfof, num_groups, refpos=ref_c,
+            refvel=pr["gcmvel"], apertures=aps, apertures_proj=aps_proj,
+            profile_edges=edges, iprofilenorm=opt.iprofilenorm,
+            R200c=pr["gR200c"]))
+    if opt.iextrahalooutput:
+        pr.update(compute_rvmax_properties(
+            pos, vel, mass, pfof, num_groups, refpos=ref_c,
+            refvel=pr["gcmvel"], rmax=pr["gRmaxvel"]))
+    if W is not None:
+        pr.update(compute_energies(
+            vel, mass, pfof, W, num_groups, pr["gcmvel"],
+            jnp.asarray(opt.uinfo.Eratio, jnp.float32)))
+    return pr

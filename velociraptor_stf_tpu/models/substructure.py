@@ -1089,17 +1089,36 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             dens_global = np.zeros(len(pfof_all), np.float32)
             dens_global[aidx] = loaded
         elif len(aidx):
-            npadg = _next_pow2(len(aidx))
-            gpos, gvel_, _, gvalid = _pad_structure(
-                pos[aidx].astype(np.float32), vel[aidx].astype(np.float32),
-                np.ones(len(aidx), np.float32), npadg, pad_spacing)
             exact = opt.iLocalVelDenApproxCalcFlag == 0
-            d = localfield.velocity_density(
-                jnp.asarray(gpos), jnp.asarray(gvel_), nvel=opt.Nvel,
-                nsearch=opt.Nsearch, active=jnp.asarray(gvalid),
-                exact=exact, chunk=256 if exact else 2048)
+            # mesh path: shard the kNN density over devices (the analog of
+            # the reference's kNN import machinery,
+            # mpiroutines.cxx:1203-1722) once the active set is too big
+            # for one device; below the threshold the single-device
+            # evaluation is exact (slab-local leaf splits perturb the
+            # approximative candidate sets near slab boundaries, so small
+            # runs keep bit-identical catalogs either way)
+            dist_min = int(os.environ.get("VR_DIST_DENSITY_MIN", 1 << 23))
+            if mesh is not None and not exact and len(aidx) >= dist_min:
+                from ..parallel.distributed_localfield import \
+                    distributed_velocity_density
+
+                d = distributed_velocity_density(
+                    pos[aidx].astype(np.float32),
+                    vel[aidx].astype(np.float32), mesh, nvel=opt.Nvel,
+                    nsearch=opt.Nsearch, boxsize=boxsize)
+                d = d[:len(aidx)]
+            else:
+                npadg = _next_pow2(len(aidx))
+                gpos, gvel_, _, gvalid = _pad_structure(
+                    pos[aidx].astype(np.float32),
+                    vel[aidx].astype(np.float32),
+                    np.ones(len(aidx), np.float32), npadg, pad_spacing)
+                d = np.asarray(localfield.velocity_density(
+                    jnp.asarray(gpos), jnp.asarray(gvel_), nvel=opt.Nvel,
+                    nsearch=opt.Nsearch, active=jnp.asarray(gvalid),
+                    exact=exact, chunk=256 if exact else 2048))[:len(aidx)]
             dens_global = np.zeros(len(pfof_all), np.float32)
-            dens_global[aidx] = np.asarray(d)[:len(aidx)]
+            dens_global[aidx] = d
             if opt.smname:
                 cache_io.write_local_velocity_density(
                     opt.smname, dens_global[aidx], aidx)
