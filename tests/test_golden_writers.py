@@ -1,0 +1,229 @@
+"""Wide golden gate: baryon+zoom catalog and writer byte streams.
+
+Extends the frozen-catalog gate (tests/test_golden.py) per VERDICT r3
+item 6: a second frozen snapshot with baryons, a zoom-style high-mass
+interloper population, apertures, per-type columns and substructure —
+and byte-level gates on the catalog WRITERS: the binary/ASCII streams
+are hashed and the HDF5 dataset name set is frozen, all produced from
+the FROZEN property arrays, so a property rename, column reorder or
+stream-layout regression fails CI even when the pipeline numerics are
+untouched (reference output contract: src/io.cxx:252-3530 +
+allvars.h:4275 DataGroupNames).
+
+Regenerate after a DELIBERATE change with:
+    python tools/regen_golden.py        (CPU backend, like the tests)
+and say so in the commit message.
+"""
+
+import hashlib
+import os
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from velociraptor_stf_tpu.utils import config as C
+
+GOLDEN2 = os.path.join(os.path.dirname(__file__), "golden",
+                       "golden_catalog2.npz")
+
+# property keys checked at full tolerance; everything else frozen in the
+# npz is checked too — this list just documents the core coverage
+CORE_KEYS = ("gmass", "gM200c", "gR200c", "gsize", "gmaxvel", "gRhalfmass",
+             "gsigma_v", "cNFW", "Ekin", "Krot", "Efrac")
+
+
+def golden2_options(boxsize, n):
+    """The golden-2 configuration: FOF6D + substructure + baryons + zoom
+    interlopers + apertures + per-type + inclusive SO + extra outputs."""
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = boxsize / n ** (1 / 3)
+    opt.fofbgtype = C.FOF6D
+    opt.MinSize = 20
+    opt.HaloMinSize = 32
+    opt.uinfo.unbindflag = 1
+    opt.iBoundHalos = 1
+    opt.uinfo.Eratio = 1.0
+    opt.G = 43.0211349
+    opt.iSubSearch = 1
+    opt.iiterflag = 1
+    opt.iBaryonSearch = 1
+    opt.partsearchtype = C.PSTALL
+    opt.iInclusiveHalo = 3
+    opt.iSphericalOverdensityPartList = 1
+    opt.iextrahalooutput = 1
+    opt.iaperturecalc = 1
+    opt.aperture_values_kpc = [30.0, 100.0]
+    opt.aperturenum = 2
+    opt.lengthtokpc = 1000.0
+    opt.velocitytokms = 1.0
+    opt.masstosolarmass = 1e10
+    # zoom: particles heavier than this are low-res interlopers
+    opt.zoomlowmassdm = 4.0
+    C.config_check(opt)
+    return opt
+
+
+def golden2_snapshot():
+    """Planted mock with gas, stars and a low-res heavy-DM contaminant
+    shell (deterministic; the regen tool freezes its output)."""
+    from velociraptor_stf_tpu.io.synthetic import make_cosmo_mock
+
+    n = 16384
+    boxsize = 22.0
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=14, seed=21)
+    rng = np.random.default_rng(5)
+    ptype = np.full(n, C.DARKTYPE, np.int32)
+    ptype[::6] = C.GASTYPE
+    ptype[3::61] = C.STARTYPE
+    # zoom interlopers: heavy DM sprinkled through the volume
+    heavy = rng.choice(n, n // 200, replace=False)
+    ptype[heavy] = C.DARKTYPE
+    mass = mass.copy()
+    mass[heavy] = 8.0
+    u = np.abs(rng.normal(1.0, 0.3, n)).astype(np.float32)
+    sfr = np.where(rng.uniform(size=n) < 0.3,
+                   rng.uniform(0, 2, n), 0.0).astype(np.float32)
+    return pos, vel, mass, ptype, u, sfr, boxsize
+
+
+def run_golden2_pipeline():
+    from velociraptor_stf_tpu.models.pipeline import find_structures
+
+    pos, vel, mass, ptype, u, sfr, boxsize = golden2_snapshot()
+    opt = golden2_options(boxsize, len(pos))
+    res = find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                          ptype=ptype, extras={"u": u, "sfr": sfr})
+    return opt, res
+
+
+def writer_gate_products(opt, tmpdir, pfof, props, ng, parent, hostid,
+                         level, stype, so_offsets, so_indices):
+    """Write every catalog format from FROZEN arrays; return the gate
+    dict: sha256 of each binary/ASCII stream + the HDF5 dataset-name
+    sets (writer-format fingerprints, independent of pipeline drift)."""
+    from velociraptor_stf_tpu.io import writers
+
+    n = len(pfof)
+    pids = np.arange(1, n + 1, dtype=np.int64)
+    numsub = np.zeros(ng + 1, np.int64)
+    for g in range(1, ng + 1):
+        p = parent[g] if g < len(parent) else 0
+        if 0 < p <= ng:
+            numsub[p] += 1
+    gate = {}
+    for fmt, tag in ((C.OUTBINARY, "bin"), (C.OUTASCII, "ascii"),
+                     (C.OUTHDF, "hdf")):
+        opt.ibinaryout = fmt
+        out = os.path.join(tmpdir, f"g2_{tag}")
+        cols = writers.properties_table(opt, props, ng, hostid=hostid,
+                                        numsubstruct=numsub, level=level,
+                                        stype=stype)
+        writers.write_properties(opt, out, cols, ng)
+        writers.write_group_catalog(opt, out, pfof, pids, ng)
+        writers.write_hierarchy(opt, out,
+                                parent.astype(np.int64), ng)
+        if so_offsets is not None:
+            writers.write_so_catalog(opt, out, so_offsets, so_indices,
+                                     pids, ng)
+        exts = [".properties", ".catalog_groups", ".catalog_particles",
+                ".catalog_parttypes", ".hierarchy", ".catalog_SOlist"]
+        for ext in exts:
+            fn = out + ext
+            if not os.path.exists(fn):
+                continue
+            if fmt == C.OUTHDF:
+                import h5py
+
+                with h5py.File(fn) as f:
+                    names = []
+                    f.visit(names.append)
+                gate[f"hdf_names{ext}"] = ",".join(sorted(names))
+            else:
+                gate[f"sha_{tag}{ext}"] = hashlib.sha256(
+                    open(fn, "rb").read()).hexdigest()
+    return gate
+
+
+@pytest.fixture(scope="module")
+def golden2():
+    if not os.path.exists(GOLDEN2):
+        pytest.skip("golden_catalog2.npz not generated")
+    with np.load(GOLDEN2, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+@pytest.fixture(scope="module")
+def pipeline_result():
+    return run_golden2_pipeline()
+
+
+def _partition(pfof):
+    d = defaultdict(list)
+    for i, g in enumerate(np.asarray(pfof)):
+        if g > 0:
+            d[g].append(i)
+    return {g: frozenset(v) for g, v in d.items()}
+
+
+@pytest.mark.slow
+def test_golden2_catalog_no_drift(golden2, pipeline_result):
+    """Partition + EVERY frozen property array (apertures, per-type,
+    substructure hierarchy) against the baryon+zoom golden catalog."""
+    from test_golden import _match_fraction
+
+    opt, res = pipeline_result
+    assert res.ngroups == int(golden2["ngroups"])
+    pa = _partition(res.pfof)
+    pb = _partition(golden2["pfof"])
+    assert _match_fraction(pa, pb) >= 0.999
+    assert _match_fraction(pb, pa) >= 0.999
+    np.testing.assert_array_equal(np.asarray(res.parent),
+                                  golden2["parent"])
+    np.testing.assert_array_equal(np.asarray(res.hierarchy_level),
+                                  golden2["level"])
+    ng = res.ngroups
+    checked = 0
+    for k in golden2:
+        if not k.startswith("prop_"):
+            continue
+        name = k[5:]
+        assert name in res.props, f"property column {name} disappeared"
+        got = np.asarray(res.props[name], np.float64)[:ng + 1]
+        want = np.asarray(golden2[k], np.float64)[:ng + 1]
+        scale = np.abs(want).max(initial=0.0)
+        np.testing.assert_allclose(got, want, rtol=2e-3,
+                                   atol=2e-3 * max(scale, 1e-30),
+                                   err_msg=name)
+        checked += 1
+    assert checked >= 30, "golden2 froze too few property columns"
+    for k in CORE_KEYS:
+        assert f"prop_{k}" in golden2
+
+
+@pytest.mark.slow
+def test_golden2_writer_streams(golden2, tmp_path):
+    """Binary/ASCII catalog streams byte-hash-stable and HDF5 dataset
+    name sets frozen, writing from the FROZEN arrays (catches writer
+    regressions independent of pipeline numerics)."""
+    pos, vel, mass, ptype, u, sfr, boxsize = golden2_snapshot()
+    opt = golden2_options(boxsize, len(pos))
+    props = {k[5:]: golden2[k] for k in golden2 if k.startswith("prop_")}
+    ng = int(golden2["ngroups"])
+    so_off = golden2.get("so_offsets")
+    so_idx = golden2.get("so_indices")
+    if so_off is not None and so_off.size == 0:
+        so_off = so_idx = None
+    stype = golden2["stype"]
+    gate = writer_gate_products(
+        opt, str(tmp_path), golden2["pfof"], props, ng,
+        golden2["parent"], golden2["hostid"], golden2["level"],
+        None if stype.size == 0 else stype, so_off, so_idx)
+    for k, v in gate.items():
+        want = str(golden2[f"gate_{k}"])
+        assert v == want, f"writer stream changed: {k}"
+    # every frozen gate entry must still be produced
+    for k in golden2:
+        if k.startswith("gate_"):
+            assert k[5:] in gate, f"writer product disappeared: {k[5:]}"
