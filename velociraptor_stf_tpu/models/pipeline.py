@@ -92,10 +92,7 @@ def _check_unbound(opt: C.Options, mesh, spos, svel, smass, pfof,
         from ..parallel.distributed_unbind import distributed_unbind
 
         return distributed_unbind(
-            np.asarray(jax.device_get(spos)),
-            np.asarray(jax.device_get(svel)),
-            np.asarray(jax.device_get(smass)),
-            np.asarray(jax.device_get(pfof)), ngpad, opt.uinfo, opt.G,
+            spos, svel, smass, pfof, ngpad, opt.uinfo, opt.G,
             mesh, boxsize=boxsize, min_size=minsize)
     return unbind_mod.check_unbound_groups(
         spos, svel, smass, pfof, ngpad, opt.uinfo, opt.G,
@@ -402,14 +399,9 @@ def find_structures(opt: C.Options, pos, vel, mass,
         from ..parallel.distributed_props import distributed_properties
 
         pr = distributed_properties(
-            opt, np.asarray(jax.device_get(p_pos)),
-            np.asarray(jax.device_get(p_vel)),
-            np.asarray(jax.device_get(p_mass)),
-            np.asarray(jax.device_get(p_pfof)), ng, mesh,
-            W=None if p_W is None else np.asarray(jax.device_get(p_W)),
-            ptype=p_ptype, boxsize=boxsize, pertype=pertype,
-            **{k: (None if v is None else np.asarray(v))
-               for k, v in ex_kw.items()})
+            opt, p_pos, p_vel, p_mass, p_pfof, ng, mesh,
+            W=p_W, ptype=p_ptype, boxsize=boxsize, pertype=pertype,
+            **ex_kw)
     else:
         pr = props_mod.property_bundle(
             opt, p_pos, p_vel, p_mass, p_pfof, ngpad,

@@ -41,6 +41,7 @@ import numpy as np
 
 from ..ops import gravity, pallas_gravity, segments as seg
 from ..utils.config import CMVELREF, POTREF, UPART, USYSANDPART, UnbindInfo
+from ..utils.transfer import fetch_small
 
 _DIRECT_CLASSES = (64, 256, 1024, 4096)
 
@@ -319,7 +320,7 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
             jnp.asarray(uinfo.maxunbindfrac, pos.dtype),
             min_size, uinfo.cmvelreftype, max_iters=chunk_iters,
             bound0=bound)
-        if not bool(jax.device_get(changed)):
+        if not bool(fetch_small(changed)):
             break
         if uinfo.bgpot == 0:
             lost = seg.segment_sum(
@@ -375,7 +376,7 @@ def _finalize_unbind(mass, pfof, bound, W, num_groups: int,
     ranks = jnp.arange(ng1, dtype=jnp.int32)
     gid_map = gid_map.at[order].set(jnp.where(ranks < ng_new, ranks + 1, 0))
     pfof_new = gid_map[new_raw]
-    ng_new = int(jax.device_get(ng_new))
+    ng_new = int(fetch_small(ng_new))
     return UnbindResult(pfof=pfof_new, ngroups=ng_new, W=W, Efrac=Efrac,
                         bound=bound, gid_map=gid_map)
 

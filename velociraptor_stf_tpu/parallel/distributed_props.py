@@ -165,62 +165,29 @@ def distributed_properties(opt, pos, vel, mass, pfof, num_groups: int,
     indexed by global group id, same keys as ``property_bundle``.
     """
     from ..models.properties import property_bundle
-    from .distributed_unbind import assign_groups_lpt
+    from ..utils.transfer import fetch_small
+    from .grouppack import plan_group_blocks
 
-    ndev = mesh.devices.size
-    pos = np.asarray(pos, np.float32)
-    vel = np.asarray(vel, np.float32)
-    mass = np.asarray(mass, np.float32)
-    pfof_np = np.asarray(pfof, np.int32)
-    n = pos.shape[0]
-    sizes = np.bincount(pfof_np, minlength=num_groups + 1)
-    sizes[0] = 0
+    pos = jnp.asarray(pos, jnp.float32)
+    vel = jnp.asarray(vel, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    pfof_d = jnp.asarray(pfof, jnp.int32)
 
-    dev_of = assign_groups_lpt(sizes, ndev)
-    dev_p = dev_of[pfof_np]
-    tagged = pfof_np > 0
-    load = np.bincount(dev_p[tagged], minlength=ndev)
-    npad = 1 << max(10, int(np.ceil(np.log2(max(int(load.max()), 1)))))
+    plan = plan_group_blocks(pfof_d, num_groups, mesh, min_npad=1024)
+    if plan is None:
+        return {}
+    ng_loc = plan.ng_loc
 
-    # local group ids 1..k_d in ascending global-id order (deterministic)
-    gsel = np.nonzero(sizes)[0]
-    d_of = dev_of[gsel]
-    k_of_dev = np.bincount(d_of, minlength=ndev).astype(np.int64)
-    dstart = np.zeros(ndev, np.int64)
-    dstart[1:] = np.cumsum(k_of_dev)[:-1]
-    gorder = np.argsort(d_of, kind="stable")
-    rank_in_dev = np.empty(len(gsel), np.int64)
-    rank_in_dev[gorder] = np.arange(len(gsel)) - dstart[d_of[gorder]]
-    gid_local = np.zeros(num_groups + 1, np.int32)
-    gid_local[gsel] = (rank_in_dev + 1).astype(np.int32)
-    ng_loc = int(k_of_dev.max()) if len(gsel) else 0
-
-    # block packing: tagged particles sorted by (device, local gid, index)
-    key = dev_p.astype(np.int64) * (num_groups + 2) + gid_local[pfof_np]
-    order = np.argsort(np.where(tagged, key, np.iinfo(np.int64).max),
-                       kind="stable")[:int(tagged.sum())]
-    dev_sorted = dev_p[order]
-    start = np.zeros(ndev, np.int64)
-    start[1:] = np.cumsum(load)[:-1]
-    slot = np.arange(len(order), dtype=np.int64) - start[dev_sorted]
-
-    def pack(a, dtype, fill=0):
-        out = np.full((ndev, npad) + a.shape[1:], fill, dtype)
-        out[dev_sorted, slot] = a[order]
-        return out
-
-    blocks = [pack(pos, np.float32), pack(vel, np.float32),
-              pack(mass, np.float32), pack(pfof_np, np.int32)]
-    blocks[3][dev_sorted, slot] = gid_local[pfof_np[order]]
+    blocks = [plan.pack(pos), plan.pack(vel), plan.pack(mass),
+              plan.pack_local_gids(pfof_d)]
     names = ["pos", "vel", "mass", "gid"]
     opt_arrays = {"W": W, "ptype": ptype, "u": u, "sfr": sfr,
                   "zmet": zmet, "tage": tage, "bhmdot": bhmdot}
     for k, v in opt_arrays.items():
         if v is not None:
-            dt = np.int32 if k == "ptype" else np.float32
-            blocks.append(pack(np.asarray(v).astype(dt), dt))
+            dt = jnp.int32 if k == "ptype" else jnp.float32
+            blocks.append(plan.pack(jnp.asarray(v, dt)))
             names.append(k)
-    present = frozenset(names)
 
     def body(*blks):
         d = {nm: b[0] for nm, b in zip(names, blks)}
@@ -235,15 +202,16 @@ def distributed_properties(opt, pos, vel, mass, pfof, num_groups: int,
     mapped = jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(P(PARTS_AXIS),) * len(blocks),
         out_specs=P(PARTS_AXIS)))
-    sh = NamedSharding(mesh, P(PARTS_AXIS))
-    out_b = mapped(*[jax.device_put(b, sh) for b in blocks])
+    out_b = mapped(*blocks)
 
-    # host reassembly: global row g <- device dev_of[g], row gid_local[g]
-    d_idx = dev_of[gsel]
-    l_idx = gid_local[gsel]
+    # host reassembly of per-GROUP rows (ng-sized — the mesh path's only
+    # host traffic here): global row g <- device dev_of[g], row gid_local[g]
+    gsel = np.nonzero(plan.gid_local)[0]
+    d_idx = plan.dev_of[gsel]
+    l_idx = plan.gid_local[gsel]
     res: Dict[str, np.ndarray] = {}
     for k, v in out_b.items():
-        v = np.asarray(jax.device_get(v))
+        v = np.asarray(fetch_small(v))
         full = np.zeros((num_groups + 1,) + v.shape[2:], v.dtype)
         if len(gsel):
             full[gsel] = v[d_idx, l_idx]

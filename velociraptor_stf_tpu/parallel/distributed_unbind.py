@@ -20,7 +20,6 @@ chunks (unbind.cxx:583-586).
 
 from __future__ import annotations
 
-import math
 import os
 import warnings
 from functools import partial
@@ -28,37 +27,15 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import pallas_gravity, segments as seg
 from ..models.unbind import UnbindResult, _finalize_unbind, _unbind_loop
 from ..utils.config import POTREF, UnbindInfo
+from .grouppack import assign_groups_lpt, plan_group_blocks
 from .mesh import PARTS_AXIS
 
 _CHUNK = 512
-
-
-def assign_groups_lpt(sizes: np.ndarray, ndev: int) -> np.ndarray:
-    """Size-balanced group -> device assignment, fully vectorised.
-
-    Groups sorted largest-first are dealt in SERPENTINE rounds
-    (0..ndev-1, ndev-1..0, ...), the closed-form cousin of greedy LPT:
-    each device receives one group per round, and the direction flip
-    pairs every round's largest remainder with the previous round's
-    lightest device.  O(ng log ng) with no Python loop (the round-2
-    per-group argmin walk was minutes of host time at 10^6 groups).
-    Results are assignment-independent — unbinding is per-group local —
-    so only balance matters.  ``sizes``: (ng+1,) counts (entry 0
-    ignored)."""
-    ng = len(sizes) - 1
-    order = np.argsort(-sizes[1:], kind="stable") + 1
-    k = np.arange(ng, dtype=np.int64)
-    pos = k % ndev
-    dev = np.where((k // ndev) % 2 == 0, pos, ndev - 1 - pos)
-    dev_of = np.zeros(ng + 1, np.int32)
-    dev_of[order] = dev.astype(np.int32)
-    return dev_of
 
 
 def _potential_block_direct(pos_l, mass_l, gid_l, eps2):
@@ -191,68 +168,31 @@ def distributed_unbind(pos, vel, mass, pfof, num_groups: int,
     """Unbind all groups, sharded over the mesh; matches the single-device
     ``check_unbound_groups`` semantics (bound sets, dissolution, renumber).
 
-    Host prepass is O(N): group sizes, LPT assignment, block packing.
-    """
-    pos = np.asarray(pos)
-    vel = np.asarray(vel)
-    mass = np.asarray(mass)
-    pfof_np = np.asarray(pfof)
+    Arrays stay DEVICE-RESIDENT end to end: the deal/packing prepass is
+    jitted (parallel/grouppack.py) and the host sees only (ng+1,) group
+    sizes and per-device loads — the reference keeps particles on their
+    ranks the same way (mpiroutines.cxx:49-230)."""
+    pos = jnp.asarray(pos, jnp.float32)
+    vel = jnp.asarray(vel, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    pfof_d = jnp.asarray(pfof, jnp.int32)
     n = pos.shape[0]
-    ndev = mesh.devices.size
-    sizes = np.bincount(pfof_np, minlength=num_groups + 1)
-    sizes[0] = 0
-    if num_groups == 0 or sizes.sum() == 0:
-        return _finalize_unbind(jnp.asarray(mass), jnp.asarray(pfof_np),
+
+    plan = (plan_group_blocks(pfof_d, num_groups, mesh, min_npad=_CHUNK)
+            if num_groups > 0 else None)
+    if plan is None:
+        return _finalize_unbind(mass, pfof_d,
                                 jnp.zeros(n, bool), jnp.zeros(n, pos.dtype),
                                 num_groups, uinfo, min_size)
+    npad, ng_loc = plan.npad, plan.ng_loc
 
-    dev_of = assign_groups_lpt(sizes, ndev)
-    dev_p = dev_of[pfof_np]                      # per-particle device
-    tagged = pfof_np > 0
-    load = np.bincount(dev_p[tagged], minlength=ndev)
-    npad = _CHUNK << max(
-        0, math.ceil(math.log2(max(int(load.max()), 1) / _CHUNK)))
-
-    # local group ids: densely renumber each device's groups 1..k_d in
-    # global-id order (deterministic; ejection order matches single-device)
-    # — vectorised rank-within-device (no per-group Python loop)
-    gsel = np.nonzero(sizes)[0]                 # ascending global gid
-    d_of = dev_of[gsel]
-    k_of_dev = np.bincount(d_of, minlength=ndev).astype(np.int64)
-    dstart = np.zeros(ndev, np.int64)
-    dstart[1:] = np.cumsum(k_of_dev)[:-1]
-    gorder = np.argsort(d_of, kind="stable")    # stable: keeps gid order
-    rank_in_dev = np.empty(len(gsel), np.int64)
-    rank_in_dev[gorder] = np.arange(len(gsel)) - dstart[d_of[gorder]]
-    gid_local = np.zeros(num_groups + 1, np.int32)
-    gid_local[gsel] = (rank_in_dev + 1).astype(np.int32)
-    ng_loc = int(k_of_dev.max()) if len(gsel) else 0
-
-    # block packing: tagged particles sorted by (device, local gid, index)
-    key = dev_p.astype(np.int64) * (num_groups + 2) + gid_local[pfof_np]
-    order = np.argsort(np.where(tagged, key, np.iinfo(np.int64).max),
-                       kind="stable")[:int(tagged.sum())]
-    dev_sorted = dev_p[order]
-    # per-device slot offset
-    start = np.zeros(ndev, np.int64)
-    start[1:] = np.cumsum(load)[:-1]
-    slot_in_dev = np.arange(len(order), dtype=np.int64) - start[dev_sorted]
-
-    dt = np.float32
-    pos_b = np.zeros((ndev, npad, 3), dt)
-    vel_b = np.zeros((ndev, npad, 3), dt)
-    mass_b = np.zeros((ndev, npad), dt)
-    gidl_b = np.zeros((ndev, npad), np.int32)
-    src_b = np.full((ndev, npad), n, np.int64)
-    pos_b[dev_sorted, slot_in_dev] = pos[order]
-    vel_b[dev_sorted, slot_in_dev] = vel[order]
-    mass_b[dev_sorted, slot_in_dev] = mass[order]
-    gidl_b[dev_sorted, slot_in_dev] = gid_local[pfof_np[order]]
-    src_b[dev_sorted, slot_in_dev] = order
+    pos_b = plan.pack(pos)
+    vel_b = plan.pack(vel)
+    mass_b = plan.pack(mass)
+    gidl_b = plan.pack_local_gids(pfof_d)
 
     use_pallas = (jax.default_backend() == "tpu" and
                   pallas_gravity.pallas_potential_available())
-    sh = NamedSharding(mesh, P(PARTS_AXIS))
 
     def _run(with_pallas: bool):
         body = _make_unbind_body(npad, ng_loc, uinfo, G, min_size, boxsize,
@@ -261,9 +201,7 @@ def distributed_unbind(pos, vel, mass, pfof, num_groups: int,
             body, mesh=mesh,
             in_specs=(P(PARTS_AXIS),) * 4,
             out_specs=(P(PARTS_AXIS), P(PARTS_AXIS)))
-        return jax.jit(mapped)(
-            jax.device_put(pos_b, sh), jax.device_put(vel_b, sh),
-            jax.device_put(mass_b, sh), jax.device_put(gidl_b, sh))
+        return jax.jit(mapped)(pos_b, vel_b, mass_b, gidl_b)
 
     if use_pallas:
         try:
@@ -279,14 +217,7 @@ def distributed_unbind(pos, vel, mass, pfof, num_groups: int,
     else:
         bound_b, W_b = _run(False)
 
-    bound_flat = np.asarray(jax.device_get(bound_b)).reshape(-1)
-    W_flat = np.asarray(jax.device_get(W_b)).reshape(-1)
-    src_flat = src_b.reshape(-1)
-    ok = src_flat < n
-    bound = np.zeros(n, bool)
-    W = np.zeros(n, pos.dtype)
-    bound[src_flat[ok]] = bound_flat[ok]
-    W[src_flat[ok]] = W_flat[ok]
-    return _finalize_unbind(jnp.asarray(mass), jnp.asarray(pfof_np),
-                            jnp.asarray(bound), jnp.asarray(W),
+    bound = plan.unpack(bound_b, fill=False)
+    W = plan.unpack(W_b, fill=0.0)
+    return _finalize_unbind(mass, pfof_d, bound, W,
                             num_groups, uinfo, min_size)
