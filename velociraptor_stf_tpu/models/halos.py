@@ -328,53 +328,51 @@ def search_full_set_sharded(opt: C.Options, pos, vel, mass, boxsize: float,
     """
     from ..parallel.distributed_fof import (SlabPlan, distributed_fof3d,
                                             _velocity_scales_sharded)
+    from ..utils.transfer import fetch_small
 
-    pos_np = np.asarray(jax.device_get(pos))
+    pos = jnp.asarray(pos)          # device-resident across all stages
+    vel = jnp.asarray(vel)
+    mass = jnp.asarray(mass)
     minsize = opt.HaloMinSize if opt.HaloMinSize > 0 else opt.MinSize
     b3d = opt.ellphys * opt.ellxscale * opt.ellhalophysfac
     run6d = opt.fofbgtype in (C.FOF6D, C.FOF6DADAPTIVE)
     # one plan serves both passes: cells must span the larger reach
     reach = b3d * max(1.0, opt.ellhalo6dxfac if run6d else 1.0)
-    plan = SlabPlan(pos_np, reach, float(boxsize), mesh)
-    pfof3_np, ng3 = distributed_fof3d(pos_np, b3d, float(boxsize), mesh,
-                                      min_size=minsize, plan=plan)
-    pfof3 = jnp.asarray(pfof3_np)
+    plan = SlabPlan(pos, reach, float(boxsize), mesh)
+    pfof3, ng3 = distributed_fof3d(pos, b3d, float(boxsize), mesh,
+                                   min_size=minsize, plan=plan)
     if not (run6d and ng3 > 0):
         return FieldSearchResult(pfof=pfof3, ngroups=ng3)
 
-    vel_np = np.asarray(jax.device_get(vel))
-    mass_np = np.asarray(jax.device_get(mass))
     if (opt.fofbgtype == C.FOF6D and not opt.iKeepFOF
             and opt.iVscaleReferenceBugCompat):
         # the stray-statement accumulation depends on one specific particle
         # (search.cxx:450) — no meaningful sharded reduction exists, so the
         # single-device formula runs replicated
         vscale2 = velocity_scale_largest_group(
-            jnp.asarray(vel_np), jnp.asarray(mass_np), pfof3, ng3 + 1,
+            vel, mass, pfof3, ng3 + 1,
             opt.ellhalo6dvfac, bug_compat=True)
-        vs_pp_np = np.where(pfof3_np > 0,
-                            float(jax.device_get(vscale2)), 1.0)
+        vs_pp = jnp.where(pfof3 > 0, vscale2.astype(jnp.float32), 1.0)
     else:
-        sig2 = _velocity_scales_sharded(plan, vel_np, mass_np, pfof3_np,
-                                        ng3)
+        sig2 = _velocity_scales_sharded(plan, vel, mass, pfof3, ng3)
         fac2 = opt.ellhalo6dvfac ** 2
         if opt.fofbgtype == C.FOF6D and not opt.iKeepFOF:
             # single scale from the largest group (group 1 after the size
             # renumber, matching velocity_scale_largest_group)
-            vs_pp_np = np.where(pfof3_np > 0,
-                                max(float(sig2[1]) * fac2, 1e-30), 1.0)
+            vs_pp = jnp.where(pfof3 > 0,
+                              jnp.maximum(sig2[1] * fac2, 1e-30), 1.0)
         else:  # FOF6DADAPTIVE / iKeepFOF: per-group scales
-            vs_pp_np = np.where(
-                pfof3_np > 0,
-                np.maximum(sig2[np.clip(pfof3_np, 0, ng3)] * fac2, 1e-30),
+            vs_pp = jnp.where(
+                pfof3 > 0,
+                jnp.maximum(sig2[jnp.clip(pfof3, 0, ng3)] * fac2, 1e-30),
                 1.0)
+    vs_pp = vs_pp.astype(jnp.float32)
 
-    pfof6_np, ng6 = distributed_fof3d(
-        pos_np, b3d * opt.ellhalo6dxfac, float(boxsize), mesh,
-        min_size=minsize, vel=vel_np, vscale2=vs_pp_np, group=pfof3_np,
+    pfof6, ng6 = distributed_fof3d(
+        pos, b3d * opt.ellhalo6dxfac, float(boxsize), mesh,
+        min_size=minsize, vel=vel, vscale2=vs_pp, group=pfof3,
         plan=plan)
-    return _finish_6d(opt, pfof3, ng3, jnp.asarray(pfof6_np), ng6,
-                      jnp.asarray(vs_pp_np.astype(np.float32)), minsize)
+    return _finish_6d(opt, pfof3, ng3, pfof6, ng6, vs_pp, minsize)
 
 
 def _finish_6d(opt: C.Options, pfof3, ng3: int, pfof6, ng6: int,

@@ -124,7 +124,7 @@ class SlabPlan:
     def __init__(self, pos, linking_length: float, boxsize: float,
                  mesh: Mesh):
         ndev = mesh.devices.size
-        pos = np.asarray(pos)
+        pos = jnp.asarray(pos)          # device-resident throughout
         n = pos.shape[0]
         assert n < 2 ** 31, "int32 global particle ids"
         self.n = n
@@ -144,11 +144,12 @@ class SlabPlan:
         self.nz = nz = ny
         self.boxsize = float(boxsize)
 
-        dev_j, xc_j, scal = _plan_stats(jnp.asarray(pos), n, ndev, W,
+        dev_j, xc_j, scal = _plan_stats(pos, n, ndev, W,
                                         nx, ny, nz, float(boxsize))
         # f32 device sums: apply the 1e-4 safety margin (see _plan_stats)
+        from ..utils.transfer import fetch_small
         cmax, bmax, t_max = (int(float(v) * 1.0001) + 1
-                             for v in jax.device_get(scal))
+                             for v in fetch_small(scal))
         self.npad = int(1 << math.ceil(math.log2(max(cmax, 1))))
         self.B = 1 << math.ceil(math.log2(max(bmax, 1)))
         self.t_pad = 1 << math.ceil(math.log2(max(t_max, 1024)))
@@ -164,7 +165,7 @@ class SlabPlan:
             dev_j[self._order] * self.npad + rank_sorted)
         sh = NamedSharding(mesh, P(PARTS_AXIS))
         self.pos_b = jax.device_put(
-            _pack3(jnp.asarray(pos), self._dest, ndev, self.npad), sh)
+            _pack3(pos, self._dest, ndev, self.npad), sh)
         gid_flat = jnp.full(ndev * self.npad, n, jnp.int32).at[
             self._dest].set(jnp.arange(n, dtype=jnp.int32))
         self.gid_b = jax.device_put(gid_flat.reshape(ndev, self.npad), sh)
@@ -256,8 +257,9 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
                       plan: Optional[SlabPlan] = None):
     """FOF over a periodic box, sharded by x-slab over the mesh.
 
-    Returns (pfof, ngroups): pfof in the ORIGINAL particle order (host
-    numpy), group ids 1..ngroups by decreasing size (matching fof.fof3d).
+    Returns (pfof, ngroups): pfof a DEVICE array in the ORIGINAL particle
+    order, group ids 1..ngroups by decreasing size (matching fof.fof3d);
+    ngroups a host int (the only device->host traffic).
 
     With ``vel``/``vscale2``/``group`` given, pairs link under the 6D
     phase-space criterion  d2/ell^2 + dv2/vscale2 <= 1  restricted to the
@@ -268,7 +270,6 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
     ``plan``: reuse a SlabPlan built with cell width >= this linking
     length (the 6DFOF pass reuses the 3D pass's binning/packing).
     """
-    pos = np.asarray(pos)
     if plan is None:
         plan = SlabPlan(pos, linking_length, boxsize, mesh)
     # ±1-cell stencil correctness: plan cells must span the linking length
@@ -459,8 +460,8 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
     # (every member carries its component's min global id), exactly the
     # label form renumber_by_size consumes.
     pfof_d, ng_d = _fof_epilogue(labels_b, gid_out, n, min_size)
-    return (np.asarray(jax.device_get(pfof_d)),
-            int(jax.device_get(ng_d)))
+    from ..utils.transfer import fetch_small
+    return pfof_d, int(fetch_small(ng_d))
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -487,11 +488,10 @@ def distributed_fof6d(pos, vel, mass, linking_length: float,
     the per-group velocity dispersion scales are then reduced globally and
     phase 2 re-links each parent's particles under the 6D criterion with
     the same machinery (velocities riding the ghost exchange).
-    Returns (pfof6, ng6, pfof3, ng3) in original particle order.
+    Returns (pfof6, ng6, pfof3, ng3), labels as DEVICE arrays in original
+    particle order.
     """
-    pos = np.asarray(pos)
-    vel = np.asarray(vel)
-    mass = np.asarray(mass)
+    vel = jnp.asarray(vel)
     # ONE plan serves both passes: cell width >= max(ell3, ell6) (wider
     # cells are always correct), so the binning / packing / ghost-buffer
     # sizing is not rebuilt for the 6D criterion pass
@@ -503,9 +503,11 @@ def distributed_fof6d(pos, vel, mass, linking_length: float,
         return pfof3, 0, pfof3, 0
     sig2 = _velocity_scales_sharded(plan, vel, mass, pfof3, ng3)
     if not adaptive:
-        sig2 = np.full_like(sig2, sig2[1])   # largest group's scale
-    vscale2 = np.where(pfof3 > 0,
-                       np.maximum(sig2[pfof3] * ell6dvfac ** 2, 1e-30), 1.0)
+        sig2 = jnp.full_like(sig2, sig2[1])   # largest group's scale
+    vscale2 = jnp.where(
+        pfof3 > 0,
+        jnp.maximum(sig2[jnp.clip(pfof3, 0, ng3)] * ell6dvfac ** 2,
+                    1e-30), 1.0)
     pfof6, ng6 = distributed_fof3d(
         pos, linking_length * ell6dxfac, boxsize, mesh, min_size=min_size,
         vel=vel, vscale2=vscale2, group=pfof3, plan=plan)
@@ -513,11 +515,12 @@ def distributed_fof6d(pos, vel, mass, linking_length: float,
 
 
 def _velocity_scales_sharded(plan: SlabPlan, vel, mass, pfof3,
-                             ng3: int) -> np.ndarray:
-    """(ng3+1,) per-group velocity dispersions sigma_v^2, reduced over the
-    mesh: each device computes partial mass-weighted segment sums over its
-    block and ``psum`` combines them (the analog of the reference's
-    MPI_Allreduce over group bulk quantities, search.cxx:443-499)."""
+                             ng3: int) -> jnp.ndarray:
+    """(ng3+1,) per-group velocity dispersions sigma_v^2 (DEVICE array),
+    reduced over the mesh: each device computes partial mass-weighted
+    segment sums over its block and ``psum`` combines them (the analog of
+    the reference's MPI_Allreduce over group bulk quantities,
+    search.cxx:443-499)."""
     ng1 = ng3 + 1
     sh = NamedSharding(plan.mesh, P(PARTS_AXIS))
     w = jnp.where(jnp.asarray(pfof3) > 0,
@@ -548,4 +551,4 @@ def _velocity_scales_sharded(plan: SlabPlan, vel, mass, pfof3,
     mapped = jax.shard_map(body, mesh=plan.mesh,
                            in_specs=(P(PARTS_AXIS), P(PARTS_AXIS)),
                            out_specs=P())
-    return np.asarray(jax.device_get(jax.jit(mapped)(pay_b, grp_b)))
+    return jax.jit(mapped)(pay_b, grp_b)
