@@ -23,6 +23,7 @@ import numpy as np
 
 from ..utils import config as C
 from ..utils import units
+from ..utils.transfer import fetch_bulk, fetch_small
 from . import halos, properties as props_mod, unbind as unbind_mod
 
 
@@ -172,7 +173,7 @@ def find_structures(opt: C.Options, pos, vel, mass,
         # host copy costs ~1.3 s at 256^3 that no real deployment pays
         # inside the search.
         pfof3d_np = None if fres.pfof3d is None else \
-            np.asarray(jax.device_get(fres.pfof3d))
+            np.asarray(fetch_bulk(fres.pfof3d, "pfof3d"))
         num3dfof_host, parent3d_host = fres.num3dfof, fres.parent3d
         fres = None
 
@@ -358,7 +359,7 @@ def find_structures(opt: C.Options, pos, vel, mass,
     # reductions scale with the group population, not the box
     pfof_d = jnp.asarray(pfof)
     tag = pfof_d > 0
-    ntag = int(jax.device_get(jnp.sum(tag)))
+    ntag = int(fetch_small(jnp.sum(tag)))
     n_all = pfof_d.shape[0]
     if 0 < ntag < n_all // 2:
         from ..ops import segments as seg_ops
@@ -369,9 +370,11 @@ def find_structures(opt: C.Options, pos, vel, mass,
         p_mass = jnp.where(svalid, jnp.asarray(mass)[sub_idx], 0.0)
         p_pfof = jnp.where(svalid, pfof_d[sub_idx], 0)
         p_W = None if W is None else jnp.asarray(W)[sub_idx]
-        p_ptype = None if ptype_np is None else ptype_np[
-            np.asarray(jax.device_get(sub_idx))]
-        p_sub = np.asarray(jax.device_get(sub_idx))
+        # the tagged-subset index map is fetched only when a host-side
+        # per-particle payload (ptype / extras) must be sliced with it
+        p_sub = (np.asarray(fetch_bulk(sub_idx, "tagged_subset_index"))
+                 if (ptype_np is not None or extras) else None)
+        p_ptype = None if ptype_np is None else ptype_np[p_sub]
     else:
         p_pos, p_vel = jnp.asarray(pos), jnp.asarray(vel)
         p_mass, p_pfof = jnp.asarray(mass), pfof_d
@@ -411,7 +414,9 @@ def find_structures(opt: C.Options, pos, vel, mass,
         jax.block_until_ready(pr["gmass"])
     timings["properties"] = time.time() - t0
 
-    props_np = {k: np.asarray(v)[: ng + 1] for k, v in pr.items()}
+    props_np = {k: np.asarray(v if isinstance(v, np.ndarray)
+                              else fetch_small(v))[: ng + 1]
+                for k, v in pr.items()}
 
     so_offsets = so_indices = None
     if opt.iInclusiveHalo > 0 and ng > 0:
@@ -422,9 +427,15 @@ def find_structures(opt: C.Options, pos, vel, mass,
             pfof=pfof, mesh=mesh)
         timings["so"] = time.time() - t0
 
+    # the ONE full-array gather of the mesh path: catalog payloads leave
+    # the device only here (reference analog: particles stay on ranks
+    # until the catalog write, mpiroutines.cxx:49-230)
     return CatalogResult(
-        pfof=np.asarray(pfof), ngroups=ng, props=props_np,
-        W=None if W is None else np.asarray(W),
+        pfof=np.asarray(pfof if isinstance(pfof, np.ndarray)
+                        else fetch_bulk(pfof, "catalog_pfof")),
+        ngroups=ng, props=props_np,
+        W=None if W is None else np.asarray(
+            W if isinstance(W, np.ndarray) else fetch_bulk(W, "catalog_W")),
         pfof3d=pfof3d_np,
         timings=timings, hostid=hostid,
         hierarchy_level=level, parent=parent,
@@ -489,16 +500,17 @@ def _so_stage(opt: C.Options, pos, vel, mass, props_np, ng: int,
         minnum = np.maximum(
             (opt.SphericalOverdensityMinHaloFac * num + 1).astype(np.int32),
             int(minsize * opt.SphericalOverdensityMinHaloFac + 1))
-        mmin = float(jax.device_get(jnp.min(jnp.asarray(mass))))
+        mmin = float(fetch_small(jnp.min(jnp.asarray(mass))))
         if mesh is not None:
             # psum'd per-(halo, radius-bin) histograms over the mesh (the
             # analog of the reference's halo-region import,
-            # mpiroutines.cxx:1723-2165); same crossing semantics
+            # mpiroutines.cxx:1723-2165); same crossing semantics —
+            # particle arrays stay device-resident, only (H,) metadata
+            # crosses to the host
             from ..parallel.distributed_so import distributed_so_masses
 
             M, R = distributed_so_masses(
-                np.asarray(jax.device_get(pos)),
-                np.asarray(jax.device_get(mass)), centers, rsearch, lnthr,
+                pos, mass, centers, rsearch, lnthr,
                 mesh, boxsize=boxsize, minnum=minnum,
                 first_mass=np.full(len(field_sel), mmin))
         else:

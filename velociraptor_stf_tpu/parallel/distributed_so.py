@@ -85,11 +85,14 @@ def distributed_so_masses(pos, mass, centers, rsearch, lnrho_thresholds,
     """SO masses/radii from ALL (mesh-sharded) particles for H halos.
 
     Same contract as ops/so.py::so_masses_all_particles; the particle
-    arrays are sharded over ``mesh`` and never gathered.
+    arrays stay DEVICE-RESIDENT, sharded over ``mesh``, and are never
+    gathered — the host sees only per-halo metadata (H-sized).
     """
+    from ..utils.transfer import fetch_small
+
     ndev = mesh.devices.size
-    pos = np.asarray(pos, np.float32)
-    mass = np.asarray(mass, np.float32)
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
     centers = np.asarray(centers)
     rsearch = np.asarray(rsearch, np.float64)
     H = centers.shape[0]
@@ -108,20 +111,19 @@ def distributed_so_masses(pos, mass, centers, rsearch, lnrho_thresholds,
     n = pos.shape[0]
     npad = -(-n // ndev) * ndev
     pad = npad - n
-    if pad:
-        # mass-0 sentinels at an in-range point: the histogram kernel's
-        # zero-mass guard keeps them out of both mass and count sums
-        pos = np.concatenate([pos, np.broadcast_to(pos[:1], (pad, 3))])
-        mass = np.concatenate([mass, np.zeros(pad, np.float32)])
-    sh = NamedSharding(mesh, P(PARTS_AXIS))
-    pos_b = jax.device_put(pos.reshape(ndev, npad // ndev, 3), sh)
-    mass_b = jax.device_put(mass.reshape(ndev, npad // ndev), sh)
-
     if boxsize:
         glo, ghi = np.zeros(3), np.full(3, float(boxsize))
     else:
-        glo, ghi = pos[:n].min(0).astype(np.float64), \
-            pos[:n].max(0).astype(np.float64)
+        glo = np.asarray(fetch_small(jnp.min(pos, 0)), np.float64)
+        ghi = np.asarray(fetch_small(jnp.max(pos, 0)), np.float64)
+    if pad:
+        # mass-0 sentinels at an in-range point: the histogram kernel's
+        # zero-mass guard keeps them out of both mass and count sums
+        pos = jnp.concatenate([pos, jnp.broadcast_to(pos[:1], (pad, 3))])
+        mass = jnp.concatenate([mass, jnp.zeros(pad, jnp.float32)])
+    sh = NamedSharding(mesh, P(PARTS_AXIS))
+    pos_b = jax.device_put(pos.reshape(ndev, npad // ndev, 3), sh)
+    mass_b = jax.device_put(mass.reshape(ndev, npad // ndev), sh)
 
     # octave classes by search radius (host decision, as single-device)
     rs_max = float(rsearch.max())
@@ -135,7 +137,7 @@ def distributed_so_masses(pos, mass, centers, rsearch, lnrho_thresholds,
                           boxsize=boxsize or 0.0)
         ctr = jnp.asarray(centers[sel], jnp.float32)
         rs = jnp.asarray(rsearch[sel], jnp.float32)
-        T = int(jax.device_get(_candidate_total_mapped(
+        T = int(fetch_small(_candidate_total_mapped(
             pos_b, ctr, grid, mesh)))
         t_pad = fof._pad_pow2(max(T, 1))
         Mh, Nh = _class_histogram_mapped(pos_b, mass_b, ctr, rs, grid,
@@ -145,6 +147,6 @@ def distributed_so_masses(pos, mass, centers, rsearch, lnrho_thresholds,
             jnp.asarray(minnum[sel], jnp.int32),
             jnp.asarray(first_mass[sel], jnp.float32),
             nbins, lnumin, nthr)
-        M_out[sel] = np.asarray(jax.device_get(M), np.float64)
-        R_out[sel] = np.asarray(jax.device_get(R), np.float64)
+        M_out[sel] = np.asarray(fetch_small(M), np.float64)
+        R_out[sel] = np.asarray(fetch_small(R), np.float64)
     return M_out, R_out
