@@ -1209,14 +1209,19 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             for e in prep:
                 byn.setdefault(e["npad"], []).append(e)
             for entries in byn.values():
-                if len(entries) >= 2:
-                    if mesh is not None:
-                        from ..parallel.distributed_substructure import \
-                            distributed_subset_batch
+                # singleton classes (the handful of BIGGEST structures —
+                # each lands alone in its pow2 class) take the batched
+                # machinery too: its 3 fused dispatches beat the
+                # sequential path's edge-table pass chain even at B=1,
+                # and the biggest structures are exactly where the
+                # sequential per-pass overhead hurt (r3: 0.05x DM-only)
+                if mesh is not None and len(entries) >= 2:
+                    from ..parallel.distributed_substructure import \
+                        distributed_subset_batch
 
-                        distributed_subset_batch(opt, entries, mesh)
-                    else:
-                        _search_subset_batch(opt, entries)
+                    distributed_subset_batch(opt, entries, mesh)
+                else:
+                    _search_subset_batch(opt, entries)
 
         # pass 3: per-structure search / cores / merges / unbind
         for e in prep:
