@@ -1301,14 +1301,19 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             ng_total += ng_sub
         queue = new_queue
 
-    # hostid: walk to top-level ancestor (reference GetHierarchy /
-    # PropData.hostid: -1 for field objects)
-    hostid = np.full(ng_total + 1, -1, np.int64)
-    for g in range(1, ng_total + 1):
-        p = g
-        while parent[p] != 0:
-            p = parent[p]
-        hostid[g] = p if p != g else -1
+    # hostid: top-level ancestor (reference GetHierarchy /
+    # PropData.hostid: -1 for field objects) — vectorised pointer jumping
+    # (<= MAXSUBLEVEL compositions; the per-group Python walk was O(ng *
+    # depth) host time at genesis-scale group counts)
+    anc = np.arange(ng_total + 1, dtype=np.int64)
+    for _ in range(C.MAXSUBLEVEL + 2):
+        nxt = parent[anc]
+        stepped = nxt > 0
+        if not stepped.any():
+            break
+        anc = np.where(stepped, nxt, anc)
+    hostid = np.where(anc == np.arange(ng_total + 1), -1, anc)
+    hostid[0] = -1
     return pfof_all, ng_total, hostid, parent, level_of
 
 
