@@ -65,8 +65,19 @@ def main():
     pf = pallas_fof.PallasFof(pos, vel, boxsize, b3d)
     sync(pf.ctx.cols_p)
     print(f"ctx build: {time.time()-t0:.2f} s", flush=True)
+    t0 = time.time()
     keep, nkeep = pf.linked_mask(b3d)
-    pf3 = pf.subset(keep)
+    print(f"linked_mask(detect): {time.time()-t0:.2f} s nkeep={nkeep}",
+          flush=True)
+    t0 = time.time()
+    sub_pad = pf.subset_pad(keep)
+    print(f"subset_pad prepass: {time.time()-t0:.2f} s -> {sub_pad}",
+          flush=True)
+    for r in range(3):
+        t0 = time.time()
+        pf3 = pf.subset(keep, ns_pad_new=sub_pad)
+        sync(pf3.ctx.cols_p)
+        print(f"subset build[{r}]: {time.time()-t0:.2f} s", flush=True)
     pf.ctx = None
     ctx = pf3.ctx
     ns_pad = ctx.ns_pad

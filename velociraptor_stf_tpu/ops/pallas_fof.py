@@ -103,6 +103,26 @@ def _pad_pow2(x: int, lo: int = 1024) -> int:
     return k
 
 
+def _pad_class(x: int, lo: int = 1024) -> int:
+    """Smallest quarter-octave capacity class >= x, R_BLOCK-aligned:
+    2^k x {1, 1.25, 1.5, 1.75}.  Sweep fixed costs (hook/jump/dirty-map
+    passes + empty-block programs) scale with the PADDED slot count, so
+    pow2-only classes waste up to 2x on them; quarter-octave bounds the
+    waste to 1.19x at 4x the compile-variant count (amortised by the
+    persistent compile cache).  VR_FOF_PAD=pow2 restores pow2 classes."""
+    if os.environ.get("VR_FOF_PAD") == "pow2":
+        return _pad_pow2(x, lo)
+    k = _pad_pow2(x, lo)
+    if k <= lo:
+        return k
+    h = k // 2
+    for frac in (5, 6, 7):
+        cand = -(-(h * frac // 4) // R_BLOCK) * R_BLOCK
+        if cand >= x:
+            return cand
+    return k
+
+
 # ---------------------------------------------------------------------------
 # Ghost images (periodic wrap -> non-periodic extended domain)
 # ---------------------------------------------------------------------------
@@ -949,7 +969,7 @@ class PallasFof:
         keep_slots = jnp.where(self.ctx.src >= 0, keep_orig[safe_src],
                                False)
         count = int(jax.device_get(jnp.sum(keep_slots)))
-        return _pad_pow2(max(count, R_BLOCK), lo=R_BLOCK)
+        return _pad_class(max(count, R_BLOCK), lo=R_BLOCK)
 
     def subset(self, keep_orig, ns_pad_new: Optional[int] = None
                ) -> "PallasFof":
