@@ -162,6 +162,13 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         bound, changed, it = state
         return changed & (it < max_iters)
 
+    # ranked-path candidate budget: particles in cap-EXCEEDING groups are
+    # compacted before the rank sort, so the per-iteration lexsort runs
+    # over <= n // 8 slots instead of all n (the full-array sort was ~6 s
+    # per iteration at 512^3); the full sort only runs if the compaction
+    # budget overflows (pathological: most of the box over-cap at once)
+    rank_budget = max(1024, n // 8)
+
     def body_fn(state):
         bound, _, it = state
         vref = ref_vel(bound)
@@ -173,31 +180,55 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         nb = seg.segment_sum(bound.astype(jnp.int32), pfof, ng1)
         cap = jnp.maximum((maxunbindfrac * nb).astype(jnp.int32), 1)
         nu = seg.segment_sum(unbound.astype(jnp.int32), pfof, ng1)
+        exceed = nu > cap                        # (ng1,) groups over cap
 
-        def ranked(_):
-            # some group exceeds its cap: rank its unbound by -E and keep
-            # the cap least-bound (full lexsort over the subset — the
-            # expensive path, ~O(n log n) per iteration at 512^3)
-            order = jnp.lexsort((-E, jnp.where(unbound, pfof, ng1)))
-            gseq = jnp.where(unbound, pfof, ng1)[order]
+        def rank_mask(keys_g, keys_e, length):
+            """Removal mask for candidates with group keys ``keys_g``
+            (ng1 = invalid, sorts last) and energies ``keys_e``: the
+            cap[g] highest-E candidates of each group."""
+            order = jnp.lexsort((-keys_e, keys_g))
+            gseq = keys_g[order]
             offs = jnp.searchsorted(gseq,
                                     jnp.arange(ng1 + 1, dtype=jnp.int32),
                                     side="left").astype(jnp.int32)
-            rank_sorted = jnp.arange(n, dtype=jnp.int32) - \
+            rank_sorted = jnp.arange(length, dtype=jnp.int32) - \
                 offs[jnp.clip(gseq, 0, ng1)]
             remove_sorted = (gseq < ng1) & (rank_sorted < cap[
                 jnp.clip(gseq, 0, num_groups)])
-            return jnp.zeros(n, bool).at[order].set(remove_sorted)
+            return jnp.zeros(length, bool).at[order].set(remove_sorted)
+
+        def ranked_compact(_):
+            # compact the exceeding-group unbound candidates, rank only
+            # them; non-exceeding groups drop all their unbound
+            cand = unbound & exceed[pfof]
+            dest = jnp.cumsum(cand.astype(jnp.int32)) - 1
+            dest = jnp.where(cand, dest, rank_budget)
+            idx = jnp.zeros(rank_budget, jnp.int32).at[dest].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")
+            cnt = jnp.sum(cand.astype(jnp.int32))
+            cvalid = jnp.arange(rank_budget) < cnt
+            g_c = jnp.where(cvalid, pfof[idx], ng1)
+            e_c = jnp.where(cvalid, E[idx], -jnp.inf)
+            rm_c = rank_mask(g_c, e_c, rank_budget)
+            keep_removed = jnp.zeros(n, bool).at[
+                jnp.where(cvalid, idx, n)].set(rm_c, mode="drop")
+            return keep_removed | (unbound & ~exceed[pfof])
+
+        def ranked_full(_):
+            return rank_mask(jnp.where(unbound, pfof, ng1), E, n)
+
+        def ranked(_):
+            total = jnp.sum((unbound & exceed[pfof]).astype(jnp.int32))
+            return jax.lax.cond(total <= rank_budget, ranked_compact,
+                                ranked_full, None)
 
         def plain(_):
             return unbound
 
         # when every group's unbound count fits its cap, the ranked
         # removal keeps nothing back — removing all unbound is identical,
-        # and the per-iteration lexsort is skipped (after the first
-        # mass-ejection iterations this is the common case, and the sort
-        # dominated the 512^3 ejection loop)
-        remove = jax.lax.cond(jnp.any(nu > cap), ranked, plain, None)
+        # and the per-iteration rank sort is skipped entirely
+        remove = jax.lax.cond(jnp.any(exceed), ranked, plain, None)
         bound2 = bound & ~remove
         # dissolve groups below min size
         nb2 = seg.segment_sum(bound2.astype(jnp.int32), pfof, ng1)
