@@ -295,7 +295,20 @@ def _locate_pair(cx_pad, cr_pad, stripe_start, qx, qr, nx: int, right: bool):
 
 def _block_ranges(cx_pad, cr_pad, grid: CellGrid):
     """(nb8, 128) chunk-aligned coverage windows per R_BLOCK of sorted
-    (cx, r) cell pairs (cols 0-5 = [c0ch, nch] per dx in (-1, 0, +1)).
+    (cx, r) cell pairs: NINE windows, one per (dx, dy) stencil offset
+    (cols 0-17 = [c0ch, nch] pairs, dx-major).
+
+    Window(dx, dy) = [locate(cx0+dx, r0 + dy*nz - 1),
+                      locate(cx1+dx, r1 + dy*nz + 1))  — an exact
+    superset: a member particle at (cy, cz) has its own r in [r0, r1],
+    so its (cy+dy, cz±1) stencil cells land inside window dy.  The
+    per-dy split replaces the single ±(nz+1) window per dx, whose span
+    covered THREE FULL y-rows of z — in clustered regions (occupancy
+    >> 1 in halos) that superset scanned thousands of never-matching
+    columns per block and dominated the sweep cost at 512^3.  For
+    blocks spanning multiple y-rows the three dy windows may overlap;
+    the sweeps' min-label updates are idempotent so overlap only costs
+    the (rare, sparse-region) double scan.
 
     Pair representation + per-stripe binary search instead of a flat
     packed id keeps everything int32 for grids beyond 2^31 cells."""
@@ -312,14 +325,16 @@ def _block_ranges(cx_pad, cr_pad, grid: CellGrid):
     last = jnp.minimum((bidx + 1) * R_BLOCK, ns_pad) - 1
     x1 = cx_pad[last]
     r1 = cr_pad[last]
-    # lo query: (x0+dx, r0-(nz+1)); hi query: (x1+dx, r1+nz+1); normalise
-    # the mixed radix (|offset| < nynz so one borrow/carry suffices)
-    dxs = jnp.array([-1, 0, 1], jnp.int32)[:, None]
-    qr_lo = r0[None, :] - (nz + 1)
+    # queries per (dx, dy): lo (x0+dx, r0 + dy*nz - 1), hi (x1+dx,
+    # r1 + dy*nz + 1); normalise the mixed radix (|offset| < nynz so one
+    # borrow/carry suffices)
+    dxs = jnp.repeat(jnp.array([-1, 0, 1], jnp.int32), 3)[:, None]  # (9,1)
+    dys = jnp.tile(jnp.array([-1, 0, 1], jnp.int32), 3)[:, None]
+    qr_lo = r0[None, :] + dys * nz - 1
     borrow = (qr_lo < 0).astype(jnp.int32)
     qx_lo = x0[None, :] + dxs - borrow
     qr_lo = qr_lo + borrow * nynz
-    qr_hi = r1[None, :] + (nz + 1)
+    qr_hi = r1[None, :] + dys * nz + 1
     carry = (qr_hi >= nynz).astype(jnp.int32)
     qx_hi = x1[None, :] + dxs + carry
     qr_hi = qr_hi - carry * nynz
@@ -329,7 +344,9 @@ def _block_ranges(cx_pad, cr_pad, grid: CellGrid):
     nch = jnp.maximum(-(-(e - c0ch * CH) // CH), 0)
     # blocks that start in padding scan nothing (their rows can't link)
     nch = jnp.where((e > s) & (x0[None, :] < nx), nch, 0)
-    cols = [c0ch[0], nch[0], c0ch[1], nch[1], c0ch[2], nch[2]]
+    cols = []
+    for w in range(9):
+        cols.extend([c0ch[w], nch[w]])
     # SMEM arrays are lane-padded to 128 and capped at ~1 MB; ship ranges
     # as (8, 128) pipelined blocks instead of one whole-array allocation
     nb8 = -(-nblocks // 8) * 8
@@ -467,7 +484,7 @@ def _subset_ctx(ctx: FofSortCtx, keep_orig, ns_pad_new: int,
 # ---------------------------------------------------------------------------
 
 def _run_chunks(rng_ref, br, nm0, get_dmas, compute):
-    """Iterate the 3 coverage windows as one flat double-buffered chunk
+    """Iterate the 9 coverage windows as one flat double-buffered chunk
     stream.  ``get_dmas(off, slot)`` returns the DMA descriptors for a
     chunk; ``compute(nm, slot)`` consumes a filled slot.
 
@@ -478,20 +495,21 @@ def _run_chunks(rng_ref, br, nm0, get_dmas, compute):
     loop (10.02 s vs 7.23 s fixpoint — the (R,CH)->(R,CH/128,128)
     reshape relayouts every chunk); NBUF=4 deep buffering (no change);
     one-vs-two DMA descriptors per chunk (no change)."""
-    c00 = rng_ref[br, 0]
-    nch0 = rng_ref[br, 1]
-    c01 = rng_ref[br, 2]
-    nch1 = rng_ref[br, 3]
-    c02 = rng_ref[br, 4]
-    nch2 = rng_ref[br, 5]
-    t1 = nch0 + nch1
-    ntot = t1 + nch2
+    c0s = [rng_ref[br, 2 * w] for w in range(9)]
+    nchs = [rng_ref[br, 2 * w + 1] for w in range(9)]
+    cum = [nchs[0]]
+    for w in range(1, 9):
+        cum.append(cum[-1] + nchs[w])
+    ntot = cum[-1]
 
     def off_of(t):
-        j1 = t >= nch0
-        j2 = t >= t1
-        i = t - jnp.where(j2, t1, jnp.where(j1, nch0, 0))
-        c0 = jnp.where(j2, c02, jnp.where(j1, c01, c00))
+        # window of flat chunk t: smallest w with t < cum[w]
+        i = t
+        c0 = c0s[0]
+        for w in range(1, 9):
+            past = t >= cum[w - 1]
+            i = jnp.where(past, t - cum[w - 1], i)
+            c0 = jnp.where(past, c0s[w], c0)
         return (c0 + i) * CH
 
     @pl.when(ntot > 0)
@@ -759,8 +777,8 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
     prev0, nm0 = aux0
 
     nb8 = ctx.ranges.shape[0]
-    win_c0 = ctx.ranges[:, 0:6:2]                       # (nb8, 3)
-    win_nch = ctx.ranges[:, 1:6:2]                      # (nb8, 3)
+    win_c0 = ctx.ranges[:, 0:18:2]                      # (nb8, 9)
+    win_nch = ctx.ranges[:, 1:18:2]                     # (nb8, 9)
 
     def body(state):
         l, prev_ref, nm_cache, _, it, work = state
@@ -776,7 +794,7 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
               cum[jnp.minimum(win_c0, nch_total)]) > 0   # (nb8, 3)
         blk_dirty = jnp.any(wd, axis=1)
         nch_round = win_nch * blk_dirty[:, None].astype(jnp.int32)
-        ranges = ctx.ranges.at[:, 1:6:2].set(nch_round)
+        ranges = ctx.ranges.at[:, 1:18:2].set(nch_round)
         nm = jnp.minimum(nm_cache, sweep_fn(l, ranges))
         # fold ghost rows' minima back into their real slot
         nm = nm.at[ctx.grs].min(nm[ctx.gslots])
