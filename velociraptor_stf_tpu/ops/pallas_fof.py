@@ -223,16 +223,25 @@ def _build_ctx(pos, vel, grid: CellGrid, caps: Tuple[int, int, int],
         # cost — the sort dominates the 512^3 ctx build)
         _, _, order = jax.lax.sort(
             (ccx, ccr, jnp.arange(ntot, dtype=jnp.int32)), num_keys=3)
-    cx_s = ccx[order]
-    cr_s = ccr[order]
-    pos_s = pos[order]
-    src_s = src[order]
+    # one multi-row take (see _subset_ctx): a (6,) column per index
+    # amortises the per-index gather cost
+    stacked = jnp.stack([
+        ccx, ccr, src,
+        jax.lax.bitcast_convert_type(pos[:, 0].astype(jnp.float32),
+                                     jnp.int32),
+        jax.lax.bitcast_convert_type(pos[:, 1].astype(jnp.float32),
+                                     jnp.int32),
+        jax.lax.bitcast_convert_type(pos[:, 2].astype(jnp.float32),
+                                     jnp.int32)])
+    g = jnp.take(stacked, order, axis=1, indices_are_sorted=False)
+    cx_s = g[0]
+    cr_s = g[1]
+    src_s = g[2]
+    pos_bits_s = g[3:6]
 
     pad = ns_pad - ntot
     cols_p = jnp.full((4, ns_pad + CH), SENT_BITS, jnp.int32)
-    cols_p = cols_p.at[0:3, :ntot].set(
-        jax.lax.bitcast_convert_type(pos_s.T.astype(jnp.float32),
-                                     jnp.int32))
+    cols_p = cols_p.at[0:3, :ntot].set(pos_bits_s)
     cols_p = cols_p.at[3, :].set(BIG_I32)
     if with_vel:
         vel_s = vel[order]
@@ -443,22 +452,29 @@ def _subset_ctx(ctx: FofSortCtx, keep_orig, ns_pad_new: int,
     sub_idx = jnp.where(svalid, sub_idx, 0)
 
     nx = grid.ncells[0]
-    ccx = jnp.where(svalid, ctx.ccx[sub_idx], nx)
-    ccr = jnp.where(svalid, ctx.ccr[sub_idx], 0)
+    # ONE multi-row take instead of six per-row gathers: each index then
+    # fetches a (6,) column, amortising the per-index cost (measured
+    # 4.4x per element vs separate row gathers at 512^3 subset scale —
+    # the subset build was gather-bound)
+    stacked = jnp.stack([ctx.ccx, ctx.ccr, ctx.src,
+                         ctx.is_real.astype(jnp.int32),
+                         ctx.cols_p[0, :ns_pad], ctx.cols_p[1, :ns_pad],
+                         ctx.cols_p[2, :ns_pad]])
+    sub = jnp.take(stacked, sub_idx, axis=1, indices_are_sorted=True)
+    ccx = jnp.where(svalid, sub[0], nx)
+    ccr = jnp.where(svalid, sub[1], 0)
+    src = jnp.where(svalid, sub[2], -1)
+    is_real = jnp.where(svalid, sub[3] != 0, False)
     # positions move as raw bits (cols_p rows 0-2 are bitcast f32)
-    pos_sub = jnp.stack(
-        [jnp.where(svalid, ctx.cols_p[k, :][sub_idx], SENT_BITS)
-         for k in range(3)], axis=-1)
-    src = jnp.where(svalid, ctx.src[sub_idx], -1)
     cols_p = jnp.full((4, ns_pad_new + CH), SENT_BITS, jnp.int32)
-    cols_p = cols_p.at[0:3, :ns_pad_new].set(pos_sub.T)
+    cols_p = cols_p.at[0:3, :ns_pad_new].set(
+        jnp.where(svalid[None, :], sub[4:7], SENT_BITS))
     cols_p = cols_p.at[3, :].set(BIG_I32)
     # velocities stay lazy (zero-size placeholder): 3D-phase subsets (the
     # linked-particle prune) never touch them, and fof6d materialises them
     # through _fill_vel on first use — the eager (4, ns_pad_new) build +
     # gather cost several seconds and ~1 GB HBM at 512^3 for nothing
     cols_v = jnp.zeros((4, 0), jnp.float32)
-    is_real = jnp.where(svalid, ctx.is_real[sub_idx], False)
     new_slots = jnp.arange(ns_pad_new, dtype=jnp.int32)
     real_slot = jnp.zeros(n, jnp.int32).at[
         jnp.where(is_real, src, n)].set(new_slots, mode="drop")
