@@ -152,32 +152,45 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
     ng1 = num_groups + 1
     in_group = pfof > 0
 
-    def ref_vel(bound):
-        if cmvelreftype == POTREF:
-            return potref_vel
+    # Per-group stats ride the while_loop carry as an (ng1, 5) table
+    # [m*vx, m*vy, m*vz, m, count], updated INCREMENTALLY by subtracting
+    # the dropped particles' contributions each iteration — the per-
+    # iteration cost is then ~4 n-sized gather/scatter passes instead of
+    # ~10 (XLA:TPU gathers/scatters run near-serial, ~0.25 s per 32M pass
+    # — they, not the rank sort, dominated the 512^3 ejection loop).
+    # Counts are f32 inside the table (exact to 2^24 members; the cap is
+    # a 5% fraction so beyond that the rounding is immaterial and both
+    # the single-device and sharded paths share this code).
+    def group_stats(bound):
         w = jnp.where(bound, mass, 0.0)
-        return seg.segment_mean(vel, w, pfof, ng1)
+        upd = jnp.stack([w * vel[:, 0], w * vel[:, 1], w * vel[:, 2], w,
+                         bound.astype(w.dtype)], axis=1)       # (n, 5)
+        return jnp.zeros((ng1, 5), w.dtype).at[
+            jnp.where(bound, pfof, ng1)].add(upd, mode="drop")
 
     def cond_fn(state):
-        bound, changed, it = state
+        bound, _, changed, it = state
         return changed & (it < max_iters)
 
     # ranked-path candidate budget: particles in cap-EXCEEDING groups are
     # compacted before the rank sort, so the per-iteration lexsort runs
-    # over <= n // 8 slots instead of all n (the full-array sort was ~6 s
-    # per iteration at 512^3); the full sort only runs if the compaction
-    # budget overflows (pathological: most of the box over-cap at once)
+    # over <= n // 8 slots instead of all n; the full sort only runs if
+    # the compaction budget overflows (pathological: most of the box
+    # over-cap at once)
     rank_budget = max(1024, n // 8)
 
     def body_fn(state):
-        bound, _, it = state
-        vref = ref_vel(bound)
+        bound, stats, _, it = state
+        if cmvelreftype == POTREF:
+            vref = potref_vel
+        else:
+            vref = stats[:, 0:3] / jnp.maximum(stats[:, 3:4], 1e-30)
         dv = vel - seg.gather_rows(vref, pfof)
         T = 0.5 * mass * jnp.sum(dv * dv, axis=-1)
         E = Eratio * T + W
         unbound = (E > 0) & bound
         # cap removals per group: least-bound (highest E) first
-        nb = seg.segment_sum(bound.astype(jnp.int32), pfof, ng1)
+        nb = stats[:, 4].astype(jnp.int32)
         cap = jnp.maximum((maxunbindfrac * nb).astype(jnp.int32), 1)
         nu = seg.segment_sum(unbound.astype(jnp.int32), pfof, ng1)
         exceed = nu > cap                        # (ng1,) groups over cap
@@ -229,12 +242,22 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         # removal keeps nothing back — removing all unbound is identical,
         # and the per-iteration rank sort is skipped entirely
         remove = jax.lax.cond(jnp.any(exceed), ranked, plain, None)
-        bound2 = bound & ~remove
-        # dissolve groups below min size
-        nb2 = seg.segment_sum(bound2.astype(jnp.int32), pfof, ng1)
-        bound2 = bound2 & (nb2[pfof] >= min_size)
-        changed = jnp.any(bound2 != bound)
-        return bound2, changed, it + 1
+        remove = remove & bound
+        # dissolve groups below min size (counts via the removal deltas,
+        # not a fresh full segment sum)
+        nrm = seg.segment_sum(remove.astype(jnp.int32), pfof, ng1)
+        nb2 = nb - nrm
+        dissolved = nb2 < min_size
+        bound2 = bound & ~remove & ~dissolved[pfof]
+        # subtract every dropped particle's contribution from the carry
+        dropped = bound & ~bound2
+        w = jnp.where(dropped, mass, 0.0)
+        upd = jnp.stack([w * vel[:, 0], w * vel[:, 1], w * vel[:, 2], w,
+                         dropped.astype(w.dtype)], axis=1)
+        stats2 = stats - jnp.zeros((ng1, 5), w.dtype).at[
+            jnp.where(dropped, pfof, ng1)].add(upd, mode="drop")[:ng1]
+        changed = jnp.any(dropped)
+        return bound2, stats2, changed, it + 1
 
     if bound0 is None:
         bound0 = in_group
@@ -242,8 +265,8 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
     # bound0's under jax.shard_map (no-op values: True and 0)
     changed0 = jnp.any(bound0 | jnp.bool_(True))
     it0 = jnp.max(jnp.zeros_like(pfof))
-    bound, changed, iters = jax.lax.while_loop(
-        cond_fn, body_fn, (bound0, changed0, it0))
+    bound, _, changed, iters = jax.lax.while_loop(
+        cond_fn, body_fn, (bound0, group_stats(bound0), changed0, it0))
     return bound, changed
 
 

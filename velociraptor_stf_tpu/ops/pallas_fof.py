@@ -223,25 +223,21 @@ def _build_ctx(pos, vel, grid: CellGrid, caps: Tuple[int, int, int],
         # cost — the sort dominates the 512^3 ctx build)
         _, _, order = jax.lax.sort(
             (ccx, ccr, jnp.arange(ntot, dtype=jnp.int32)), num_keys=3)
-    # one multi-row take (see _subset_ctx): a (6,) column per index
-    # amortises the per-index gather cost
-    stacked = jnp.stack([
-        ccx, ccr, src,
-        jax.lax.bitcast_convert_type(pos[:, 0].astype(jnp.float32),
-                                     jnp.int32),
-        jax.lax.bitcast_convert_type(pos[:, 1].astype(jnp.float32),
-                                     jnp.int32),
-        jax.lax.bitcast_convert_type(pos[:, 2].astype(jnp.float32),
-                                     jnp.int32)])
-    g = jnp.take(stacked, order, axis=1, indices_are_sorted=False)
-    cx_s = g[0]
-    cr_s = g[1]
-    src_s = g[2]
-    pos_bits_s = g[3:6]
+    # NOTE: a fused (6, ntot) stack + one multi-row take measured 4.4x
+    # faster per element here, but its two 3.4 GB transients OOM a 16 GB
+    # v5e at 512^3 (the build is the peak-memory moment) — the base ctx
+    # keeps per-array gathers; the subset build (parent ctx already
+    # shrunk) uses the fused takes
+    cx_s = ccx[order]
+    cr_s = ccr[order]
+    pos_s = pos[order]
+    src_s = src[order]
 
     pad = ns_pad - ntot
     cols_p = jnp.full((4, ns_pad + CH), SENT_BITS, jnp.int32)
-    cols_p = cols_p.at[0:3, :ntot].set(pos_bits_s)
+    cols_p = cols_p.at[0:3, :ntot].set(
+        jax.lax.bitcast_convert_type(pos_s.T.astype(jnp.float32),
+                                     jnp.int32))
     cols_p = cols_p.at[3, :].set(BIG_I32)
     if with_vel:
         vel_s = vel[order]
@@ -452,15 +448,18 @@ def _subset_ctx(ctx: FofSortCtx, keep_orig, ns_pad_new: int,
     sub_idx = jnp.where(svalid, sub_idx, 0)
 
     nx = grid.ncells[0]
-    # ONE multi-row take instead of six per-row gathers: each index then
-    # fetches a (6,) column, amortising the per-index cost (measured
-    # 4.4x per element vs separate row gathers at 512^3 subset scale —
-    # the subset build was gather-bound)
-    stacked = jnp.stack([ctx.ccx, ctx.ccr, ctx.src,
-                         ctx.is_real.astype(jnp.int32),
-                         ctx.cols_p[0, :ns_pad], ctx.cols_p[1, :ns_pad],
-                         ctx.cols_p[2, :ns_pad]])
-    sub = jnp.take(stacked, sub_idx, axis=1, indices_are_sorted=True)
+    # Fused multi-row takes instead of six per-row gathers: each index
+    # fetches a whole column, amortising the per-index cost (measured
+    # 4.4x per element at 512^3 subset scale — the subset build was
+    # gather-bound).  Positions come straight out of the parent's
+    # (4, Ns) cols_p with NO staging copy; the four metadata rows stack
+    # into one transient (peak-memory safe here: the subset runs after
+    # the build's transients die).
+    pos_sub = jnp.take(ctx.cols_p[:, :ns_pad], sub_idx, axis=1,
+                       indices_are_sorted=True)[0:3]
+    meta = jnp.stack([ctx.ccx, ctx.ccr, ctx.src,
+                      ctx.is_real.astype(jnp.int32)])
+    sub = jnp.take(meta, sub_idx, axis=1, indices_are_sorted=True)
     ccx = jnp.where(svalid, sub[0], nx)
     ccr = jnp.where(svalid, sub[1], 0)
     src = jnp.where(svalid, sub[2], -1)
@@ -468,7 +467,7 @@ def _subset_ctx(ctx: FofSortCtx, keep_orig, ns_pad_new: int,
     # positions move as raw bits (cols_p rows 0-2 are bitcast f32)
     cols_p = jnp.full((4, ns_pad_new + CH), SENT_BITS, jnp.int32)
     cols_p = cols_p.at[0:3, :ns_pad_new].set(
-        jnp.where(svalid[None, :], sub[4:7], SENT_BITS))
+        jnp.where(svalid[None, :], pos_sub, SENT_BITS))
     cols_p = cols_p.at[3, :].set(BIG_I32)
     # velocities stay lazy (zero-size placeholder): 3D-phase subsets (the
     # linked-particle prune) never touch them, and fof6d materialises them
