@@ -94,3 +94,34 @@ def test_interpret_potential_matches_xla(monkeypatch):
     nz = np.abs(W0) > 0
     rel = np.abs(W0 - W1)[nz] / np.maximum(np.abs(W0[nz]), 1e-20)
     assert rel.max() < 1e-4
+
+
+def test_interpret_fof_clustered_dense(monkeypatch):
+    """Heavily-clustered box: dense cells stress the per-dy window split
+    (blocks inside halos must still see every 9-cell-stencil candidate;
+    blocks spanning multiple y-rows exercise the overlapping-window
+    case).  Guards the window decomposition against exactly the geometry
+    the uniform mock underrepresents."""
+    rng = np.random.default_rng(3)
+    boxsize = 20.0
+    # one huge tight clump (fills single cells), a smaller one near the
+    # periodic corner, and sparse background spanning many empty cells
+    clump1 = rng.normal([4.0, 4.0, 4.0], 0.05, (9000, 3))
+    clump2 = rng.normal([0.1, 19.9, 0.1], 0.08, (4000, 3)) % boxsize
+    bg = rng.uniform(0, boxsize, (3500, 3))
+    pos = jnp.asarray(np.vstack([clump1, clump2, bg]).astype(np.float32))
+    n = pos.shape[0]
+    vel = jnp.asarray(rng.normal(0, 30, (n, 3)).astype(np.float32))
+    mass = jnp.ones(n, jnp.float32)
+    opt = _opts(boxsize, n)
+
+    monkeypatch.setenv("VR_FOF_PALLAS", "0")
+    r0 = halos.search_full_set(opt, pos, vel, mass, boxsize=boxsize)
+    a = np.asarray(jax.device_get(r0.pfof))
+
+    monkeypatch.setenv("VR_FOF_PALLAS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        r1 = halos.search_full_set(opt, pos, vel, mass, boxsize=boxsize)
+        b = np.asarray(jax.device_get(r1.pfof))
+    assert r0.ngroups == r1.ngroups
+    assert np.array_equal(a, b)
