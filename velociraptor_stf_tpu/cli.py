@@ -257,10 +257,8 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
         numsub = None
         if res.parent is not None:
             numsub = np.zeros(ng + 1, np.int64)
-            for g in range(1, ng + 1):
-                pg = res.parent[g]
-                if pg > 0:
-                    numsub[pg] += 1
+            par_ = np.asarray(res.parent[1:ng + 1], np.int64)
+            np.add.at(numsub, par_[par_ > 0], 1)
         def _write_set(outname, sel_gids):
             """Write one catalog set restricted to ``sel_gids`` (1-based
             group ids, renumbered 1..k in order).  Used for the
