@@ -1223,9 +1223,9 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                 else:
                     _search_subset_batch(opt, entries)
 
-        # pass 3: per-structure search / cores / merges / unbind
+        # pass 3a: per-structure search / cores / merges (unbind deferred)
+        pend = []
         for e in prep:
-            g, idx, nsub = e["g"], e["idx"], e["nsub"]
             ppos, pvel, pmass = e["ppos"], e["pvel"], e["pmass"]
             valid, ell = e["valid"], e["ell"]
             if "sub_np" in e:
@@ -1242,8 +1242,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                             ppos.max(0).astype(np.float64)))
             # host mirror of sub_pfof: the core/phase merges run host-side
             # on arrays that already live on the host (ppos & co), so one
-            # D2H fetch is shared by all of them and the device copy is
-            # re-uploaded only if a later device stage (unbind) needs it
+            # D2H fetch is shared by all of them
             sub_host = None
             # merger-remnant core search (reference search.cxx:1530,
             # HaloCoreGrowth): cores beyond the main one become substructures
@@ -1278,18 +1277,61 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                     ppos, pvel, pmass, sub_host, ng_sub, 0,
                     opt.coresubmergemindist)
                 ng_sub = ns_new + nc_new
-            if ng_sub > 0 and opt.uinfo.unbindflag:
-                if sub_host is not None:
-                    sub_pfof = jnp.asarray(sub_host)
-                    sub_host = None
-                ures = unbind_mod.check_unbound_groups(
-                    ppos, pvel, pmass, sub_pfof, _next_pow2(ng_sub, 16),
-                    opt.uinfo, opt.G, min_size=opt.MinSize)
-                sub_pfof, ng_sub = ures.pfof, ures.ngroups
+            e["sub_np3"] = (np.asarray(sub_pfof)
+                            if sub_host is None else sub_host)
+            e["ng_sub3"] = ng_sub
+            if ng_sub > 0:
+                pend.append(e)
+
+        # pass 3b: ONE unbind over every candidate of the level (unbinding
+        # is per-group local, so the structures' padded arrays concatenate
+        # into a single group-relabelled problem — the per-structure
+        # unbind dispatch chain was the recursion's wall once the searches
+        # batched; the reference's analog is the per-rank OpenMP loop,
+        # search.cxx:2480).  Per-structure ids are recovered afterwards:
+        # a structure's groups keep their relative size order under the
+        # global by-size renumber, so the rank of its distinct ids
+        # reproduces check_unbound_groups' per-structure numbering.
+        if pend and opt.uinfo.unbindflag:
+            base = 0
+            cat_pos, cat_vel, cat_mass, cat_gid = [], [], [], []
+            bases = []
+            for e in pend:
+                sub3 = e["sub_np3"]
+                bases.append(base)
+                cat_pos.append(e["ppos"])
+                cat_vel.append(e["pvel"])
+                cat_mass.append(e["pmass"])
+                cat_gid.append(np.where(sub3 > 0, sub3 + base, 0)
+                               .astype(np.int32))
+                base += e["ng_sub3"]
+            ures = unbind_mod.check_unbound_groups(
+                jnp.asarray(np.concatenate(cat_pos)),
+                jnp.asarray(np.concatenate(cat_vel)),
+                jnp.asarray(np.concatenate(cat_mass)),
+                jnp.asarray(np.concatenate(cat_gid)),
+                _next_pow2(base, 16), opt.uinfo, opt.G,
+                min_size=opt.MinSize)
+            pfof_cat = np.asarray(jax.device_get(ures.pfof))
+            off = 0
+            for e, b0 in zip(pend, bases):
+                npad_e = e["ppos"].shape[0]
+                seg_ids = pfof_cat[off:off + npad_e]
+                off += npad_e
+                uniq = np.unique(seg_ids[seg_ids > 0])
+                remap = np.zeros((uniq[-1] + 1) if len(uniq) else 1,
+                                 np.int32)
+                remap[uniq] = np.arange(1, len(uniq) + 1)
+                e["sub_np3"] = remap[np.clip(seg_ids, 0, len(remap) - 1)]
+                e["ng_sub3"] = len(uniq)
+
+        # pass 3c: splice results into the global bookkeeping
+        for e in pend:
+            g, idx, nsub = e["g"], e["idx"], e["nsub"]
+            ng_sub = e["ng_sub3"]
             if ng_sub == 0:
                 continue
-            sub_np = (np.asarray(sub_pfof)
-                      if sub_host is None else sub_host)[:nsub]
+            sub_np = e["sub_np3"][:nsub]
             sel = sub_np > 0
             pfof_all[idx[sel]] = ng_total + sub_np[sel]
             parent = np.concatenate([parent, np.full(ng_sub, g, np.int64)])
