@@ -445,7 +445,12 @@ def _subset_ctx(ctx: FofSortCtx, keep_orig, ns_pad_new: int,
     count = jnp.sum(keep)
     svalid = jnp.arange(ns_pad_new) < count
     overflow = ctx.overflow | (count > ns_pad_new)
-    sub_idx = jnp.where(svalid, sub_idx, 0)
+    # padding tail takes the LAST index, keeping sub_idx non-decreasing:
+    # the fused takes below declare indices_are_sorted=True, and XLA:TPU
+    # actually exploits the hint — a zero-filled tail (descending) is
+    # undefined behavior that produced garbage coverage ranges and a
+    # watchdog-killed sweep at 512^3
+    sub_idx = jnp.where(svalid, sub_idx, ns_pad - 1)
 
     nx = grid.ncells[0]
     # Fused multi-row takes instead of six per-row gathers: each index
