@@ -152,21 +152,26 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
     ng1 = num_groups + 1
     in_group = pfof > 0
 
-    # Per-group stats ride the while_loop carry as an (ng1, 5) table
-    # [m*vx, m*vy, m*vz, m, count], updated INCREMENTALLY by subtracting
-    # the dropped particles' contributions each iteration — the per-
-    # iteration cost is then ~4 n-sized gather/scatter passes instead of
-    # ~10 (XLA:TPU gathers/scatters run near-serial, ~0.25 s per 32M pass
-    # — they, not the rank sort, dominated the 512^3 ejection loop).
+    # Per-group stats ride the while_loop carry as a LANE-MAJOR (5, ng1)
+    # table [m*vx, m*vy, m*vz, m, count], updated INCREMENTALLY by
+    # subtracting the dropped particles' contributions each iteration —
+    # the per-iteration cost is then ~4 n-sized gather/scatter passes
+    # instead of ~10 (XLA:TPU gathers/scatters run near-serial, ~0.25 s
+    # per 32M pass — they, not the rank sort, dominated the 512^3
+    # ejection loop).  The update operand is (5, n) lane-major: an
+    # (n, 5) minor-dim stack would be lane-padded 5 -> 128 by the
+    # XLA:TPU layout (a 16 GB HBM blowup at 32M — the compile OOM'd).
     # Counts are f32 inside the table (exact to 2^24 members; the cap is
     # a 5% fraction so beyond that the rounding is immaterial and both
     # the single-device and sharded paths share this code).
-    def group_stats(bound):
-        w = jnp.where(bound, mass, 0.0)
+    def _stats_delta(sel):
+        w = jnp.where(sel, mass, 0.0)
         upd = jnp.stack([w * vel[:, 0], w * vel[:, 1], w * vel[:, 2], w,
-                         bound.astype(w.dtype)], axis=1)       # (n, 5)
-        return jnp.zeros((ng1, 5), w.dtype).at[
-            jnp.where(bound, pfof, ng1)].add(upd, mode="drop")
+                         sel.astype(w.dtype)], axis=0)         # (5, n)
+        return jnp.zeros((5, ng1), w.dtype).at[
+            :, jnp.where(sel, pfof, ng1)].add(upd, mode="drop")
+
+    group_stats = _stats_delta
 
     def cond_fn(state):
         bound, _, changed, it = state
@@ -184,13 +189,13 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         if cmvelreftype == POTREF:
             vref = potref_vel
         else:
-            vref = stats[:, 0:3] / jnp.maximum(stats[:, 3:4], 1e-30)
+            vref = (stats[0:3] / jnp.maximum(stats[3:4], 1e-30)).T
         dv = vel - seg.gather_rows(vref, pfof)
         T = 0.5 * mass * jnp.sum(dv * dv, axis=-1)
         E = Eratio * T + W
         unbound = (E > 0) & bound
         # cap removals per group: least-bound (highest E) first
-        nb = stats[:, 4].astype(jnp.int32)
+        nb = stats[4].astype(jnp.int32)
         cap = jnp.maximum((maxunbindfrac * nb).astype(jnp.int32), 1)
         nu = seg.segment_sum(unbound.astype(jnp.int32), pfof, ng1)
         exceed = nu > cap                        # (ng1,) groups over cap
@@ -251,11 +256,7 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         bound2 = bound & ~remove & ~dissolved[pfof]
         # subtract every dropped particle's contribution from the carry
         dropped = bound & ~bound2
-        w = jnp.where(dropped, mass, 0.0)
-        upd = jnp.stack([w * vel[:, 0], w * vel[:, 1], w * vel[:, 2], w,
-                         dropped.astype(w.dtype)], axis=1)
-        stats2 = stats - jnp.zeros((ng1, 5), w.dtype).at[
-            jnp.where(dropped, pfof, ng1)].add(upd, mode="drop")[:ng1]
+        stats2 = stats - _stats_delta(dropped)
         changed = jnp.any(dropped)
         return bound2, stats2, changed, it + 1
 

@@ -91,9 +91,16 @@ class GroupBlocks:
 
 @partial(jax.jit, static_argnames=("ndev", "npad", "fill", "sh"))
 def _pack_blocks(arr, dest, ndev: int, npad: int, fill, sh):
-    flat_shape = (ndev * npad,) + arr.shape[1:]
-    out = jnp.full(flat_shape, fill, arr.dtype).at[dest].set(
-        arr, mode="drop")
+    # column-wise scatters for (n, k<128) arrays: a row scatter's update
+    # operand is lane-padded k -> 128 by the XLA:TPU layout (the ~43x
+    # HBM blowup; same rule as SlabPlan._pack3)
+    if arr.ndim == 2:
+        cols = [jnp.full(ndev * npad, fill, arr.dtype).at[dest].set(
+            arr[:, k], mode="drop") for k in range(arr.shape[1])]
+        out = jnp.stack(cols, axis=-1)
+    else:
+        out = jnp.full((ndev * npad,), fill, arr.dtype).at[dest].set(
+            arr, mode="drop")
     return jax.device_put(out.reshape((ndev, npad) + arr.shape[1:]), sh)
 
 
@@ -101,8 +108,13 @@ def _pack_blocks(arr, dest, ndev: int, npad: int, fill, sh):
 def _unpack_blocks(blk, src_b, n: int, fill, dtype):
     flat = blk.reshape((-1,) + blk.shape[2:])
     dt = flat.dtype if dtype is None else dtype
-    out = jnp.full((n,) + flat.shape[1:], fill, dt)
-    return out.at[src_b.reshape(-1)].set(flat.astype(dt), mode="drop")
+    src = src_b.reshape(-1)
+    if flat.ndim == 2:
+        cols = [jnp.full(n, fill, dt).at[src].set(
+            flat[:, k].astype(dt), mode="drop")
+            for k in range(flat.shape[1])]
+        return jnp.stack(cols, axis=-1)
+    return jnp.full(n, fill, dt).at[src].set(flat.astype(dt), mode="drop")
 
 
 @partial(jax.jit, static_argnames=("ng1",))
