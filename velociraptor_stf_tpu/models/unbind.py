@@ -301,9 +301,7 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
     tag = pfof > 0
     ntag = int(jax.device_get(jnp.sum(tag)))
     if 0 < ntag < n // 2:
-        tpad = 1024
-        while tpad < ntag:
-            tpad *= 2
+        tpad = seg.pad_class(ntag)
         sub_idx, svalid, scatter_to = seg.compact_mask(tag, tpad)
         pos_t, vel_t, mass_t = pos[sub_idx], vel[sub_idx], mass[sub_idx]
         pfof_t = jnp.where(svalid, pfof[sub_idx], 0)

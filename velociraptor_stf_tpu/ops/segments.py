@@ -19,6 +19,26 @@ import jax
 import jax.numpy as jnp
 
 
+def pad_class(x: int, lo: int = 1024, align: int = 1024) -> int:
+    """Smallest quarter-octave capacity class >= x (align-rounded):
+    2^k x {1, 1.25, 1.5, 1.75}.  Static-shape padding waste drops from
+    2x (pow2) to 1.19x at 4x the compile-variant count — per-element
+    costs (sweeps, ejection iterations) scale with the PADDED size, so
+    the tighter classes are worth the extra (persistently cached)
+    compiles."""
+    k = lo
+    while k < x:
+        k *= 2
+    if k <= lo:
+        return k
+    h = k // 2
+    for frac in (5, 6, 7):
+        cand = -(-(h * frac // 4) // align) * align
+        if cand >= x:
+            return cand
+    return k
+
+
 def group_sizes(pfof: jnp.ndarray, num_groups: int) -> jnp.ndarray:
     """(num_groups+1,) particle counts per group id (id 0 = untagged).
 
