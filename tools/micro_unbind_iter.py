@@ -55,9 +55,7 @@ def main():
 
     tag = pfof > 0
     ntag = int(jax.device_get(jnp.sum(tag)))
-    tpad = 1024
-    while tpad < ntag:
-        tpad *= 2
+    tpad = seg.pad_class(ntag)
     sub_idx, svalid, scatter_to = seg.compact_mask(tag, tpad)
     vel_t = vel[sub_idx]
     mass_t = jnp.where(svalid, mass[sub_idx], 0.0)

@@ -49,9 +49,7 @@ print("ng:", ng, "ntag:", int((pfof_h > 0).sum()), flush=True)
 # --- mirror check_unbound_groups' subset path with instrumentation
 tag = pfof > 0
 ntag = int(jax.device_get(jnp.sum(tag)))
-tpad = 1024
-while tpad < ntag:
-    tpad *= 2
+tpad = seg.pad_class(ntag)
 t0 = time.time()
 sub_idx, svalid, scatter_to = seg.compact_mask(tag, tpad)
 pos_t, vel_t, mass_t = pos[sub_idx], vel[sub_idx], mass[sub_idx]
