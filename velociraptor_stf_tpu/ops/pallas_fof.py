@@ -833,8 +833,11 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
                 x = x[x]
             return x
 
-        wide = jnp.sum(ch_dirty.astype(jnp.int32)) * 64 > nch_total
-        x = jax.lax.cond(wide, jump, lambda h: h, hooked)
+        if os.environ.get("VR_FOF_ADAPTIVE_JUMPS", "1") == "0":
+            x = jump(hooked)
+        else:
+            wide = jnp.sum(ch_dirty.astype(jnp.int32)) * 64 > nch_total
+            x = jax.lax.cond(wide, jump, lambda h: h, hooked)
         return (x, l, nm, jnp.any(x != l), it + 1,
                 work + jnp.sum(nch_round).astype(jnp.float32))
 
