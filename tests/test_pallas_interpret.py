@@ -125,3 +125,44 @@ def test_interpret_fof_clustered_dense(monkeypatch):
         b = np.asarray(jax.device_get(r1.pfof))
     assert r0.ngroups == r1.ngroups
     assert np.array_equal(a, b)
+
+
+def test_interpret_linked_mask_exact():
+    """Prune exactness on sparse geometry: isolated particles (no
+    neighbour within the linking length) must NOT be kept.  Guards the
+    chunk-disjoint window decomposition — overlapping windows scanned
+    self twice and kept the whole box at 512^3."""
+    from velociraptor_stf_tpu.ops import pallas_fof
+
+    rng = np.random.default_rng(5)
+    boxsize = 40.0
+    ll = 0.25
+    # pairs closer than ll (linked) + singles far from everything
+    npair = 300
+    base = rng.uniform(2, boxsize - 2, (npair, 3))
+    partner = base + rng.normal(0, ll / 4, (npair, 3))
+    # grid of isolated singles, > 2*ll apart from everything
+    gx = np.arange(1, 39, 2.0)
+    singles = np.stack(np.meshgrid(gx, gx, [20.0]), -1).reshape(-1, 3)
+    singles = singles + rng.uniform(0.3, 0.6, singles.shape)
+    pos = np.vstack([base, partner, singles]).astype(np.float32)
+    # pad to pallas minimum with a far-away blob of linked pairs
+    need = (1 << 14) - len(pos)
+    blob = rng.normal([30.0, 30.0, 35.0], 0.05, (need, 3)).astype(
+        np.float32)
+    pos = np.vstack([pos, blob])
+    n = len(pos)
+    vel = np.zeros((n, 3), np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        pf = pallas_fof.PallasFof(jnp.asarray(pos), jnp.asarray(vel),
+                                  boxsize, ll)
+        keep, nkeep = pf.linked_mask(ll)
+    keep = np.asarray(jax.device_get(keep))
+    # brute-force truth
+    from scipy.spatial import cKDTree
+    t = cKDTree(pos, boxsize=boxsize)
+    pairs = t.query_pairs(ll, output_type="ndarray")
+    truth = np.zeros(n, bool)
+    truth[pairs.ravel()] = True
+    assert np.array_equal(keep, truth)

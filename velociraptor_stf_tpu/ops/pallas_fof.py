@@ -345,13 +345,36 @@ def _block_ranges(cx_pad, cr_pad, grid: CellGrid):
     qr_hi = qr_hi - carry * nynz
     s = _locate_pair(cx_pad, cr_pad, stripe_start, qx_lo, qr_lo, nx, False)
     e = _locate_pair(cx_pad, cr_pad, stripe_start, qx_hi, qr_hi, nx, True)
-    c0ch = s // CH
-    nch = jnp.maximum(-(-(e - c0ch * CH) // CH), 0)
-    # blocks that start in padding scan nothing (their rows can't link)
-    nch = jnp.where((e > s) & (x0[None, :] < nx), nch, 0)
+    # Blocks spanning several cells/stripes have OVERLAPPING windows (the
+    # shifted copies of a wide r-span intersect, both across dy and —
+    # for blocks crossing x-stripes — across dx).  Scanning a column
+    # twice breaks the detect pass (self counted twice => every particle
+    # "linked" => the 512^3 prune kept the whole box) and multiplies the
+    # sweep cost.  Exact fix: merge the 9 chunk-ranges into their
+    # DISJOINT interval union per block — sort by start, then clamp each
+    # window's start past the running covered end (exact once sorted:
+    # any clamped-away region lies below the running end, which only
+    # earlier-starting windows produced).
+    nch_total = -(-ns_pad // CH)
+    valid_w = (e > s) & (x0[None, :] < nx)
+    c0 = s // CH
+    length = jnp.where(valid_w, -(-e // CH) - c0, 0)
+    start = jnp.where(length > 0, c0, nch_total)     # empty sorts last
+    order = jnp.argsort(start, axis=0)
+    st_s = jnp.take_along_axis(start, order, 0)
+    ln_s = jnp.take_along_axis(length, order, 0)
+    run = st_s[0] + ln_s[0]
+    c0s = [st_s[0]]
+    nchs = [ln_s[0]]
+    for w in range(1, 9):
+        stw = jnp.maximum(st_s[w], run)
+        lnw = jnp.maximum(st_s[w] + ln_s[w] - stw, 0)
+        c0s.append(stw)
+        nchs.append(lnw)
+        run = jnp.maximum(run, stw + lnw)
     cols = []
     for w in range(9):
-        cols.extend([c0ch[w], nch[w]])
+        cols.extend([c0s[w], nchs[w]])
     # SMEM arrays are lane-padded to 128 and capped at ~1 MB; ship ranges
     # as (8, 128) pipelined blocks instead of one whole-array allocation
     nb8 = -(-nblocks // 8) * 8
