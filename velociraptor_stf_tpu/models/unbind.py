@@ -164,14 +164,45 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
     # Counts are f32 inside the table (exact to 2^24 members; the cap is
     # a 5% fraction so beyond that the rounding is immaterial and both
     # the single-device and sharded paths share this code).
-    def _stats_delta(sel):
+    def _stats_delta_full(sel):
+        # five separate 1D scatter-adds: a windowed scatter's (n, 5)
+        # update operand is lane-padded 5 -> 128 by the XLA:TPU layout
+        # (12 GB at 24M — the fused form OOM'd at runtime)
         w = jnp.where(sel, mass, 0.0)
-        upd = jnp.stack([w * vel[:, 0], w * vel[:, 1], w * vel[:, 2], w,
-                         sel.astype(w.dtype)], axis=0)         # (5, n)
-        return jnp.zeros((5, ng1), w.dtype).at[
-            :, jnp.where(sel, pfof, ng1)].add(upd, mode="drop")
+        gidx = jnp.where(sel, pfof, ng1)
+        rows = [w * vel[:, 0], w * vel[:, 1], w * vel[:, 2], w,
+                sel.astype(w.dtype)]
+        return jnp.stack([
+            jnp.zeros(ng1, w.dtype).at[gidx].add(r, mode="drop")
+            for r in rows])                                    # (5, ng1)
 
-    group_stats = _stats_delta
+    # per-iteration deltas come from FEW particles (<= the per-group caps
+    # + dissolutions): compact them first so the five scatters and the
+    # vel/mass gathers run at budget size, not n
+    delta_budget = max(1024, n // 8)
+
+    def _stats_delta_compact(sel):
+        dest = jnp.cumsum(sel.astype(jnp.int32)) - 1
+        dest = jnp.where(sel, dest, delta_budget)
+        idx = jnp.zeros(delta_budget, jnp.int32).at[dest].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        cnt = jnp.sum(sel.astype(jnp.int32))
+        cvalid = jnp.arange(delta_budget) < cnt
+        w = jnp.where(cvalid, mass[idx], 0.0)
+        v = vel[idx]
+        gidx = jnp.where(cvalid, pfof[idx], ng1)
+        rows = [w * v[:, 0], w * v[:, 1], w * v[:, 2], w,
+                cvalid.astype(w.dtype)]
+        return jnp.stack([
+            jnp.zeros(ng1, w.dtype).at[gidx].add(r, mode="drop")
+            for r in rows])
+
+    def _stats_delta(sel):
+        cnt = jnp.sum(sel.astype(jnp.int32))
+        return jax.lax.cond(cnt <= delta_budget, _stats_delta_compact,
+                            _stats_delta_full, sel)
+
+    group_stats = _stats_delta_full
 
     def cond_fn(state):
         bound, _, changed, it = state
