@@ -178,3 +178,53 @@ def test_slab_edge_builder_matches_dense(monkeypatch):
     pfof_slab[np.asarray(edges.order)] = np.asarray(pf_s)
     assert int(ng_s) == ng_dense
     assert np.array_equal(pfof_slab, np.asarray(pf_dense))
+
+
+def test_fixpoint_terminates_only_on_jump_validated_rounds():
+    """Regression: the adaptive-jump gating must not accept convergence
+    from a hook-stable state that still holds unmerged multi-hop label
+    chains.  Counterexample (advisor, round 4): chains 5->4->0 and 3->1
+    over symmetric edges (0,4),(4,5),(5,3),(3,1) are hook-stable — each
+    slot's parent already holds the min over its neighbours' labels —
+    yet path compression yields TWO roots for one connected component.
+    A jump round changes the state and must keep the loop running.
+
+    Exercised by driving pallas_fof._fixpoint directly with a mock
+    edge-list sweep and an aux carry that marks every chunk CLEAN (the
+    narrow-frontier regime where jumps used to be skipped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from velociraptor_stf_tpu.ops import pallas_fof as PF
+
+    ns_pad = 6
+    erow = jnp.asarray([0, 4, 4, 5, 5, 3, 3, 1], jnp.int32)
+    ecol = jnp.asarray([4, 0, 5, 4, 3, 5, 1, 3], jnp.int32)
+
+    def sweep_fn(labels, ranges):
+        return jnp.full(ns_pad, PF.BIG_I32, jnp.int32).at[erow].min(
+            labels[ecol])
+
+    empty = jnp.zeros(0, jnp.int32)
+    ctx = PF.FofSortCtx(
+        ccx=empty, ccr=empty,
+        cols_p=jnp.zeros((4, ns_pad + PF.CH), jnp.int32),
+        cols_v=jnp.zeros((0,), jnp.float32),
+        ranges=jnp.zeros((1, 128), jnp.int32),
+        src=jnp.arange(ns_pad, dtype=jnp.int32),
+        is_real=jnp.ones(ns_pad, bool),
+        real_slot=jnp.arange(ns_pad, dtype=jnp.int32),
+        gslots=empty, grs=empty, overflow=jnp.bool_(False),
+        n=ns_pad, ns_pad=ns_pad)
+
+    labels0 = jnp.asarray([0, 1, 2, 1, 0, 4], jnp.int32)
+    # clean aux: prev_ref == labels0 (no dirty chunks -> narrow frontier),
+    # nm_cache all BIG (no stale minima)
+    aux0 = (labels0, jnp.full(ns_pad, PF.BIG_I32, jnp.int32))
+    labels, changed, nsweeps, work, aux = PF._fixpoint(
+        sweep_fn, ctx, max_sweeps=64, labels0=labels0, aux0=aux0)
+    labels = np.asarray(jax.device_get(labels))
+    assert not bool(jax.device_get(changed))
+    # one root for the whole component {0, 1, 3, 4, 5}; node 2 alone
+    assert len(set(labels[[0, 1, 3, 4, 5]].tolist())) == 1
+    assert labels[2] == 2

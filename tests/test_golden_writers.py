@@ -143,6 +143,14 @@ def writer_gate_products(opt, tmpdir, pfof, props, ng, parent, hostid,
             else:
                 gate[f"sha_{tag}{ext}"] = hashlib.sha256(
                     open(fn, "rb").read()).hexdigest()
+    # Extended_output extraction files (ASCII-only; reference
+    # WriteExtendedOutput io.cxx:3826)
+    out = os.path.join(tmpdir, "g2_ext")
+    writers.write_extended_output(opt, out, pids, pfof, hostid=hostid,
+                                  stype=stype)
+    for ext in (".filesofgroup", ".extended.0"):
+        gate[f"sha_ext{ext}"] = hashlib.sha256(
+            open(out + ext, "rb").read()).hexdigest()
     return gate
 
 

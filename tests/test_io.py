@@ -436,3 +436,45 @@ def test_parallel_multifile_hdf_read(tmp_path, snap):
     np.testing.assert_array_equal(out_p[3], out_s[3])
     np.testing.assert_array_equal(out_p[1], out_s[1])
     assert len(out_s[1]) == n
+
+
+def test_extended_output_files(tmp_path):
+    """Extended_output extraction files (reference WriteExtendedOutput,
+    io.cxx:3826): .filesofgroup lists the input files holding each
+    group's particles; .extended.N rows carry Id/IdStruct/IdHost/
+    IdTopHost in original within-file order with the reference's
+    12/7/7/7 column widths."""
+    from velociraptor_stf_tpu.io import writers
+    from velociraptor_stf_tpu.utils import config as C
+
+    opt = C.Options()
+    opt.snapshotvalue = 3
+    base = 3 * 10 ** 12
+    pids = np.asarray([11, 12, 13, 14, 15, 16], np.int64)
+    pfof = np.asarray([1, 0, 2, 1, 2, 0], np.int32)
+    # group 1 is a field halo (hostid -1), group 2 a sub of group 1
+    hostid = np.asarray([0, -1, 1], np.int64)
+    out = str(tmp_path / "ext")
+    writers.write_extended_output(opt, out, pids, pfof, hostid=hostid,
+                                  file_counts=[4, 2])
+
+    fog = open(out + ".filesofgroup").read().splitlines()
+    # group 1: particles 0 (file 0) and 3 (file 0) -> 1 file
+    assert fog[0] == f"{base + 1}  1"
+    assert fog[1].split() == ["0"]
+    # group 2: particles 2 (file 0) and 4 (file 1) -> 2 files
+    assert fog[2] == f"{base + 2}  2"
+    assert fog[3].split() == ["0", "1"]
+
+    ext0 = open(out + ".extended.0").read().splitlines()
+    ext1 = open(out + ".extended.1").read().splitlines()
+    assert len(ext0) == 4 and len(ext1) == 2
+    # row: Id, IdStruct=haloid, IdHost (own id for field), IdTopHost
+    # (own id when no iKeepFOF envelope exists)
+    assert ext0[0].split() == ["11", str(base + 1), "1", "1"]
+    assert ext0[1].split() == ["12", "0", "0", "0"]     # untagged
+    assert ext0[2].split() == ["13", str(base + 2), str(base + 1), "2"]
+    # reference field widths: setw(12) Id + 2 spaces, setw(7) each id
+    assert ext0[1] == "          12        0        0        0  "
+    ext1_rows = [r.split() for r in ext1]
+    assert ext1_rows[0][0] == "15" and ext1_rows[1][0] == "16"

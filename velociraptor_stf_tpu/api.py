@@ -141,6 +141,11 @@ class VelociraptorSession:
                 writers.write_group_catalog(opt, name, res.pfof,
                                             np.asarray(pids), res.ngroups,
                                             ptype=ptype)
+                if opt.iextendedoutput:
+                    # reference swiftinterface.cxx:505 WriteExtendedOutput
+                    writers.write_extended_output(
+                        opt, name, np.asarray(pids), res.pfof,
+                        hostid=res.hostid, stype=res.stype)
         return out
 
 

@@ -343,6 +343,11 @@ def run(opt: C.Options) -> pipeline.CatalogResult:
         if res.so_offsets is not None:
             writers.write_so_catalog(opt, opt.outname, res.so_offsets,
                                      res.so_indices, pids, ng, ptype=ptype)
+        if opt.iextendedoutput:
+            # reference WriteExtendedOutput (io.cxx:3826, main.cxx:526)
+            writers.write_extended_output(opt, opt.outname, pids, res.pfof,
+                                          hostid=res.hostid,
+                                          stype=res.stype)
         writers.write_config_info(opt, opt.outname)
         writers.write_sim_info(opt, opt.outname)
         writers.write_unit_info(opt, opt.outname)

@@ -644,3 +644,89 @@ def write_unit_info(opt: C.Options, outname: str):
             ("Hubble_unit", opt.H),
         ):
             f.write(f"{k} : {v}\n")
+
+
+def write_extended_output(opt: C.Options, outname: str, pids: np.ndarray,
+                          pfof: np.ndarray,
+                          hostid: Optional[np.ndarray] = None,
+                          stype: Optional[np.ndarray] = None,
+                          file_counts: Optional[np.ndarray] = None):
+    """``Extended_output=1`` per-particle extraction files (reference
+    ``WriteExtendedOutput``, io.cxx:3826, EXTENDEDHALOOUTPUT build):
+
+    * ``{outname}.filesofgroup`` — per group: a line ``haloid  nfiles``
+      followed by a line listing the input-file indices holding the
+      group's particles (io.cxx:3973-3981);
+    * ``{outname}.extended.{F}`` — per input file F, one row per particle
+      in that file's original order:  ``Id IdStruct IdHost IdTopHost``
+      (widths 12/7/7/7, io.cxx:4197-4208), where Id is the particle id,
+      IdStruct the temporally-unique halo id of its group
+      (``pdata[pfof].haloid``), IdHost the top-level host's halo id (the
+      group's own id for field objects — io.cxx:3896-3905 with
+      noffset=0 on a single-controller run) and IdTopHost the 3DFOF
+      envelope's halo id under ``iKeepFOF`` (``hostfofid``; the group's
+      own id when no envelope hierarchy exists).
+
+    ``file_counts``: particles per input file in global read order
+    (reference ``GetOFile``/``GetOIndex`` provenance); default = one
+    file holding everything (the single-controller ingest collapses the
+    per-rank provenance the reference tracks through MPI).
+    """
+    pids = np.asarray(pids)
+    pfof = np.asarray(pfof)
+    n = len(pfof)
+    if file_counts is None:
+        file_counts = np.asarray([n])
+    file_counts = np.asarray(file_counts, np.int64)
+    starts = np.concatenate([[0], np.cumsum(file_counts)])
+    nfile = len(file_counts)
+    ng = int(pfof.max(initial=0))
+    base = np.int64(opt.snapshotvalue) * np.int64(1000000000000)
+
+    # per-group id tables (indexed by raw gid; slot 0 = untagged)
+    haloid_of = np.zeros(ng + 1, np.int64)
+    haloid_of[1:] = base + np.arange(1, ng + 1, dtype=np.int64)
+    gids = np.arange(ng + 1, dtype=np.int64)
+    if hostid is not None:
+        h = np.asarray(hostid[:ng + 1], np.int64)
+        # reference: hostid < 0 (field) -> the group's own id (+noffset=0)
+        idhost_of = np.where(h > 0, base + h, gids)
+    else:
+        idhost_of = gids.copy()
+    # hostfofid: only the iKeepFOF 3DFOF envelopes qualify
+    # (search.cxx:3649-3650); 0 elsewhere -> falls back to the group id
+    hostfof_of = np.zeros(ng + 1, np.int64)
+    if hostid is not None and stype is not None:
+        st = np.asarray(stype[:ng + 1])
+        h = np.asarray(hostid[:ng + 1], np.int64)
+        hc = np.clip(h, 0, ng)
+        env = (h > 0) & (st[hc] == C.FOF3DTYPE)
+        hostfof_of = np.where(env, base + h, 0)
+    idtop_of = np.where(hostfof_of == 0, gids, hostfof_of)
+    idhost_of[0] = idtop_of[0] = 0
+
+    # .filesofgroup: input-file indices holding each group's particles
+    ofile = np.searchsorted(starts[1:], np.arange(n), side="right")
+    with open(f"{outname}.filesofgroup", "w") as f:
+        tagged = pfof > 0
+        pairs = np.unique(np.stack([pfof[tagged], ofile[tagged]]), axis=1)
+        goff = np.searchsorted(pairs[0], np.arange(1, ng + 2))
+        for g in range(1, ng + 1):
+            fl = pairs[1, goff[g - 1]:goff[g]]
+            f.write(f"{haloid_of[g]}  {len(fl)}\n")
+            f.write("".join(f"{fi} " for fi in fl) + "\n")
+
+    # .extended.N: original within-file order (our ingest preserves read
+    # order, so OIndex = global index - file start)
+    id_struct = haloid_of[pfof]
+    id_host = idhost_of[pfof]
+    id_top = idtop_of[pfof]
+    for fi in range(nfile):
+        lo, hi = starts[fi], starts[fi + 1]
+        if hi <= lo:
+            continue
+        with open(f"{outname}.extended.{fi}", "w") as f:
+            rows = np.stack([pids[lo:hi].astype(np.int64),
+                             id_struct[lo:hi], id_host[lo:hi],
+                             id_top[lo:hi]], axis=1)
+            np.savetxt(f, rows, fmt="%12d  %7d  %7d  %7d  ")

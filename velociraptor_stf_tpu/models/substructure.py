@@ -48,6 +48,29 @@ from ..utils import telemetry
 from . import bgfield, localfield, unbind as unbind_mod
 
 
+class _SubsubProf:
+    """Per-phase wall-clock attribution for search_sub_sub, reported via
+    the telemetry counters (``subsub_<phase>_ms``).  VR_SUBSUB_PROF=1
+    additionally blocks on a device array at each phase end so async
+    dispatch doesn't shift time into the next phase."""
+
+    def __init__(self):
+        import time as _t
+        self._time = _t.time
+        self._t0 = self._time()
+        self.sync = os.environ.get("VR_SUBSUB_PROF") == "1"
+
+    def lap(self, phase: str, wait=None):
+        if self.sync and wait is not None:
+            try:
+                jax.block_until_ready(wait)
+            except Exception:
+                pass
+        t = self._time()
+        telemetry.count(f"subsub_{phase}_ms", int((t - self._t0) * 1000))
+        self._t0 = t
+
+
 @dataclasses.dataclass(frozen=True)
 class StreamPred:
     """FOFStreamwithprob criterion (reference fofalgo.cxx:21-34)."""
@@ -1052,6 +1075,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
     per-rank SearchSubSub over locally-owned halos); results are
     bit-exact vs the single-device batch by construction.
     """
+    prof = _SubsubProf()
     pos = np.asarray(pos)
     vel = np.asarray(vel)
     mass = np.asarray(mass)
@@ -1122,6 +1146,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             if opt.smname:
                 cache_io.write_local_velocity_density(
                     opt.smname, dens_global[aidx], aidx)
+    prof.lap("density")
     for level in range(1, C.MAXSUBLEVEL + 1):
         if not queue or not opt.iSubSearch:
             break
@@ -1168,6 +1193,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                 "cached": cached,
             })
 
+        prof.lap("prep")
         # pass 2: batched outliers — same-(npad, grid depth, cached?)
         # structures share ONE vmapped dispatch (the analog of the
         # reference's OpenMP loop over structures, search.cxx:2480)
@@ -1202,6 +1228,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                     e["ell"] = ell_b[j]
                     e["dens"] = dens_b[j]
 
+        prof.lap("outliers", wait=[e.get("ell") for e in prep])
         # pass 2.5: batched candidate search over same-npad classes (one
         # vmapped dispatch chain instead of a per-structure pipeline)
         if _batchable_subset(opt):
@@ -1223,6 +1250,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                 else:
                     _search_subset_batch(opt, entries)
 
+        prof.lap("subset", wait=[e.get("sub_np") for e in prep])
         # pass 3a: per-structure search / cores / merges (unbind deferred)
         pend = []
         for e in prep:
@@ -1292,6 +1320,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
         # a structure's groups keep their relative size order under the
         # global by-size renumber, so the rank of its distinct ids
         # reproduces check_unbound_groups' per-structure numbering.
+        prof.lap("cores")
         if pend and opt.uinfo.unbindflag:
             base = 0
             cat_pos, cat_vel, cat_mass, cat_gid = [], [], [], []
@@ -1325,6 +1354,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                 e["sub_np3"] = remap[np.clip(seg_ids, 0, len(remap) - 1)]
                 e["ng_sub3"] = len(uniq)
 
+        prof.lap("unbind")
         # pass 3c: splice results into the global bookkeeping
         for e in pend:
             g, idx, nsub = e["g"], e["idx"], e["nsub"]
@@ -1342,6 +1372,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                              if sub_sizes[s] >= C.MINSUBSIZE)
             ng_total += ng_sub
         queue = new_queue
+        prof.lap("splice")
 
     # hostid: top-level ancestor (reference GetHierarchy /
     # PropData.hostid: -1 for field objects) — vectorised pointer jumping

@@ -383,7 +383,6 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
     else:
         potref_vel = jnp.zeros((ng1, 3), pos.dtype)
 
-    bound = None
     # Keep_background_potential=0: ejected particles stop contributing to
     # the potential.  The reference recomputes the group potential wholesale
     # when many particles are removed (unbind.cxx:583-586,1199 — "more
@@ -394,29 +393,69 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
     # identical potential, so the gating is exact.  This matters at scale:
     # the multi-million-particle bucket-tree groups usually stabilise after
     # the first round, and re-treeing them dominated unbind at 512^3.
+    #
+    # Shrinking working set: ejection is group-local (per-group vref, cap,
+    # dissolution), and a group's reference frame changes ONLY when it
+    # drops a particle — so a group that ejects nothing across a whole
+    # chunk is at its fixed point and can never eject again (EXACT, not a
+    # heuristic).  After each chunk the particles of still-active groups
+    # are compacted to a padded class and later chunks run on that subset
+    # only: most groups settle within the first chunk, so the 10-20
+    # iteration tail (the reference's maxunbindfrac cap stretching big
+    # halos over many rounds, unbind.cxx:63-100) runs on a small fraction
+    # of the box instead of all of it.
     W_cur = W
+    n_full = pfof.shape[0]
+    bound_full = pfof > 0
+    cur_vel, cur_mass, cur_pfof, cur_pos = vel, mass, pfof, pos
+    cur_to_full = None          # None = identity (no compaction yet)
+    bound = None
     prev_bound = pfof > 0
-    chunk_iters = 4 if uinfo.bgpot == 0 else 16
+    chunk_iters = 4
     for _ in range(64):  # host-chunked: bounded device time per dispatch
         bound, changed = _unbind_loop(
-            vel, mass, pfof, W_cur, potref_vel, num_groups,
+            cur_vel, cur_mass, cur_pfof, W_cur, potref_vel, num_groups,
             jnp.asarray(uinfo.Eratio, pos.dtype),
             jnp.asarray(uinfo.maxunbindfrac, pos.dtype),
             min_size, uinfo.cmvelreftype, max_iters=chunk_iters,
             bound0=bound)
+        if cur_to_full is None:
+            bound_full = bound
+        else:
+            bound_full = bound_full.at[cur_to_full].set(bound, mode="drop")
         if not bool(fetch_small(changed)):
             break
+        lost = seg.segment_sum(
+            (prev_bound & ~bound).astype(jnp.int32), cur_pfof, ng1)
+        grp_active = lost > 0
         if uinfo.bgpot == 0:
-            lost = seg.segment_sum(
-                (prev_bound & ~bound).astype(jnp.int32), pfof, ng1)
-            grp_changed = lost > 0
-            pfof_rec = jnp.where(grp_changed[pfof], pfof, 0)
+            pfof_rec = jnp.where(grp_active[cur_pfof], cur_pfof, 0)
             W_new = compute_potential(
-                pos, jnp.where(bound, mass, 0.0), pfof_rec, num_groups,
-                uinfo.eps, G, boxsize=boxsize)
-            W_cur = jnp.where(grp_changed[pfof], W_new, W_cur)
+                cur_pos, jnp.where(bound, cur_mass, 0.0), pfof_rec,
+                num_groups, uinfo.eps, G, boxsize=boxsize)
+            W_cur = jnp.where(grp_active[cur_pfof], W_new, W_cur)
+        # compact to the active groups' bound particles when it pays
+        sel = bound & grp_active[cur_pfof]
+        nsel = int(fetch_small(jnp.sum(sel.astype(jnp.int32))))
+        ncur = cur_pfof.shape[0]
+        if 0 < nsel <= ncur // 2:
+            spad = seg.pad_class(nsel)
+            sub_idx, svalid, _ = seg.compact_mask(sel, spad)
+            cur_to_full = jnp.where(
+                svalid,
+                sub_idx if cur_to_full is None else cur_to_full[sub_idx],
+                n_full)
+            safe = jnp.where(svalid, sub_idx, 0)
+            cur_vel = cur_vel[safe]
+            cur_pos = cur_pos[safe]
+            cur_mass = jnp.where(svalid, cur_mass[safe], 0.0)
+            cur_pfof = jnp.where(svalid, cur_pfof[safe], 0)
+            W_cur = W_cur[safe]
+            bound = None            # = pfof>0 on the fresh subset
+            prev_bound = cur_pfof > 0
+        else:
             prev_bound = bound
-    return bound
+    return bound_full
 
 
 def _check_unbound_subset(pos_t, vel_t, mass_t, pfof_t, W_t,

@@ -834,7 +834,7 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
         cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                jnp.cumsum(ch_dirty.astype(jnp.int32))])
         wd = (cum[jnp.minimum(win_c0 + win_nch, nch_total)] -
-              cum[jnp.minimum(win_c0, nch_total)]) > 0   # (nb8, 3)
+              cum[jnp.minimum(win_c0, nch_total)]) > 0   # (nb8, 9)
         blk_dirty = jnp.any(wd, axis=1)
         nch_round = win_nch * blk_dirty[:, None].astype(jnp.int32)
         ranges = ctx.ranges.at[:, 1:18:2].set(nch_round)
@@ -846,10 +846,18 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
         # pointer jumps accelerate propagation along long label chains —
         # worth 2 full-array random gathers (~1.1 s each at 42M slots)
         # only while the merge frontier is wide.  Late rounds touch a few
-        # chunks; the hook alone finishes convergence, and intermediate
-        # label values never affect the final partition (the fixed point
-        # ends with full path compression), so skipping jumps there is
-        # exact.
+        # chunks and the hook alone usually advances convergence, BUT the
+        # hook-only stopping rule is unsound: hook-stable states with
+        # unmerged multi-hop label chains exist (e.g. chains 5->4->0 and
+        # 3->1 over edges (0,4),(4,5),(5,3),(3,1) — each slot's parent
+        # already holds the min over its neighbours' labels, yet path
+        # compression yields TWO roots for one component).  So jumps are
+        # also forced on any round where the hook reports no change:
+        # termination is then jump-validated.  Exit requires labels
+        # stable under hook AND jump; labels are min-monotone with
+        # l[j] <= j, so jump-stability implies chain-freeness (l == l[l])
+        # and chain-free + hook-stable over the symmetric edge relation
+        # means one label per connected component — exact.
         def jump(h):
             x = h
             for _ in range(jumps):
@@ -860,7 +868,8 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
             x = jump(hooked)
         else:
             wide = jnp.sum(ch_dirty.astype(jnp.int32)) * 64 > nch_total
-            x = jax.lax.cond(wide, jump, lambda h: h, hooked)
+            hook_quiet = jnp.all(hooked == l)
+            x = jax.lax.cond(wide | hook_quiet, jump, lambda h: h, hooked)
         return (x, l, nm, jnp.any(x != l), it + 1,
                 work + jnp.sum(nch_round).astype(jnp.float32))
 
@@ -1037,7 +1046,8 @@ class PallasFof:
 
     def subset_pad(self, keep_orig) -> int:
         """Padded slot capacity a subset over ``keep_orig`` would need
-        (kept particle slots + their surviving ghost images, pow2-padded).
+        (kept particle slots + their surviving ghost images, padded to a
+        quarter-octave capacity class — see segments.pad_class).
         Sweep cost scales with this, so callers compare it against
         ``ctx.ns_pad`` to decide whether compaction pays for itself."""
         keep_orig = jnp.asarray(keep_orig)

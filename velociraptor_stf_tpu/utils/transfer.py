@@ -73,7 +73,13 @@ def no_host_transfers(big: int = 1 << 12):
     guard never fires and numpy reads device buffers via PEP 3118,
     skipping ``__array__``) the ``np.asarray``-level patch covers the
     conversion idioms the pipeline uses.  ``fetch_small`` / ``fetch_bulk``
-    mark their fetches as audited and pass."""
+    mark their fetches as audited and pass.
+
+    TEST-ONLY and SINGLE-THREADED: the patches are process-global while
+    the audit flag is thread-local, so a concurrent thread doing
+    legitimate big conversions inside this context would raise; code that
+    cached ``np.asarray`` before entry also bypasses the guard.  Use only
+    from a single-threaded test (tests/test_device_residency.py)."""
     import numpy as _np
 
     import jax.numpy as jnp
