@@ -109,6 +109,11 @@ def main():
     # compiled before timing)
     res = run_once()
     res = run_once()
+    # telemetry from here on covers the TIMED reps only: the warmup runs
+    # fold compile time into the per-phase counters (subsub_*_ms), which
+    # would swamp the steady-state attribution
+    from velociraptor_stf_tpu.utils import telemetry as _telemetry
+    _telemetry.reset()
     times = []
     metric_times = []
     for _ in range(reps):

@@ -105,3 +105,91 @@ def test_guard_actually_trips():
         assert int(fetch_small(jnp.sum(x))) == (1 << 13) * ((1 << 13) - 1) // 2
         assert np.asarray(fetch_bulk(x, "test")).shape == (1 << 13,)
         np.asarray(jnp.arange(16))     # tiny: allowed
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs a device mesh")
+def test_mesh_pipeline_recursion_resident():
+    """Round-5: the substructure recursion (SearchSubSub) joins the
+    guarded run — per-structure contexts are class-batched device gathers
+    from the group-sorted order (no host staging of the particle set;
+    reference keeps particles rank-resident through SearchSubSub,
+    mpiroutines.cxx:2548,2170-3031)."""
+    boxsize = 30.0
+    n = 1 << 15
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=6, seed=13)
+    opt = _opt(n, boxsize)
+    opt.iSubSearch = 1
+    opt.iiterflag = 1
+    C.config_check(opt)
+    mesh = make_mesh(jax.device_count())
+
+    import jax.numpy as jnp
+    pos_d, vel_d, mass_d = (jnp.asarray(pos), jnp.asarray(vel),
+                            jnp.asarray(mass))
+    jax.block_until_ready(mass_d)
+
+    telemetry.reset()
+    with no_host_transfers():
+        res = find_structures(opt, pos_d, vel_d, mass_d, boxsize=boxsize,
+                              mesh=mesh)
+    snap = telemetry.snapshot()
+    bulk_keys = sorted(k for k in snap
+                       if k.startswith("mesh_full_gathers::"))
+    # catalog payloads only — the recursion itself stages nothing
+    assert bulk_keys == ["mesh_full_gathers::catalog_W",
+                         "mesh_full_gathers::catalog_pfof",
+                         "mesh_full_gathers::pfof3d"], snap
+
+    # the recursion really ran (and batched)
+    assert snap.get("subset_batched_structures", 0) > 0, snap
+
+    res1 = find_structures(opt, pos, vel, mass, boxsize=boxsize)
+    assert res.ngroups == res1.ngroups
+    np.testing.assert_array_equal(np.asarray(res.pfof),
+                                  np.asarray(res1.pfof))
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs a device mesh")
+def test_mesh_pipeline_baryons_resident():
+    """Round-5: the baryon stage joins the guarded run — the sharded
+    assignment stages the combined (tagged DM + baryon) set on device
+    (SlabPlan) and the DM/baryon label splice is a device scatter
+    (reference analog: particles never leave their ranks through
+    SearchBaryons, mpiroutines.cxx:2170-3031)."""
+    boxsize = 30.0
+    n = 1 << 15
+    pos, vel, mass = make_cosmo_mock(n, boxsize=boxsize, nhalos=8, seed=17)
+    ptype = np.where(np.arange(n) % 6 == 5, C.GASTYPE,
+                     C.DARKTYPE).astype(np.int32)
+    opt = _opt(n, boxsize)
+    opt.iBaryonSearch = 1
+    opt.partsearchtype = C.PSTALL
+    C.config_check(opt)
+    mesh = make_mesh(jax.device_count())
+
+    import jax.numpy as jnp
+    pos_d, vel_d, mass_d = (jnp.asarray(pos), jnp.asarray(vel),
+                            jnp.asarray(mass))
+    jax.block_until_ready(mass_d)
+
+    telemetry.reset()
+    with no_host_transfers():
+        res = find_structures(opt, pos_d, vel_d, mass_d, boxsize=boxsize,
+                              ptype=ptype, mesh=mesh)
+    snap = telemetry.snapshot()
+    bulk_keys = sorted(k for k in snap
+                       if k.startswith("mesh_full_gathers::"))
+    allowed = {"mesh_full_gathers::catalog_W",
+               "mesh_full_gathers::catalog_pfof",
+               "mesh_full_gathers::pfof3d",
+               # DM-subset extraction for the multi-type search is an
+               # input-staging fetch (PSTALL splits the typed input),
+               # not an inter-stage one
+               "mesh_full_gathers::tagged_subset_index"}
+    assert set(bulk_keys) <= allowed, snap
+
+    res1 = find_structures(opt, pos, vel, mass, boxsize=boxsize,
+                           ptype=ptype)
+    assert res.ngroups == res1.ngroups
+    np.testing.assert_array_equal(np.asarray(res.pfof),
+                                  np.asarray(res1.pfof))

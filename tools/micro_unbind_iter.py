@@ -87,21 +87,25 @@ def main():
         print(f"_unbind_loop(max_iters={iters}) warm: "
               f"{time.time()-t0:.2f} s", flush=True)
 
-    # body pieces standalone
+    # body pieces standalone (arrays passed as ARGUMENTS — a closure
+    # capture embeds them as program constants and the axon
+    # remote_compile request blows its size limit)
     bound = pfof_t > 0
     timeit("segment_mean vel (ref_vel)",
-           jax.jit(lambda b: seg.segment_mean(
-               vel_t, jnp.where(b, mass_t, 0.0), pfof_t, ng1)), bound)
+           jax.jit(lambda v, b, m, g: seg.segment_mean(
+               v, jnp.where(b, m, 0.0), g, ng1)),
+           vel_t, bound, mass_t, pfof_t)
     vref = seg.segment_mean(vel_t, mass_t, pfof_t, ng1)
-    timeit("gather_rows vref", jax.jit(
-        lambda v: seg.gather_rows(v, pfof_t)), vref)
+    timeit("gather_rows vref", jax.jit(seg.gather_rows), vref, pfof_t)
     dv = vel_t - seg.gather_rows(vref, pfof_t)
     E = Er * (0.5 * mass_t * jnp.sum(dv * dv, -1)) + W_t
     unbound = (E > 0) & bound
-    timeit("segment_sum bound", jax.jit(lambda b: seg.segment_sum(
-        b.astype(jnp.int32), pfof_t, ng1)), bound)
-    timeit("lexsort (-E, key)", jax.jit(lambda e, u: jnp.lexsort(
-        (-e, jnp.where(u, pfof_t, ng1)))), E, unbound)
+    timeit("segment_sum bound",
+           jax.jit(lambda b, g: seg.segment_sum(
+               b.astype(jnp.int32), g, ng1)), bound, pfof_t)
+    timeit("lexsort (-E, key)",
+           jax.jit(lambda e, u, g: jnp.lexsort(
+               (-e, jnp.where(u, g, ng1)))), E, unbound, pfof_t)
 
 
 if __name__ == "__main__":

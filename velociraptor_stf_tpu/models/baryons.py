@@ -93,12 +93,9 @@ def search_baryons(opt: C.Options, pos_dm, vel_dm, pfof_dm,
         # mpiroutines.cxx:2170-3031); same metric and tie-break as below
         from ..parallel.distributed_baryons import distributed_baryon_assign
 
-        pos_c = np.concatenate([np.asarray(jax.device_get(pos_d)),
-                                np.asarray(jax.device_get(pos_b))])
-        vel_c = np.concatenate([np.asarray(jax.device_get(vel_d)),
-                                np.asarray(jax.device_get(vel_b))])
-        grp_c = np.concatenate([np.asarray(jax.device_get(grp_d)),
-                                np.zeros(nb, np.int32)])
+        pos_c = jnp.concatenate([pos_d, jnp.asarray(pos_b)])
+        vel_c = jnp.concatenate([vel_d, jnp.asarray(vel_b)])
+        grp_c = jnp.concatenate([grp_d, jnp.zeros(nb, jnp.int32)])
         return jnp.asarray(distributed_baryon_assign(
             pos_c, vel_c, grp_c, nd, float(ellx * ellx), float(ellv2),
             mesh, float(boxsize)))

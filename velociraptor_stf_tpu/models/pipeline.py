@@ -215,7 +215,7 @@ def find_structures(opt: C.Options, pos, vel, mass,
         from . import substructure as sub_mod
 
         pfof, ng, hostid, parent, level = sub_mod.search_sub_sub(
-            opt, spos, svel, smass, np.asarray(pfof), ng, boxsize=boxsize,
+            opt, spos, svel, smass, pfof, ng, boxsize=boxsize,
             mesh=mesh)
         pfof = jnp.asarray(pfof)
         timings["substructure"] = time.time() - t0
@@ -276,17 +276,17 @@ def find_structures(opt: C.Options, pos, vel, mass,
         grp_b = baryons_mod.search_baryons(
             opt, spos, svel, pfof, pos[bi], vel[bi], boxsize=boxsize,
             mesh=mesh)
-        pfof_full = np.zeros(pos.shape[0], np.int32)
-        pfof_full[dmi] = np.asarray(pfof)
-        pfof_full[bi] = np.asarray(grp_b)
-        pfof = jnp.asarray(pfof_full)
+        # splice DM + baryon labels into full-set order ON DEVICE (dmi/bi
+        # are host-born ptype index lists, not device fetches)
+        pfof = (jnp.zeros(pos.shape[0], jnp.int32)
+                .at[jnp.asarray(dmi)].set(jnp.asarray(pfof, jnp.int32))
+                .at[jnp.asarray(bi)].set(jnp.asarray(grp_b, jnp.int32)))
         if W is not None:
             # field-unbind potentials live on the DM subset; expand to the
             # full set (overwritten when the combined re-unbind runs, but
             # it is skipped when every group dissolved)
-            W_full = np.zeros(pos.shape[0], np.asarray(W).dtype)
-            W_full[dmi] = np.asarray(jax.device_get(W))
-            W = jnp.asarray(W_full)
+            W = jnp.zeros(pos.shape[0], jnp.asarray(W).dtype).at[
+                jnp.asarray(dmi)].set(jnp.asarray(W))
         # combined unbinding with baryons attached (reference search.cxx:
         # 3500+: SearchBaryons re-runs CheckUnboundGroups on the full set)
         if opt.uinfo.unbindflag and ng > 0:
@@ -301,9 +301,8 @@ def find_structures(opt: C.Options, pos, vel, mass,
             # the pre-unbind FOF labels for inclusive masses live on the DM
             # subset; map them onto the full set (baryons untagged there)
             if pfof_fof is not None:
-                full = np.zeros(pos.shape[0], np.int32)
-                full[dmi] = np.asarray(pfof_fof)
-                pfof_fof = jnp.asarray(full)
+                pfof_fof = jnp.zeros(pos.shape[0], jnp.int32).at[
+                    jnp.asarray(dmi)].set(jnp.asarray(pfof_fof, jnp.int32))
             # compose old-FOF-gid -> final-gid through both renumber passes
             # (field halo ids pass unchanged through substructure splicing)
             if gid_map is not None:

@@ -45,6 +45,7 @@ from ..ops import fof, segments as seg
 from ..ops.cells import bin_particles, build_grid
 from ..utils import config as C
 from ..utils import telemetry
+from ..utils.transfer import fetch_bulk, fetch_small
 from . import bgfield, localfield, unbind as unbind_mod
 
 
@@ -944,7 +945,7 @@ def _subset_batch_run(opt: C.Options, entries: List[dict], pos_b, vel_b,
      na2_b, erm_b, ecm_b, nm_b) = _subset_batch_geom(
         pos_b, vel_b, ell_b, grid, t_pad,
         *_subset_preds(opt))
-    n0_h, na_h, na2_h, nm_h = jax.device_get((n0_b, na_b, na2_b, nm_b))
+    n0_h, na_h, na2_h, nm_h = fetch_small((n0_b, na_b, na2_b, nm_b))
     e0 = fof._pad_pow2(int(max(int(n0_h.max()), 1)), lo=256)
     ea = fof._pad_pow2(int(max(int(na_h.max()), 1)), lo=256)
     ea2 = fof._pad_pow2(int(max(int(na2_h.max()), 1)), lo=256)
@@ -953,7 +954,8 @@ def _subset_batch_run(opt: C.Options, entries: List[dict], pos_b, vel_b,
         order_b, er0_b[:, :e0], ec0_b[:, :e0], era_b[:, :ea],
         eca_b[:, :ea], erm_b[:, :em], ecm_b[:, :em],
         jnp.int32(minsize0), pair_cap)
-    ng_h, pi_h, pj_h, cnt_h, szj_h, nuni_h = jax.device_get(
+    # per-group link-pair metadata (the MergeGroups inputs) — audited
+    ng_h, pi_h, pj_h, cnt_h, szj_h, nuni_h = fetch_small(
         (ng_b, pi_b, pj_b, cnt_b, szj_b, nuni_b))
     ngmax = max(int(ng_h.max()), 1)
     targets = np.tile(np.arange(ngmax + 1, dtype=np.int32), (B, 1))
@@ -984,11 +986,13 @@ def _subset_batch_run(opt: C.Options, entries: List[dict], pos_b, vel_b,
         ell_b, order_b, era2_b[:, :ea2], eca2_b[:, :ea2], pfof1_b,
         jnp.asarray(targets), float(opt.ellthreshold),
         float(opt.siglevel), int(opt.MinSize))
-    pfof_h, ngnew_h = jax.device_get((pfof_b, ngnew_b))
+    # labels stay on device (rows of the batched result); only the
+    # per-structure group counts come to host
+    ngnew_h = np.asarray(fetch_small(ngnew_b))
     for k, e in enumerate(entries):
         if not handled[k]:
             continue
-        e["sub_np"] = np.asarray(pfof_h[k])
+        e["sub_np"] = pfof_b[k]
         e["ng_sub"] = int(ngnew_h[k])
 
 
@@ -1024,15 +1028,17 @@ def _search_subset_batch(opt: C.Options, entries: List[dict],
     min fixed point and the renumbering is deterministic."""
     b = opt.ellxscale * opt.ellphys
     b_build = b * max(1.0, opt.ellxfac)
-    lo = np.min(np.stack([e["ppos"].min(0) for e in entries]), 0)
-    hi = np.max(np.stack([e["ppos"].max(0) for e in entries]), 0)
+    lo = np.asarray(fetch_small(jnp.min(jnp.stack(
+        [jnp.min(jnp.asarray(e["ppos"]), 0) for e in entries]), 0)))
+    hi = np.asarray(fetch_small(jnp.max(jnp.stack(
+        [jnp.max(jnp.asarray(e["ppos"]), 0) for e in entries]), 0)))
     grid = build_grid(lo.astype(np.float64), hi.astype(np.float64),
                       b_build, periodic=False, boxsize=0.0)
     if grid.total_cells > fof._DENSE_TABLE_MAX_CELLS:
         telemetry.count("subset_dense_table_bailouts")
         return
-    pos_b = jnp.asarray(np.stack([e["ppos"] for e in entries]))
-    vel_b = jnp.asarray(np.stack([e["pvel"] for e in entries]))
+    pos_b = jnp.stack([jnp.asarray(e["ppos"]) for e in entries])
+    vel_b = jnp.stack([jnp.asarray(e["pvel"]) for e in entries])
     ell_b = jnp.stack([jnp.asarray(e["ell"]) for e in entries])
     if _totals is None:
         Ts = np.asarray(jax.device_get(_subset_batch_totals(pos_b, grid)))
@@ -1060,6 +1066,85 @@ def _search_subset_batch(opt: C.Options, entries: List[dict],
     _subset_batch_run(opt, entries, pos_b, vel_b, ell_b, grid, t_pad)
 
 
+
+@jax.jit
+def _rank_remap(ids):
+    """Map each positive id to its 1-based rank among the array's distinct
+    positive ids (ascending), 0 elsewhere; also returns the distinct count.
+    Device replacement for the np.unique remap in the recursion's unbind
+    splice (ids keep their relative size order under the global by-size
+    renumber, so ranking reproduces the per-structure numbering)."""
+    s = jnp.sort(ids)
+    first = jnp.concatenate([s[:1] > 0, (s[1:] != s[:-1]) & (s[1:] > 0)])
+    ranks = jnp.cumsum(first.astype(jnp.int32))
+    pos_ = jnp.searchsorted(s, ids, side="left")
+    return jnp.where(ids > 0, ranks[pos_], 0).astype(jnp.int32), ranks[-1]
+
+
+@partial(jax.jit, static_argnames=("spacing",))
+def _compact_pad_lattice(pos, vel, aidx, avalid, nact, side,
+                         spacing: float):
+    """Compacted (pos, vel) with invalid slots parked on an isolated
+    cubic lattice outside the bounding box (device analog of
+    _pad_structure for the global-density subset)."""
+    npadg = aidx.shape[0]
+    safe = jnp.where(avalid, aidx, 0)
+    gpos = seg.gather_rows(pos, safe)
+    gvel = jnp.where(avalid[:, None], seg.gather_rows(vel, safe), 0.0)
+    ii = jnp.maximum(jnp.arange(npadg, dtype=jnp.int32) - nact, 0)
+    sd = jnp.maximum(side, 1)
+    lat = jnp.stack([ii % sd, (ii // sd) % sd, ii // (sd * sd)],
+                    axis=-1).astype(gpos.dtype)
+    corner = jnp.min(jnp.where(avalid[:, None], gpos, jnp.inf),
+                     axis=0) - 10.0 * spacing
+    gpos = jnp.where(avalid[:, None], gpos, corner - lat * spacing)
+    return gpos, gvel
+
+
+@partial(jax.jit, static_argnames=("npad", "boxsize", "spacing",
+                                   "cmadjust", "with_dens"))
+def _prep_class_device(pos, vel, mass, dens, order, starts, nsubs, sides,
+                       npad: int, boxsize: float, spacing: float,
+                       cmadjust: bool, with_dens: bool):
+    """Batched device build of per-structure padded contexts straight
+    from the group-sorted order — the device-resident replacement for the
+    host per-structure prep loop (the reference keeps particles
+    rank-resident through SearchSubSub, mpiroutines.cxx:2548,2170-3031).
+    Mirrors _pad_structure + the unwrap/CM-centering of search.cxx:
+    2568-2625.  Returns (idx_b, ppos_b, pvel_b, pmass_b, valid_b,
+    dens_b)."""
+    n = pos.shape[0]
+    ar = jnp.arange(npad, dtype=jnp.int32)
+    valid_b = ar[None, :] < nsubs[:, None]                    # (B, npad)
+    slot = jnp.minimum(starts[:, None] + ar[None, :],
+                       starts[:, None] + nsubs[:, None] - 1)
+    idx_b = order[jnp.clip(slot, 0, n - 1)]                   # (B, npad)
+    gpos = jnp.stack([pos[:, j][idx_b] for j in range(3)], axis=-1)
+    gvel = jnp.stack([vel[:, j][idx_b] for j in range(3)], axis=-1)
+    gmass = jnp.where(valid_b, mass[idx_b], 0.0)
+    if boxsize:
+        ref = gpos[:, 0:1]
+        d = gpos - ref
+        gpos = ref + d - boxsize * jnp.round(d / boxsize)
+    if cmadjust:
+        w = gmass / jnp.maximum(
+            jnp.sum(gmass, axis=1, keepdims=True), 1e-30)
+        gpos = gpos - jnp.sum(gpos * w[..., None], axis=1, keepdims=True)
+        gvel = gvel - jnp.sum(gvel * w[..., None], axis=1, keepdims=True)
+    gvel = jnp.where(valid_b[..., None], gvel, 0.0)
+    ii = jnp.maximum(ar[None, :] - nsubs[:, None], 0)
+    sd = jnp.maximum(sides[:, None], 1)
+    lat = jnp.stack([ii % sd, (ii // sd) % sd, ii // (sd * sd)],
+                    axis=-1).astype(gpos.dtype)
+    corner = jnp.min(jnp.where(valid_b[..., None], gpos, jnp.inf),
+                     axis=1, keepdims=True) - 10.0 * spacing
+    gpos = jnp.where(valid_b[..., None], gpos, corner - lat * spacing)
+    dens_b = None
+    if with_dens:
+        dens_b = jnp.where(valid_b, dens[idx_b], 1.0)
+    return idx_b, gpos, gvel, gmass, valid_b, dens_b
+
+
 def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                    boxsize: Optional[float] = None, mesh=None):
     """Recursive substructure search (reference SearchSubSub,
@@ -1076,10 +1161,11 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
     bit-exact vs the single-device batch by construction.
     """
     prof = _SubsubProf()
-    pos = np.asarray(pos)
-    vel = np.asarray(vel)
-    mass = np.asarray(mass)
-    pfof_all = np.asarray(pfof).copy()
+    pos_d = jnp.asarray(pos, jnp.float32)
+    vel_d = jnp.asarray(vel, jnp.float32)
+    mass_d = jnp.asarray(mass, jnp.float32)
+    pfof_d = jnp.asarray(pfof).astype(jnp.int32)
+    n = int(pos_d.shape[0])
     ng_total = int(ngroups)
     parent = np.zeros(ng_total + 1, np.int64)   # 0 = field
     level_of = np.zeros(ng_total + 1, np.int32)
@@ -1087,7 +1173,9 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
     # subsearch (base and ellxfac-expanded)
     pad_spacing = 3.0 * opt.ellxscale * opt.ellphys * max(1.0, opt.ellxfac)
 
-    sizes0 = np.bincount(pfof_all, minlength=ng_total + 1)
+    # per-group sizes: audited small fetch (the TPU analog of the
+    # reference's allreduced group counts)
+    sizes0 = np.asarray(fetch_small(seg.group_sizes(pfof_d, ng_total)))
     queue = [g for g in range(1, ng_total + 1)
              if sizes0[g] >= C.MINSUBSIZE]
 
@@ -1099,20 +1187,27 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
     # opt.iHaloLocalDensity).  Also the checkpoint unit (Output_den ->
     # opt.smname; reference Write/ReadLocalVelocityDensity,
     # io.cxx:178-251).
-    dens_global = None
+    dens_global = None     # device (n,) f32, or None
     halo_local = bool(getattr(opt, "iHaloLocalDensity", 0))
     if opt.iSubSearch and queue and not halo_local:
         from ..io import cache as cache_io
 
-        act = (pfof_all > 0) & (sizes0[pfof_all] >= C.MINSUBSIZE)
-        aidx = np.nonzero(act)[0]
-        loaded = None
-        if opt.smname:
-            loaded = cache_io.read_local_velocity_density(opt.smname, aidx)
-        if loaded is not None and len(loaded) == len(aidx):
-            dens_global = np.zeros(len(pfof_all), np.float32)
-            dens_global[aidx] = loaded
-        elif len(aidx):
+        act_d = (pfof_d > 0) & (jnp.asarray(sizes0)[pfof_d]
+                                >= C.MINSUBSIZE)
+        nact = int(fetch_small(jnp.sum(act_d.astype(jnp.int32))))
+        loaded = aidx_h = None
+        if opt.smname and nact:
+            # checkpoint read/write is this stage's one legitimate host
+            # round-trip (reference Read/WriteLocalVelocityDensity,
+            # io.cxx:178-251) — audited + counted
+            aidx_h = np.nonzero(np.asarray(fetch_bulk(
+                act_d, "density_cache_index")))[0]
+            loaded = cache_io.read_local_velocity_density(opt.smname,
+                                                          aidx_h)
+        if loaded is not None and len(loaded) == len(aidx_h):
+            dens_global = jnp.zeros(n, jnp.float32).at[
+                jnp.asarray(aidx_h)].set(jnp.asarray(loaded, jnp.float32))
+        elif nact:
             exact = opt.iLocalVelDenApproxCalcFlag == 0
             # mesh path: shard the kNN density over devices (the analog of
             # the reference's kNN import machinery,
@@ -1122,78 +1217,93 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             # approximative candidate sets near slab boundaries, so small
             # runs keep bit-identical catalogs either way)
             dist_min = int(os.environ.get("VR_DIST_DENSITY_MIN", 1 << 23))
-            if mesh is not None and not exact and len(aidx) >= dist_min:
+            npadg = _next_pow2(nact)
+            aidx_d, avalid, _ = seg.compact_mask(act_d, npadg)
+            side = int(np.ceil(max(npadg - nact, 1) ** (1 / 3)))
+            gpos, gvel_ = _compact_pad_lattice(
+                pos_d, vel_d, aidx_d, avalid, jnp.int32(nact),
+                jnp.int32(side), float(pad_spacing))
+            if mesh is not None and not exact and nact >= dist_min:
                 from ..parallel.distributed_localfield import \
                     distributed_velocity_density
 
-                d = distributed_velocity_density(
-                    pos[aidx].astype(np.float32),
-                    vel[aidx].astype(np.float32), mesh, nvel=opt.Nvel,
-                    nsearch=opt.Nsearch, boxsize=boxsize)
-                d = d[:len(aidx)]
+                # the sharded density's slab packing is a host prepass
+                # (audited staging; device-side packing is future work)
+                d = jnp.asarray(distributed_velocity_density(
+                    np.asarray(fetch_bulk(gpos, "density_slab_prepass")),
+                    np.asarray(fetch_bulk(gvel_, "density_slab_prepass")),
+                    mesh, nvel=opt.Nvel, nsearch=opt.Nsearch,
+                    boxsize=boxsize,
+                    active=np.asarray(fetch_bulk(
+                        avalid, "density_slab_prepass"))))
             else:
-                npadg = _next_pow2(len(aidx))
-                gpos, gvel_, _, gvalid = _pad_structure(
-                    pos[aidx].astype(np.float32),
-                    vel[aidx].astype(np.float32),
-                    np.ones(len(aidx), np.float32), npadg, pad_spacing)
-                d = np.asarray(localfield.velocity_density(
-                    jnp.asarray(gpos), jnp.asarray(gvel_), nvel=opt.Nvel,
-                    nsearch=opt.Nsearch, active=jnp.asarray(gvalid),
-                    exact=exact, chunk=256 if exact else 2048))[:len(aidx)]
-            dens_global = np.zeros(len(pfof_all), np.float32)
-            dens_global[aidx] = d
+                d = localfield.velocity_density(
+                    gpos, gvel_, nvel=opt.Nvel, nsearch=opt.Nsearch,
+                    active=avalid, exact=exact,
+                    chunk=256 if exact else 2048)
+            dens_global = jnp.zeros(n, jnp.float32).at[
+                jnp.where(avalid, aidx_d, n)].set(
+                jnp.asarray(d, jnp.float32)[:npadg], mode="drop")
             if opt.smname:
+                if aidx_h is None:
+                    aidx_h = np.nonzero(np.asarray(fetch_bulk(
+                        act_d, "density_cache_index")))[0]
                 cache_io.write_local_velocity_density(
-                    opt.smname, dens_global[aidx], aidx)
-    prof.lap("density")
+                    opt.smname,
+                    np.asarray(fetch_bulk(dens_global,
+                                          "density_cache"))[aidx_h],
+                    aidx_h)
+    prof.lap("density", wait=dens_global)
     for level in range(1, C.MAXSUBLEVEL + 1):
         if not queue or not opt.iSubSearch:
             break
         # one group-sort per level instead of an O(N) scan per structure
-        # (the reference's PID-sort, search.cxx:2513)
-        lvl_order = np.argsort(pfof_all, kind="stable")
-        lvl_sorted = pfof_all[lvl_order]
-        lvl_offs = np.searchsorted(lvl_sorted, np.arange(ng_total + 2))
+        # (the reference's PID-sort, search.cxx:2513); slice boundaries
+        # are per-group metadata (audited small fetch)
+        lvl_order_d = jnp.argsort(pfof_d, stable=True).astype(jnp.int32)
+        lvl_offs = np.asarray(fetch_small(jnp.searchsorted(
+            pfof_d[lvl_order_d],
+            jnp.arange(ng_total + 2, dtype=jnp.int32)))).astype(np.int64)
         new_queue = []
-        # pass 1: per-structure padded arrays (host prep)
+        # pass 1: class-batched DEVICE prep — padded per-structure
+        # contexts gathered straight from the group-sorted order (no host
+        # staging; reference particles stay rank-resident through
+        # SearchSubSub, mpiroutines.cxx:2548)
         prep = []
         for g in queue:
-            idx = lvl_order[lvl_offs[g]:lvl_offs[g + 1]]
-            nsub = len(idx)
+            nsub = int(lvl_offs[g + 1] - lvl_offs[g])
             if nsub < C.MINSUBSIZE:
                 continue
-            spos = pos[idx].astype(np.float32)
-            svel = vel[idx].astype(np.float32)
-            smass = mass[idx].astype(np.float32)
-            if boxsize:  # unwrap about the first member
-                d = spos - spos[0]
-                spos = spos[0] + d - boxsize * np.round(d / boxsize)
-            if opt.icmrefadjust:
-                w = smass / smass.sum()
-                spos = spos - (spos * w[:, None]).sum(0)
-                svel = svel - (svel * w[:, None]).sum(0)
-            npad = _next_pow2(nsub)
-            ppos, pvel, pmass, valid = _pad_structure(spos, svel, smass,
-                                                      npad, pad_spacing)
             cellsize = int(max(C.MINCELLSIZE, opt.Ncellfac * nsub))
             cellsize = min(cellsize, max(32, nsub // 2))
-            cached = None
-            if dens_global is not None:
-                # slice the global density into the padded layout
-                # (padding slots get a harmless positive value; they are
-                # masked by ``valid`` downstream)
-                cached = np.concatenate(
-                    [dens_global[idx],
-                     np.ones(npad - nsub, np.float32)])
-            prep.append({
-                "g": g, "idx": idx, "nsub": nsub, "npad": npad,
-                "ppos": ppos, "pvel": pvel, "pmass": pmass,
-                "valid": valid, "cellsize": cellsize,
-                "cached": cached,
-            })
+            npad = _next_pow2(nsub)
+            side = int(np.ceil(max(npad - nsub, 1) ** (1 / 3)))
+            prep.append({"g": g, "start": int(lvl_offs[g]), "nsub": nsub,
+                         "npad": npad, "cellsize": cellsize,
+                         "side": side})
+        by_npad: Dict[int, List[dict]] = {}
+        for e in prep:
+            by_npad.setdefault(e["npad"], []).append(e)
+        for npad_k, grp_p in by_npad.items():
+            idx_b, ppos_b, pvel_b, pmass_b, valid_b, dens_b = \
+                _prep_class_device(
+                    pos_d, vel_d, mass_d,
+                    dens_global if dens_global is not None
+                    else jnp.zeros(0, jnp.float32),
+                    lvl_order_d,
+                    jnp.asarray([e["start"] for e in grp_p], jnp.int32),
+                    jnp.asarray([e["nsub"] for e in grp_p], jnp.int32),
+                    jnp.asarray([e["side"] for e in grp_p], jnp.int32),
+                    npad_k, float(boxsize or 0.0), float(pad_spacing),
+                    bool(opt.icmrefadjust), dens_global is not None)
+            for j, e in enumerate(grp_p):
+                e["idx"] = idx_b[j]
+                e["ppos"], e["pvel"], e["pmass"] = (ppos_b[j], pvel_b[j],
+                                                    pmass_b[j])
+                e["valid"] = valid_b[j]
+                e["cached"] = dens_b[j] if dens_b is not None else None
 
-        prof.lap("prep")
+        prof.lap("prep", wait=[e.get("ppos") for e in prep])
         # pass 2: batched outliers — same-(npad, grid depth, cached?)
         # structures share ONE vmapped dispatch (the analog of the
         # reference's OpenMP loop over structures, search.cxx:2480)
@@ -1214,12 +1324,12 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                         dens=e["cached"])
                     e["ell"], e["dens"] = ell, dens
                     continue
-                ppos_b = jnp.asarray(np.stack([e["ppos"] for e in grp]))
-                pvel_b = jnp.asarray(np.stack([e["pvel"] for e in grp]))
-                pmass_b = jnp.asarray(np.stack([e["pmass"] for e in grp]))
-                valid_b = jnp.asarray(np.stack([e["valid"] for e in grp]))
-                dens_b = jnp.asarray(np.stack(
-                    [np.asarray(e["cached"]) for e in grp])) \
+                ppos_b = jnp.stack([e["ppos"] for e in grp])
+                pvel_b = jnp.stack([e["pvel"] for e in grp])
+                pmass_b = jnp.stack([e["pmass"] for e in grp])
+                valid_b = jnp.stack([e["valid"] for e in grp])
+                dens_b = jnp.stack(
+                    [jnp.asarray(e["cached"]) for e in grp]) \
                     if has_cache else None
                 ell_b, dens_b = structure_outliers_batch(
                     opt, ppos_b, pvel_b, pmass_b, valid_b,
@@ -1251,11 +1361,24 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                     _search_subset_batch(opt, entries)
 
         prof.lap("subset", wait=[e.get("sub_np") for e in prep])
-        # pass 3a: per-structure search / cores / merges (unbind deferred)
+        # pass 3a: per-structure search / cores / merges (unbind deferred).
+        # The default (batched, no core search) flow stays device-resident;
+        # the sequential-search fallback and the host-side core/phase
+        # merges stage their structure through AUDITED bulk fetches
+        # (fetch_bulk), so the residency telemetry counts them.
+        host_paths = (opt.iHaloCoreSearch > 0
+                      and level <= opt.maxnlevelcoresearch) or \
+            opt.coresubmergemindist > 0
         pend = []
         for e in prep:
-            ppos, pvel, pmass = e["ppos"], e["pvel"], e["pmass"]
             valid, ell = e["valid"], e["ell"]
+            ppos = pvel = pmass = None     # host mirrors, fetched lazily
+
+            def _host_arrays(e=e):
+                return (np.asarray(fetch_bulk(e["ppos"], "subsub_host")),
+                        np.asarray(fetch_bulk(e["pvel"], "subsub_host")),
+                        np.asarray(fetch_bulk(e["pmass"], "subsub_host")))
+
             if "sub_np" in e:
                 telemetry.count("subset_batched_structures")
                 telemetry.count("subset_batched_particles", e["npad"])
@@ -1263,18 +1386,18 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             else:
                 telemetry.count("subset_sequential_structures")
                 telemetry.count("subset_sequential_particles", e["npad"])
+                ppos, pvel, pmass = _host_arrays()
                 sub_pfof, ng_sub = search_subset(
                     opt, jnp.asarray(ppos), jnp.asarray(pvel),
                     jnp.asarray(pmass), ell,
                     bounds=(ppos.min(0).astype(np.float64),
                             ppos.max(0).astype(np.float64)))
-            # host mirror of sub_pfof: the core/phase merges run host-side
-            # on arrays that already live on the host (ppos & co), so one
-            # D2H fetch is shared by all of them
             sub_host = None
             # merger-remnant core search (reference search.cxx:1530,
             # HaloCoreGrowth): cores beyond the main one become substructures
             if opt.iHaloCoreSearch > 0 and level <= opt.maxnlevelcoresearch:
+                if ppos is None:
+                    ppos, pvel, pmass = _host_arrays()
                 core, ncores = halo_core_search(
                     opt, ppos, pvel, pmass, valid, sub_pfof,
                     sublevel=level,
@@ -1282,7 +1405,8 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
                             ppos.max(0).astype(np.float64)))
                 if ncores >= 2:
                     core_np = np.asarray(core)
-                    sub_host = np.asarray(sub_pfof)
+                    sub_host = np.asarray(fetch_bulk(jnp.asarray(sub_pfof),
+                                                     "subsub_host"))
                     extra = (core_np > 1) & (sub_host == 0)
                     sub_host = np.where(extra, core_np - 1 + ng_sub,
                                         sub_host).astype(np.int32)
@@ -1299,15 +1423,19 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
             if opt.coresubmergemindist > 0 and ng_sub > 1:
                 # substructure-substructure phase merge (reference
                 # MergeSubstructuresPhase, search.cxx:1701,2289)
+                if ppos is None:
+                    ppos, pvel, pmass = _host_arrays()
                 if sub_host is None:
-                    sub_host = np.asarray(sub_pfof)
+                    sub_host = np.asarray(fetch_bulk(jnp.asarray(sub_pfof),
+                                                     "subsub_host"))
                 sub_host, ns_new, nc_new = merge_substructures_phase(
                     ppos, pvel, pmass, sub_host, ng_sub, 0,
                     opt.coresubmergemindist)
                 ng_sub = ns_new + nc_new
-            e["sub_np3"] = (np.asarray(sub_pfof)
-                            if sub_host is None else sub_host)
-            e["ng_sub3"] = ng_sub
+            e["sub_np3"] = (jnp.asarray(sub_pfof).astype(jnp.int32)
+                            if sub_host is None
+                            else jnp.asarray(sub_host, jnp.int32))
+            e["ng_sub3"] = int(ng_sub)
             if ng_sub > 0:
                 pend.append(e)
 
@@ -1324,50 +1452,59 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
         if pend and opt.uinfo.unbindflag:
             base = 0
             cat_pos, cat_vel, cat_mass, cat_gid = [], [], [], []
-            bases = []
             for e in pend:
                 sub3 = e["sub_np3"]
-                bases.append(base)
                 cat_pos.append(e["ppos"])
                 cat_vel.append(e["pvel"])
                 cat_mass.append(e["pmass"])
-                cat_gid.append(np.where(sub3 > 0, sub3 + base, 0)
-                               .astype(np.int32))
+                cat_gid.append(jnp.where(sub3 > 0, sub3 + base, 0)
+                               .astype(jnp.int32))
                 base += e["ng_sub3"]
             ures = unbind_mod.check_unbound_groups(
-                jnp.asarray(np.concatenate(cat_pos)),
-                jnp.asarray(np.concatenate(cat_vel)),
-                jnp.asarray(np.concatenate(cat_mass)),
-                jnp.asarray(np.concatenate(cat_gid)),
+                jnp.concatenate(cat_pos),
+                jnp.concatenate(cat_vel),
+                jnp.concatenate(cat_mass),
+                jnp.concatenate(cat_gid),
                 _next_pow2(base, 16), opt.uinfo, opt.G,
                 min_size=opt.MinSize)
-            pfof_cat = np.asarray(jax.device_get(ures.pfof))
+            # per-structure id recovery on device: rank each slice's
+            # distinct surviving ids (device replacement for the
+            # np.unique remap; one small (P,) count fetch)
             off = 0
-            for e, b0 in zip(pend, bases):
+            ks = []
+            for e in pend:
                 npad_e = e["ppos"].shape[0]
-                seg_ids = pfof_cat[off:off + npad_e]
+                seg_ids = jax.lax.dynamic_slice_in_dim(
+                    ures.pfof, off, npad_e)
                 off += npad_e
-                uniq = np.unique(seg_ids[seg_ids > 0])
-                remap = np.zeros((uniq[-1] + 1) if len(uniq) else 1,
-                                 np.int32)
-                remap[uniq] = np.arange(1, len(uniq) + 1)
-                e["sub_np3"] = remap[np.clip(seg_ids, 0, len(remap) - 1)]
-                e["ng_sub3"] = len(uniq)
+                e["sub_np3"], k = _rank_remap(seg_ids)
+                ks.append(k)
+            for e, k in zip(pend, np.asarray(fetch_small(jnp.stack(ks)))):
+                e["ng_sub3"] = int(k)
 
         prof.lap("unbind")
-        # pass 3c: splice results into the global bookkeeping
-        for e in pend:
-            g, idx, nsub = e["g"], e["idx"], e["nsub"]
-            ng_sub = e["ng_sub3"]
-            if ng_sub == 0:
-                continue
-            sub_np = e["sub_np3"][:nsub]
-            sel = sub_np > 0
-            pfof_all[idx[sel]] = ng_total + sub_np[sel]
+        # pass 3c: splice results into the global bookkeeping (device
+        # scatter per structure; group sizes for the next-level queue are
+        # per-group metadata, fetched in one batch)
+        pend = [e for e in pend if e["ng_sub3"] > 0]
+        if pend:
+            ngmax_lvl = max(e["ng_sub3"] for e in pend)
+            size_rows = []
+            for e in pend:
+                sel = (e["sub_np3"] > 0) & e["valid"]
+                size_rows.append(seg.group_sizes(
+                    jnp.where(sel, e["sub_np3"], 0), ngmax_lvl))
+            sizes_h = np.asarray(fetch_small(jnp.stack(size_rows)))
+        for j, e in enumerate(pend):
+            g, ng_sub = e["g"], e["ng_sub3"]
+            sel = (e["sub_np3"] > 0) & e["valid"]
+            tgt = jnp.where(sel, e["idx"], n)
+            pfof_d = pfof_d.at[tgt].set(ng_total + e["sub_np3"],
+                                        mode="drop")
             parent = np.concatenate([parent, np.full(ng_sub, g, np.int64)])
             level_of = np.concatenate(
                 [level_of, np.full(ng_sub, level, np.int32)])
-            sub_sizes = np.bincount(sub_np[sub_np > 0], minlength=ng_sub + 1)
+            sub_sizes = sizes_h[j]
             new_queue.extend(ng_total + s for s in range(1, ng_sub + 1)
                              if sub_sizes[s] >= C.MINSUBSIZE)
             ng_total += ng_sub
@@ -1387,7 +1524,7 @@ def search_sub_sub(opt: C.Options, pos, vel, mass, pfof, ngroups: int,
         anc = np.where(stepped, nxt, anc)
     hostid = np.where(anc == np.arange(ng_total + 1), -1, anc)
     hostid[0] = -1
-    return pfof_all, ng_total, hostid, parent, level_of
+    return pfof_d, ng_total, hostid, parent, level_of
 
 
 # ---------------------------------------------------------------------------

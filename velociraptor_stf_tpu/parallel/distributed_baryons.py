@@ -28,11 +28,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import fof
 from .distributed_fof import SlabPlan, _take_first_k, _windows_dense_xclip
+from . import collectives as coll
 from .mesh import PARTS_AXIS
 
 _BIG_I32 = np.int32(np.iinfo(np.int32).max)
 
 
+@coll.staged("baryons")
 def distributed_baryon_assign(pos, vel, groups, nt: int, ellx2: float,
                               ellv2: float, mesh: Mesh,
                               boxsize: float) -> np.ndarray:
@@ -40,12 +42,13 @@ def distributed_baryon_assign(pos, vel, groups, nt: int, ellx2: float,
 
     ``pos``/``vel``: combined arrays ordered [tagged DM (nt) | baryons];
     ``groups``: (n,) with DM group ids in the first nt entries (>0).
-    Returns (n - nt,) baryon group ids (0 = unassigned), matching
+    Returns (n - nt,) baryon group ids on DEVICE (0 = unassigned),
+    matching
     models/baryons.py::search_baryons semantics.
     """
-    pos = np.asarray(pos, np.float32)
-    vel = np.asarray(vel, np.float32)
-    groups = np.asarray(groups, np.int32)
+    pos = jnp.asarray(pos, jnp.float32)       # device-resident throughout
+    vel = jnp.asarray(vel, jnp.float32)
+    groups = jnp.asarray(groups, jnp.int32)
     n = pos.shape[0]
     ellx = float(np.sqrt(ellx2))
     plan = SlabPlan(pos, ellx, float(boxsize), mesh)
@@ -53,7 +56,8 @@ def distributed_baryon_assign(pos, vel, groups, nt: int, ellx2: float,
     ndev, W, nx, ny, nz = plan.ndev, plan.W, plan.nx, plan.ny, plan.nz
     wx, wy, wz = boxsize / nx, boxsize / ny, boxsize / nz
     npad, B, t_pad = plan.npad, plan.B, plan.t_pad
-    pay_b, grp_b = plan.pack_payload(vel, np.ones(n, np.float32), groups)
+    pay_b, grp_b = plan.pack_payload(vel, jnp.ones(n, jnp.float32),
+                                     groups)
     pos_b, gid_b, valid_b = plan.pos_b, plan.gid_b, plan.valid_b
     dims = (W + 2, ny, nz)
     nslot = npad + 2 * B
@@ -78,12 +82,12 @@ def distributed_baryon_assign(pos, vel, groups, nt: int, ellx2: float,
         bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
 
         def send(idx, ok, perm):
-            p = jax.lax.ppermute(pos_l[idx], PARTS_AXIS, perm)
-            g = jax.lax.ppermute(jnp.where(ok, gid_l[idx], n), PARTS_AXIS,
+            p = coll.ppermute(pos_l[idx], PARTS_AXIS, perm)
+            g = coll.ppermute(jnp.where(ok, gid_l[idx], n), PARTS_AXIS,
                                  perm)
-            o = jax.lax.ppermute(ok, PARTS_AXIS, perm)
-            y = jax.lax.ppermute(pay_l[idx], PARTS_AXIS, perm)
-            r = jax.lax.ppermute(grp_l[idx], PARTS_AXIS, perm)
+            o = coll.ppermute(ok, PARTS_AXIS, perm)
+            y = coll.ppermute(pay_l[idx], PARTS_AXIS, perm)
+            r = coll.ppermute(grp_l[idx], PARTS_AXIS, perm)
             return p, g, o, y, r
 
         gLp, gLg, gLo, gLy, gLr = send(idxR, okR, fwd)
@@ -140,9 +144,11 @@ def distributed_baryon_assign(pos, vel, groups, nt: int, ellx2: float,
         out_specs=(P(PARTS_AXIS), P(PARTS_AXIS)))
     grp_blk, gid_out = jax.jit(mapped)(pos_b, gid_b, valid_b, pay_b, grp_b)
 
-    grp_flat = np.asarray(jax.device_get(grp_blk)).reshape(-1)
-    gid_flat = np.asarray(jax.device_get(gid_out)).reshape(-1)
-    ok = gid_flat < n
-    out = np.zeros(n, np.int32)
-    out[gid_flat[ok]] = grp_flat[ok]
+    # scatter back to original order ON DEVICE (the round-4 host
+    # re-materialisation of the combined set is gone; reference analog:
+    # particles never leave their ranks, mpiroutines.cxx:2873)
+    grp_flat = grp_blk.reshape(-1)
+    gid_flat = gid_out.reshape(-1)
+    out = jnp.zeros(n, jnp.int32).at[
+        jnp.where(gid_flat < n, gid_flat, n)].set(grp_flat, mode="drop")
     return out[nt:]

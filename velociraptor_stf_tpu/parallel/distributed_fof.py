@@ -41,6 +41,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import fof
+from . import collectives as coll
 from .mesh import PARTS_AXIS
 
 _BIG_I32 = np.int32(np.iinfo(np.int32).max)
@@ -250,6 +251,7 @@ def _plan_stats(pos, n: int, ndev: int, W: int, nx: int, ny: int, nz: int,
                                bmax.astype(jnp.float32), t_max])
 
 
+@coll.staged("fof3d")
 def distributed_fof3d(pos, linking_length: float, boxsize: float,
                       mesh: Mesh, min_size: int = 8,
                       max_outer: int = 64,
@@ -316,13 +318,13 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
         bwd = [(i, (i - 1) % ndev) for i in range(ndev)]   # receive from d+1
 
         def send(idx, ok, perm):
-            p = jax.lax.ppermute(pos_l[idx], PARTS_AXIS, perm)
-            g = jax.lax.ppermute(jnp.where(ok, gid_l[idx], n), PARTS_AXIS,
+            p = coll.ppermute(pos_l[idx], PARTS_AXIS, perm)
+            g = coll.ppermute(jnp.where(ok, gid_l[idx], n), PARTS_AXIS,
                                  perm)
-            o = jax.lax.ppermute(ok, PARTS_AXIS, perm)
+            o = coll.ppermute(ok, PARTS_AXIS, perm)
             if sixd:
-                y = jax.lax.ppermute(pay_l[idx], PARTS_AXIS, perm)
-                r = jax.lax.ppermute(grp_l[idx], PARTS_AXIS, perm)
+                y = coll.ppermute(pay_l[idx], PARTS_AXIS, perm)
+                r = coll.ppermute(grp_l[idx], PARTS_AXIS, perm)
             else:
                 y = pay_l[idx]
                 r = grp_l[idx]
@@ -422,14 +424,14 @@ def distributed_fof3d(pos, linking_length: float, boxsize: float,
             newglab = jnp.minimum(glab, comp[slot_labels])
             # refresh ghosts with the owners' current labels (invalid
             # boundary-buffer entries send the sentinel, a min no-op)
-            outR = jax.lax.ppermute(
+            outR = coll.ppermute(
                 jnp.where(okR, newglab[sR], jnp.int32(n)), PARTS_AXIS, fwd)
-            outL = jax.lax.ppermute(
+            outL = coll.ppermute(
                 jnp.where(okL, newglab[sL], jnp.int32(n)), PARTS_AXIS, bwd)
             newglab = newglab.at[ghostL_slots].min(outR)
             newglab = newglab.at[ghostR_slots].min(outL)
             changed = jnp.sum((newglab != glab).astype(jnp.int32))
-            changed = jax.lax.psum(changed, PARTS_AXIS)
+            changed = coll.psum(changed, PARTS_AXIS)
             return newglab, changed, it + 1
 
         def cond(state):
@@ -475,6 +477,7 @@ def _fof_epilogue(labels_b, gid_out, n: int, min_size):
     return fof.renumber_by_size(raw, min_size)
 
 
+@coll.staged("fof6d")
 def distributed_fof6d(pos, vel, mass, linking_length: float,
                       ell6dxfac: float, ell6dvfac: float,
                       boxsize: float, mesh: Mesh,
@@ -540,12 +543,12 @@ def _velocity_scales_sharded(plan: SlabPlan, vel, mass, pfof3,
         vsum = jnp.stack(
             [jnp.zeros(ng1, jnp.float32).at[g].add(w_l * v[:, j])
              for j in range(3)], axis=-1)
-        msum = jax.lax.psum(msum, PARTS_AXIS)
-        vsum = jax.lax.psum(vsum, PARTS_AXIS)
+        msum = coll.psum(msum, PARTS_AXIS)
+        vsum = coll.psum(vsum, PARTS_AXIS)
         vmean = vsum / jnp.maximum(msum, 1e-30)[:, None]
         dv2 = jnp.sum((v - vmean[g]) ** 2, axis=-1)
         s2 = jnp.zeros(ng1, jnp.float32).at[g].add(w_l * dv2)
-        s2 = jax.lax.psum(s2, PARTS_AXIS)
+        s2 = coll.psum(s2, PARTS_AXIS)
         return s2 / jnp.maximum(msum, 1e-30)
 
     mapped = jax.shard_map(body, mesh=plan.mesh,

@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.localfield import _leaf_densities
 from ..ops.kdgrid import median_partition
+from . import collectives as coll
 from .mesh import PARTS_AXIS
 
 
@@ -84,10 +85,10 @@ def _density_mapped(pos_b, vel_b, valid_b, nvel: int, nsearch: int,
         left = [(i, (i - 1) % ndev) for i in range(ndev)]
 
         def ghosts(perm, from_left):
-            Pg = jax.lax.ppermute(P_l, PARTS_AXIS, perm)
-            Vg = jax.lax.ppermute(V_l, PARTS_AXIS, perm)
-            og = jax.lax.ppermute(ok_l, PARTS_AXIS, perm)
-            cg = jax.lax.ppermute(cm_sel, PARTS_AXIS, perm)
+            Pg = coll.ppermute(P_l, PARTS_AXIS, perm)
+            Vg = coll.ppermute(V_l, PARTS_AXIS, perm)
+            og = coll.ppermute(ok_l, PARTS_AXIS, perm)
+            cg = coll.ppermute(cm_sel, PARTS_AXIS, perm)
             # crossing the ring wrap: periodic -> shift x by +-boxsize so
             # ghosts are minimum-image adjacent; non-periodic -> park far
             wrap = (idx == 0) if from_left else (idx == ndev - 1)
@@ -130,6 +131,7 @@ def _density_mapped(pos_b, vel_b, valid_b, nvel: int, nsearch: int,
                          out_specs=P(PARTS_AXIS))(pos_b, vel_b, valid_b)
 
 
+@coll.staged("density")
 def distributed_velocity_density(pos, vel, mesh: Mesh, nvel: int = 32,
                                  nsearch: int = 256, leaf_size: int = 32,
                                  chunk: int = 2048, exact: bool = False,

@@ -26,9 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from . import collectives as coll
 from .mesh import PARTS_AXIS
 
 
+@coll.staged("props")
 def distributed_bulk_properties(pos, vel, mass, pfof, num_groups: int,
                                 mesh: Mesh,
                                 boxsize: Optional[float] = None
@@ -82,10 +84,10 @@ def _bulk_props_mapped(pos_b, vel_b, mass_b, pfof_b, ng1: int, mesh: Mesh,
 
         # exact integer counts: a float32 accumulator stops incrementing
         # past 2^24 members (the largest group exceeds that at 1024^3)
-        num = jax.lax.psum(
+        num = coll.psum(
             jnp.zeros(ng1, jnp.int32).at[g].add(
                 (g > 0).astype(jnp.int32)), PARTS_AXIS)
-        gmass = jax.lax.psum(seg(w), PARTS_AXIS)
+        gmass = coll.psum(seg(w), PARTS_AXIS)
         # periodic unwrap about each group's first-seen position: use the
         # minimum-image offset to a reference particle reduced globally
         # (min original index per group)
@@ -96,20 +98,20 @@ def _bulk_props_mapped(pos_b, vel_b, mass_b, pfof_b, ng1: int, mesh: Mesh,
             idx = jax.lax.axis_index(PARTS_AXIS) * p.shape[0] + \
                 jnp.arange(p.shape[0])
             key = jnp.where(g > 0, idx, jnp.iinfo(jnp.int32).max)
-            kmin = jax.lax.pmin(
+            kmin = coll.pmin(
                 jnp.full(ng1, jnp.iinfo(jnp.int32).max).at[g].min(key),
                 PARTS_AXIS)
             is_ref = (key == kmin[g]) & (g > 0)
-            ref = jax.lax.psum(
+            ref = coll.psum(
                 jnp.stack([jnp.zeros(ng1, jnp.float32).at[g].add(
                     jnp.where(is_ref, p[:, k], 0.0)) for k in range(3)],
                     axis=-1), PARTS_AXIS)
             d = p - ref[g]
             p = jnp.where((g > 0)[:, None],
                           ref[g] + d - boxsize * jnp.round(d / boxsize), p)
-        csum = jax.lax.psum(
+        csum = coll.psum(
             jnp.stack([seg(w * p[:, k]) for k in range(3)], -1), PARTS_AXIS)
-        vsum = jax.lax.psum(
+        vsum = coll.psum(
             jnp.stack([seg(w * v[:, k]) for k in range(3)], -1), PARTS_AXIS)
         msafe = jnp.maximum(gmass, 1e-30)[:, None]
         gcm = csum / msafe
@@ -117,15 +119,15 @@ def _bulk_props_mapped(pos_b, vel_b, mass_b, pfof_b, ng1: int, mesh: Mesh,
         dx = p - gcm[g]
         dv = v - gcmvel[g]
         r2 = jnp.sum(dx * dx, -1)
-        gsize = jnp.sqrt(jax.lax.pmax(
+        gsize = jnp.sqrt(coll.pmax(
             jnp.zeros(ng1, jnp.float32).at[g].max(
                 jnp.where(g > 0, r2, 0.0)), PARTS_AXIS))
-        disp = jax.lax.psum(
+        disp = coll.psum(
             jnp.stack([jnp.stack([seg(w * dv[:, i] * dv[:, j])
                                   for j in range(3)], -1)
                        for i in range(3)], -2), PARTS_AXIS)
         disp = disp / msafe[..., None]
-        J = jax.lax.psum(
+        J = coll.psum(
             jnp.stack([seg(w * (dx[:, 1] * dv[:, 2] - dx[:, 2] * dv[:, 1])),
                        seg(w * (dx[:, 2] * dv[:, 0] - dx[:, 0] * dv[:, 2])),
                        seg(w * (dx[:, 0] * dv[:, 1] - dx[:, 1] * dv[:, 0]))],
@@ -144,6 +146,7 @@ def _bulk_props_mapped(pos_b, vel_b, mass_b, pfof_b, ng1: int, mesh: Mesh,
     return mapped(pos_b, vel_b, mass_b, pfof_b)
 
 
+@coll.staged("props")
 def distributed_properties(opt, pos, vel, mass, pfof, num_groups: int,
                            mesh: Mesh, *, W=None, ptype=None,
                            boxsize: Optional[float] = None,

@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import fof, so
 from ..ops.cells import CellGrid, bin_particles, build_grid, cell_coords
+from . import collectives as coll
 from .mesh import PARTS_AXIS
 
 
@@ -48,7 +49,7 @@ def _candidate_total_mapped(pos_b, centers, grid: CellGrid, mesh: Mesh):
         qc = cell_coords(ctr, grid)
         _, pcn = so.point_windows_dense(qc, binning.cid_sorted, grid)
         t = jnp.sum(pcn.sum(axis=1))
-        return jax.lax.pmax(t, PARTS_AXIS)
+        return coll.pmax(t, PARTS_AXIS)
 
     return jax.shard_map(body, mesh=mesh, in_specs=(P(PARTS_AXIS), P()),
                          out_specs=P())(pos_b, centers)
@@ -68,8 +69,8 @@ def _class_histogram_mapped(pos_b, mass_b, centers, rsearch,
         Mh, Nh = so._class_histogram(p[binning.order], m[binning.order],
                                      ctr, rs, binning.cid_sorted, grid,
                                      t_pad, nbins, lnumin)
-        return (jax.lax.psum(Mh, PARTS_AXIS),
-                jax.lax.psum(Nh, PARTS_AXIS))
+        return (coll.psum(Mh, PARTS_AXIS),
+                coll.psum(Nh, PARTS_AXIS))
 
     return jax.shard_map(
         body, mesh=mesh,
@@ -77,6 +78,7 @@ def _class_histogram_mapped(pos_b, mass_b, centers, rsearch,
         out_specs=(P(), P()))(pos_b, mass_b, centers, rsearch)
 
 
+@coll.staged("so")
 def distributed_so_masses(pos, mass, centers, rsearch, lnrho_thresholds,
                           mesh: Mesh, boxsize: Optional[float] = None,
                           nbins: int = 128, umin: float = 3e-3,

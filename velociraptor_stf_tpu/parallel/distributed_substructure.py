@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -47,8 +48,10 @@ def distributed_subset_batch(opt: C.Options, entries: List[dict],
     ndev = mesh.devices.size
     b = opt.ellxscale * opt.ellphys
     b_build = b * max(1.0, opt.ellxfac)
-    lo = np.min(np.stack([e["ppos"].min(0) for e in entries]), 0)
-    hi = np.max(np.stack([e["ppos"].max(0) for e in entries]), 0)
+    lo = np.asarray(jax.device_get(jnp.min(jnp.stack(
+        [jnp.min(jnp.asarray(e["ppos"]), 0) for e in entries]), 0)))
+    hi = np.asarray(jax.device_get(jnp.max(jnp.stack(
+        [jnp.max(jnp.asarray(e["ppos"]), 0) for e in entries]), 0)))
     grid = build_grid(lo.astype(np.float64), hi.astype(np.float64),
                       b_build, periodic=False, boxsize=0.0)
     if grid.total_cells > fof._DENSE_TABLE_MAX_CELLS:
@@ -57,10 +60,12 @@ def distributed_subset_batch(opt: C.Options, entries: List[dict],
     B = -(-B0 // ndev) * ndev
     reps = [entries[k if k < B0 else 0] for k in range(B)]
     sh = NamedSharding(mesh, P(PARTS_AXIS))
-    pos_b = jax.device_put(np.stack([e["ppos"] for e in reps]), sh)
-    vel_b = jax.device_put(np.stack([e["pvel"] for e in reps]), sh)
-    ell_b = jax.device_put(
-        np.stack([np.asarray(e["ell"]) for e in reps]), sh)
+    pos_b = jax.device_put(jnp.stack(
+        [jnp.asarray(e["ppos"]) for e in reps]), sh)
+    vel_b = jax.device_put(jnp.stack(
+        [jnp.asarray(e["pvel"]) for e in reps]), sh)
+    ell_b = jax.device_put(jnp.stack(
+        [jnp.asarray(e["ell"]) for e in reps]), sh)
 
     Ts = np.asarray(jax.device_get(S._subset_batch_totals(pos_b, grid)))
     t_pad = fof._pad_pow2(int(max(int(Ts.max()), 1)))
