@@ -478,3 +478,51 @@ def test_fallback_counters_track_batched_vs_sequential(monkeypatch):
     assert snap.get("subset_sequential_structures", 0) >= 3
     assert "none" not in telemetry.report()
     telemetry.reset()
+
+
+@pytest.mark.parametrize("foftype", [C.FOFSTPROBLX, C.FOFSTPROBSCALEELL,
+                                     C.FOF6DSUBSET])
+def test_nondefault_foftypes_batched_match_sequential(foftype, monkeypatch):
+    """Round-5 VERDICT item 7: the previously sequential-only foftypes
+    (per-axis LX lengths, ScaleEll mass normalisation, FOF6DSUBSET
+    per-structure velocity scale) now run through the vmapped class
+    batches — per-structure scalars ride per-lane broadcast fields — and
+    must reproduce the sequential path exactly."""
+    halos = []
+    for k in range(3):
+        p, v, m, _ = host_with_subhalo(seed=40 + k, nhost=3000, nsub=400)
+        p = p + np.array([4.0 * k, 0.0, 0.0], np.float32)
+        halos.append((p, v, m))
+    pos = np.concatenate([h[0] for h in halos])
+    vel = np.concatenate([h[1] for h in halos])
+    mass = np.concatenate([h[2] for h in halos])
+    pfof = np.concatenate([np.full(len(h[0]), k + 1, np.int32)
+                           for k, h in enumerate(halos)])
+
+    opt = C.Options()
+    opt.ellphys = 0.2
+    opt.ellxscale = 0.25
+    opt.foftype = foftype
+    opt.iiterflag = 1
+    opt.ellthreshold = 2.5
+    opt.Vratio = 2.0
+    opt.thetaopen = 0.10
+    opt.ellfac = 1.0
+    opt.MinSize = 20
+    opt.uinfo.unbindflag = 0
+    opt.G = G
+
+    from velociraptor_stf_tpu.utils import telemetry
+
+    monkeypatch.setenv("VR_SUBSET_BATCH", "0")
+    ref = S.search_sub_sub(opt, pos, vel, mass, pfof.copy(), 3)
+    monkeypatch.setenv("VR_SUBSET_BATCH", "1")
+    telemetry.reset()
+    out = S.search_sub_sub(opt, pos, vel, mass, pfof.copy(), 3)
+    snap = telemetry.snapshot()
+
+    assert snap.get("subset_batched_structures", 0) >= 3, snap
+    assert snap.get("subset_sequential_structures", 0) == 0, snap
+    assert out[1] == ref[1]
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(out[3], ref[3])

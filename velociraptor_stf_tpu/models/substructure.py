@@ -239,6 +239,51 @@ class Pred6DOutlier:
 
 
 @dataclasses.dataclass(frozen=True)
+class StreamPredScaleEllB:
+    """StreamPredScaleEll for the vmapped class batches: the per-structure
+    reference mass rides the per-lane broadcast field ``scal`` instead of
+    a static attribute (same math as fofalgo.cxx:120-137)."""
+
+    symmetric = True
+
+    b2: float
+    vratio: float
+    costheta: float
+    ellthr: float
+
+    def __call__(self, d2, own, nbr):
+        mmin = jnp.minimum(own["mass"], nbr["mass"])
+        mref = jnp.maximum(own["scal"], 1e-30)
+        ellscale = self.b2 * jnp.power(
+            jnp.maximum(mmin / mref, 1e-30), 2.0 / 3.0)
+        v_own, v_nbr = own["vel"], nbr["vel"]
+        v1 = jnp.sqrt(jnp.sum(v_own * v_own, -1))
+        v2 = jnp.sqrt(jnp.sum(v_nbr * v_nbr, -1))
+        vdot = jnp.sum(v_own * v_nbr, -1) / jnp.maximum(v1 * v2, 1e-30)
+        ratio = v1 / jnp.maximum(v2, 1e-30)
+        ok = (d2 < ellscale) & (vdot > self.costheta)
+        ok = ok & (ratio < self.vratio) & (ratio > 1.0 / self.vratio)
+        return ok & (own["ell"] >= self.ellthr) & (nbr["ell"] >= self.ellthr)
+
+
+@dataclasses.dataclass(frozen=True)
+class Pred6DOutlierB:
+    """Pred6DOutlier for the vmapped class batches: the per-structure
+    velocity-scale ellv^2 rides the per-lane broadcast field ``scal``
+    (fofalgo.cxx:166-174 with param[2] from the parent's dispersion)."""
+
+    symmetric = True
+
+    b2: float
+    ellthr: float
+
+    def __call__(self, d2, own, nbr):
+        dv2 = jnp.sum((own["vel"] - nbr["vel"]) ** 2, axis=-1)
+        ok = d2 / self.b2 + dv2 / jnp.maximum(own["scal"], 1e-30) < 1.0
+        return ok & (own["ell"] >= self.ellthr) & (nbr["ell"] >= self.ellthr)
+
+
+@dataclasses.dataclass(frozen=True)
 class Pred6DBackground:
     """FOF6dbg (fofalgo.cxx:156-164): 6D metric restricted to particles
     BELOW the outlier threshold (background linking, FOFchecksub
@@ -797,14 +842,18 @@ _BATCH_PAIR_CAP = 2048         # distinct cross-group link pairs / structure
 
 
 def _batchable_subset(opt: C.Options) -> bool:
-    """The vmapped class search covers the default iterative stream
-    criterion; foftypes needing per-structure normalisations (mref for
-    ScaleEll, sigmav2 for FOF6DSUBSET) or stencil-reach semantics
-    (NNNODIST) keep the sequential path."""
+    """The vmapped class search covers every iterative foftype whose
+    criterion is a pair predicate over (pos, vel, ell) plus at most one
+    per-structure normalisation (mref for ScaleEll, sigmav2 for
+    FOF6DSUBSET — threaded as per-lane broadcast fields); only the
+    stencil-reach FOFSTPROBNNNODIST (no spatial cut, so the candidate
+    window IS the semantics) keeps the sequential path."""
     if os.environ.get("VR_SUBSET_BATCH") == "0":
         return False
     return bool(opt.iiterflag) and opt.foftype in (
-        C.FOFSTPROB, C.FOFSTPROBNN, C.FOFSTNOSUBSET)
+        C.FOFSTPROB, C.FOFSTPROBNN, C.FOFSTNOSUBSET,
+        C.FOFSTPROBLX, C.FOFSTPROBNNLX,
+        C.FOFSTPROBSCALEELL, C.FOFSTPROBSCALEELLNN, C.FOF6DSUBSET)
 
 
 @partial(jax.jit, static_argnames=("grid",))
@@ -818,8 +867,8 @@ def _subset_batch_totals(pos_b, grid):
 
 @partial(jax.jit, static_argnames=("grid", "t_pad", "pred0", "pred_att",
                                    "pred_att2", "pred_merge"))
-def _subset_batch_geom(pos_b, vel_b, ell_b, grid, t_pad, pred0, pred_att,
-                       pred_att2, pred_merge):
+def _subset_batch_geom(pos_b, vel_b, ell_b, mass_b, scal_b, grid, t_pad,
+                       pred0, pred_att, pred_att2, pred_merge):
     """Geometry dispatch: bin, expand candidate windows, evaluate all four
     pair criteria on ONE gathered operand set and compact every edge list
     to the front (one vmapped dispatch).
@@ -831,11 +880,22 @@ def _subset_batch_geom(pos_b, vel_b, ell_b, grid, t_pad, pred0, pred_att,
     (the static-shape analog of the sequential path's edge shrink).
     """
 
-    def one(pos, vel, ell):
+    need_pos = isinstance(pred0, StreamPredLX)
+    need_mass = isinstance(pred0, StreamPredScaleEllB)
+    need_scal = isinstance(pred0, (StreamPredScaleEllB, Pred6DOutlierB))
+
+    def one(pos, vel, ell, mass, scal):
         binning = bin_particles(pos, grid, lean=True)
         order = binning.order
         pos_s = pos[order]
         fields_s = {"ell": ell[order], "vel": vel[order]}
+        if need_pos:
+            fields_s["pos"] = pos_s
+        if need_mass:
+            fields_s["mass"] = mass[order]
+        if need_scal:
+            fields_s["scal"] = jnp.full(pos.shape[0], scal,
+                                        dtype=pos.dtype)
         pst, pcn, _ = fof.candidate_counts_half(binning, grid)
         row, col, valid = fof.flat_candidates(pst, pcn, t_pad)
         d2 = fof._pair_d2_bcast(fof._gather2(pos_s, row),
@@ -859,7 +919,7 @@ def _subset_batch_geom(pos_b, vel_b, ell_b, grid, t_pad, pred0, pred_att,
         return (order, er0, ec0, n0, era, eca, na, era2, eca2, na2,
                 erm, ecm, nm)
 
-    return jax.vmap(one)(pos_b, vel_b, ell_b)
+    return jax.vmap(one)(pos_b, vel_b, ell_b, mass_b, scal_b)
 
 
 @partial(jax.jit, static_argnames=("pair_cap",))
@@ -931,7 +991,7 @@ def _subset_batch_final(ell_b, order_b, era2_b, eca2_b, pfof1_b, target_b,
 
 
 def _subset_batch_run(opt: C.Options, entries: List[dict], pos_b, vel_b,
-                      ell_b, grid, t_pad: int) -> None:
+                      ell_b, grid, t_pad: int, mass_b=None) -> None:
     """Shared phase driver: geometry -> count fetch -> graph -> host
     fmerge loops -> final.  Fills ``e["sub_np"]``/``e["ng_sub"]`` (see
     _search_subset_batch).  The stacked arrays may be mesh-sharded on the
@@ -941,9 +1001,23 @@ def _subset_batch_run(opt: C.Options, entries: List[dict], pos_b, vel_b,
     npad = int(entries[0]["npad"])
     pair_cap = int(min(_BATCH_PAIR_CAP, max(16, npad)))
     minsize0 = max(2, int(opt.MinSize * opt.nminfac))
+    if mass_b is None:
+        mass_b = jnp.stack([jnp.asarray(e["pmass"]) for e in entries])
+    # per-structure normalisations as per-lane scalars (the sequential
+    # path's mref / sigmav2 computation, search_subset:333-345, over the
+    # same padded arrays — zero-mass padding included, quirk preserved)
+    if opt.foftype == C.FOF6DSUBSET:
+        sv = jnp.mean(jnp.var(vel_b, axis=1), axis=-1)
+        scal_b = jnp.where(jnp.isfinite(sv) & (sv > 0), sv, 1.0) * \
+            jnp.asarray(opt.ellvel ** 2, vel_b.dtype)
+    elif opt.foftype in (C.FOFSTPROBSCALEELL, C.FOFSTPROBSCALEELLNN):
+        mv = jnp.mean(mass_b, axis=1)
+        scal_b = jnp.where(jnp.isfinite(mv) & (mv > 0), mv, 1.0)
+    else:
+        scal_b = jnp.ones(pos_b.shape[0], pos_b.dtype)
     (order_b, er0_b, ec0_b, n0_b, era_b, eca_b, na_b, era2_b, eca2_b,
      na2_b, erm_b, ecm_b, nm_b) = _subset_batch_geom(
-        pos_b, vel_b, ell_b, grid, t_pad,
+        pos_b, vel_b, ell_b, mass_b, scal_b, grid, t_pad,
         *_subset_preds(opt))
     n0_h, na_h, na2_h, nm_h = fetch_small((n0_b, na_b, na2_b, nm_b))
     e0 = fof._pad_pow2(int(max(int(n0_h.max()), 1)), lo=256)
@@ -998,12 +1072,20 @@ def _subset_batch_run(opt: C.Options, entries: List[dict], pos_b, vel_b,
 
 def _subset_preds(opt: C.Options):
     """(pred0, pred_att, pred_att2, pred_merge) for the iterative subset
-    search — the same parameterisation search_subset uses."""
+    search — the same parameterisation search_subset uses.  foftypes with
+    per-structure normalisations map to the field-parameterised predicate
+    variants (the scalar rides the per-lane ``scal`` field)."""
     b = opt.ellxscale * opt.ellphys
     ellx2 = b * b
     costh_it = math.cos(opt.thetaopen * math.pi * opt.thetafac)
-    pred0 = subset_predicate(opt, ellx2, opt.Vratio * opt.vfac, costh_it,
-                             opt.ellthreshold * opt.ellfac)
+    if opt.foftype in (C.FOFSTPROBSCALEELL, C.FOFSTPROBSCALEELLNN):
+        pred0 = StreamPredScaleEllB(ellx2, opt.Vratio * opt.vfac, costh_it,
+                                    opt.ellthreshold * opt.ellfac)
+    elif opt.foftype == C.FOF6DSUBSET:
+        pred0 = Pred6DOutlierB(ellx2, opt.ellthreshold * opt.ellfac)
+    else:
+        pred0 = subset_predicate(opt, ellx2, opt.Vratio * opt.vfac,
+                                 costh_it, opt.ellthreshold * opt.ellfac)
     pred_att = StreamPredAttach(ellx2, opt.Vratio * opt.vfac, costh_it,
                                 opt.ellthreshold)
     pred_att2 = StreamPredAttach(ellx2 * opt.ellxfac ** 2,

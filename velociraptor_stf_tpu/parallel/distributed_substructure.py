@@ -72,7 +72,10 @@ def distributed_subset_batch(opt: C.Options, entries: List[dict],
     # run on shallow copies: padded lanes repeat entries[0] and must not
     # write into it twice
     filled = [dict(e) for e in reps]
-    S._subset_batch_run(opt, filled, pos_b, vel_b, ell_b, grid, t_pad)
+    mass_b = jax.device_put(jnp.stack(
+        [jnp.asarray(e["pmass"]) for e in reps]), sh)
+    S._subset_batch_run(opt, filled, pos_b, vel_b, ell_b, grid, t_pad,
+                        mass_b=mass_b)
     for k in range(B0):
         if "sub_np" in filled[k]:
             entries[k]["sub_np"] = filled[k]["sub_np"]
