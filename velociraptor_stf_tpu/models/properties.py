@@ -520,8 +520,14 @@ def compute_pertype_properties(
             k2h = _first_crossing(
                 (r_s > 2.0 * rhalf[g_s]) & (g_s > 0), g_s, ng1, n)
             k2c = jnp.minimum(jnp.maximum(k2h - 1, 0), n - 1)
+            # msum == 0 guard: with no particles of the type rhalf is 0,
+            # the crossing lands on the group's FIRST sorted slot and
+            # Mcum_t[k2h-1] would read the PREVIOUS group's cumsum —
+            # junk that differs between the global and the packed
+            # per-device sort orders (reference: zero-member types
+            # report 0)
             out[f"MassTwiceRhalfmass_{tname}"] = jnp.where(
-                k2h < n, Mcum_t[k2c], msum)
+                msum > 0, jnp.where(k2h < n, Mcum_t[k2c], msum), 0.0)
             # velocity dispersion tensor (3x3) about the type CM velocity
             dvt = vel - seg.gather_rows(cmv, pfof)
             out[f"veldisp_{tname}"] = seg.segment_outer(
