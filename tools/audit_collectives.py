@@ -56,8 +56,6 @@ def main():
     snap = telemetry.snapshot()
     print(f"n={n} ndev={mesh.devices.size} ngroups={res.ngroups} "
           f"full-set f32 bytes={4 * n:,}")
-    sweeps = {k.split("_")[0].replace("fof", ""): v
-              for k, v in snap.items() if k.endswith("_sweeps")}
     print(f"{'stage::kind':<28}{'ops':>5}{'bytes/op':>14}"
           f"{'traced total':>14}  note")
     for k in sorted(snap):
@@ -68,9 +66,11 @@ def main():
         ops = snap["coll_ops::" + tail]
         per = snap[k] // max(ops, 1)
         note = ""
-        if stage in ("fof3d", "fof6d"):
-            rounds = snap.get(f"{stage}_sweeps", 0)
-            note = f"x up to {rounds} fixpoint rounds at runtime"
+        if stage in ("fof3d", "fof6d") and tail.endswith("ppermute"):
+            note = ("traced once; executes once per fixpoint round "
+                    "(runtime round counts: Pallas-path telemetry)")
+        if tail.endswith("reshard"):
+            note = "one-shot bulk deal (MPIGroupExchange analog)"
         frac = snap[k] / (4 * n)
         print(f"{tail:<28}{ops:>5}{per:>14,}{snap[k]:>14,}  "
               f"{frac:.3f}x full-set  {note}")

@@ -137,20 +137,60 @@ def compute_potential(pos, mass, pfof, num_groups: int, eps: float,
 
 
 @partial(jax.jit, static_argnames=("num_groups", "cmvelreftype",
-                                   "min_size", "max_iters"))
+                                   "min_size", "max_iters",
+                                   "sorted_layout"))
 def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
                  Eratio, maxunbindfrac, min_size: int,
                  cmvelreftype: int, max_iters: int = 100,
-                 bound0=None):
+                 bound0=None, sorted_layout: bool = False):
     """Iterative ejection; returns (bound mask, changed flag).
 
     ``max_iters`` bounds the device-side while_loop so a single dispatch
     stays short; the caller re-invokes until converged (the axon tunnel
     kills long-running kernels).
+
+    ``sorted_layout``: arrays are group-sorted (group 0 first; stable
+    order within groups).  Per-iteration per-group<->per-particle
+    traffic then avoids the near-serial XLA:TPU table gathers/scatters
+    (~40-140M elem/s — they dominated the 512^3 ejection): group sums
+    become int32 cumsum+boundary-diffs (exact) and table->particle
+    broadcasts become a segmented last-seen-value associative scan over
+    values seeded at segment starts — pure SELECTION, so every
+    broadcast value is bit-identical to the gather it replaces.
     """
     n = vel.shape[0]
     ng1 = num_groups + 1
     in_group = pfof > 0
+
+    if sorted_layout:
+        # segment geometry (static across iterations: pfof never changes)
+        prevg = jnp.concatenate([jnp.full(1, -1, jnp.int32), pfof[:-1]])
+        seg_start = (pfof != prevg) & in_group
+        sidx = jnp.nonzero(seg_start, size=min(ng1, n), fill_value=n)[0]
+        sgid = jnp.where(sidx < n, pfof[jnp.minimum(sidx, n - 1)], 0)
+        offsets = jnp.searchsorted(
+            pfof, jnp.arange(ng1 + 1, dtype=pfof.dtype)).astype(jnp.int32)
+
+        def bcast(tables):
+            """tuple of (ng1,) tables -> per-particle values (group 0 /
+            untagged prefix reads 0)."""
+            seeds = tuple(
+                jnp.zeros(n, t.dtype).at[sidx].set(t[sgid], mode="drop")
+                for t in tables)
+
+            def op(a, b):
+                af, bf = a[0], b[0]
+                return ((af | bf,) +
+                        tuple(jnp.where(bf, bv, av)
+                              for av, bv in zip(a[1:], b[1:])))
+
+            res = jax.lax.associative_scan(op, (seg_start,) + seeds)
+            return res[1:]
+
+        def segsum_int(x):
+            cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                   jnp.cumsum(x.astype(jnp.int32))])
+            return cum[offsets[1:]] - cum[offsets[:-1]]
 
     # Per-group stats ride the while_loop carry as a LANE-MAJOR (5, ng1)
     # table [m*vx, m*vy, m*vz, m, count], updated INCREMENTALLY by
@@ -221,14 +261,24 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
             vref = potref_vel
         else:
             vref = (stats[0:3] / jnp.maximum(stats[3:4], 1e-30)).T
-        dv = vel - seg.gather_rows(vref, pfof)
-        T = 0.5 * mass * jnp.sum(dv * dv, axis=-1)
+        if sorted_layout:
+            vxp, vyp, vzp = bcast((vref[:, 0], vref[:, 1], vref[:, 2]))
+            dvx = vel[:, 0] - vxp
+            dvy = vel[:, 1] - vyp
+            dvz = vel[:, 2] - vzp
+            T = 0.5 * mass * (dvx * dvx + dvy * dvy + dvz * dvz)
+        else:
+            dv = vel - seg.gather_rows(vref, pfof)
+            T = 0.5 * mass * jnp.sum(dv * dv, axis=-1)
         E = Eratio * T + W
         unbound = (E > 0) & bound
         # cap removals per group: least-bound (highest E) first
         nb = stats[4].astype(jnp.int32)
         cap = jnp.maximum((maxunbindfrac * nb).astype(jnp.int32), 1)
-        nu = seg.segment_sum(unbound.astype(jnp.int32), pfof, ng1)
+        if sorted_layout:
+            nu = segsum_int(unbound)
+        else:
+            nu = seg.segment_sum(unbound.astype(jnp.int32), pfof, ng1)
         exceed = nu > cap                        # (ng1,) groups over cap
 
         def rank_mask(keys_g, keys_e, length):
@@ -246,10 +296,17 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
                 jnp.clip(gseq, 0, num_groups)])
             return jnp.zeros(length, bool).at[order].set(remove_sorted)
 
+        if sorted_layout:
+            (exc_p,) = bcast((exceed.astype(jnp.int32),))
+            exceed_p = exc_p > 0
+        else:
+            exceed_p = None
+
         def ranked_compact(_):
             # compact the exceeding-group unbound candidates, rank only
             # them; non-exceeding groups drop all their unbound
-            cand = unbound & exceed[pfof]
+            cand = unbound & (exceed_p if sorted_layout
+                              else exceed[pfof])
             dest = jnp.cumsum(cand.astype(jnp.int32)) - 1
             dest = jnp.where(cand, dest, rank_budget)
             idx = jnp.zeros(rank_budget, jnp.int32).at[dest].set(
@@ -267,7 +324,9 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
             return rank_mask(jnp.where(unbound, pfof, ng1), E, n)
 
         def ranked(_):
-            total = jnp.sum((unbound & exceed[pfof]).astype(jnp.int32))
+            total = jnp.sum((unbound & (exceed_p if sorted_layout
+                                        else exceed[pfof])
+                             ).astype(jnp.int32))
             return jax.lax.cond(total <= rank_budget, ranked_compact,
                                 ranked_full, None)
 
@@ -281,10 +340,17 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         remove = remove & bound
         # dissolve groups below min size (counts via the removal deltas,
         # not a fresh full segment sum)
-        nrm = seg.segment_sum(remove.astype(jnp.int32), pfof, ng1)
+        if sorted_layout:
+            nrm = segsum_int(remove)
+        else:
+            nrm = seg.segment_sum(remove.astype(jnp.int32), pfof, ng1)
         nb2 = nb - nrm
         dissolved = nb2 < min_size
-        bound2 = bound & ~remove & ~dissolved[pfof]
+        if sorted_layout:
+            (diss_p,) = bcast((dissolved.astype(jnp.int32),))
+            bound2 = bound & ~remove & (diss_p == 0)
+        else:
+            bound2 = bound & ~remove & ~dissolved[pfof]
         # subtract every dropped particle's contribution from the carry
         dropped = bound & ~bound2
         stats2 = stats - _stats_delta(dropped)
@@ -404,13 +470,19 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
     # iteration tail (the reference's maxunbindfrac cap stretching big
     # halos over many rounds, unbind.cxx:63-100) runs on a small fraction
     # of the box instead of all of it.
-    W_cur = W
     n_full = pfof.shape[0]
     bound_full = pfof > 0
-    cur_vel, cur_mass, cur_pfof, cur_pos = vel, mass, pfof, pos
-    cur_to_full = None          # None = identity (no compaction yet)
+    # group-sort once: the sorted-layout ejection replaces the per-
+    # iteration table gathers / segment scatters with cumsum machinery
+    # (see _unbind_loop).  The stable sort preserves within-group order,
+    # so every ranked tie-break matches the unsorted path bit-for-bit.
+    perm0 = seg.sort_by_group(pfof)
+    cur_vel, cur_mass = vel[perm0], mass[perm0]
+    cur_pfof, cur_pos = pfof[perm0], pos[perm0]
+    W_cur = W[perm0]
+    cur_to_full = perm0
     bound = None
-    prev_bound = pfof > 0
+    prev_bound = cur_pfof > 0
     chunk_iters = 4
     for _ in range(64):  # host-chunked: bounded device time per dispatch
         bound, changed = _unbind_loop(
@@ -418,11 +490,8 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
             jnp.asarray(uinfo.Eratio, pos.dtype),
             jnp.asarray(uinfo.maxunbindfrac, pos.dtype),
             min_size, uinfo.cmvelreftype, max_iters=chunk_iters,
-            bound0=bound)
-        if cur_to_full is None:
-            bound_full = bound
-        else:
-            bound_full = bound_full.at[cur_to_full].set(bound, mode="drop")
+            bound0=bound, sorted_layout=True)
+        bound_full = bound_full.at[cur_to_full].set(bound, mode="drop")
         if not bool(fetch_small(changed)):
             break
         lost = seg.segment_sum(
@@ -441,10 +510,7 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
         if 0 < nsel <= ncur // 2:
             spad = seg.pad_class(nsel)
             sub_idx, svalid, _ = seg.compact_mask(sel, spad)
-            cur_to_full = jnp.where(
-                svalid,
-                sub_idx if cur_to_full is None else cur_to_full[sub_idx],
-                n_full)
+            cur_to_full = jnp.where(svalid, cur_to_full[sub_idx], n_full)
             safe = jnp.where(svalid, sub_idx, 0)
             cur_vel = cur_vel[safe]
             cur_pos = cur_pos[safe]

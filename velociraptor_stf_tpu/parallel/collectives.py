@@ -90,6 +90,21 @@ def all_gather(x, axis_name, **kw):
     return jax.lax.all_gather(x, axis_name, **kw)
 
 
+def count_reshard(stage: str, x) -> None:
+    """Account a cross-device resharding data movement (device_put onto a
+    mesh sharding — the grouppack/slab deal, the analog of the reference's
+    MPIGroupExchange bulk migration).  Unlike the lax collectives these
+    move each element ONCE per call; counted under kind ``reshard``."""
+    nbytes = 0
+    for leaf in jax.tree_util.tree_leaves(x):
+        try:
+            nbytes += int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+        except Exception:
+            pass
+    telemetry.count(f"coll_bytes::{stage}::reshard", nbytes)
+    telemetry.count(f"coll_ops::{stage}::reshard")
+
+
 def staged(name: str):
     """Decorator: run the wrapped stage entry under ``audit_stage(name)``
     so its traced collectives are attributed."""

@@ -165,6 +165,7 @@ class SlabPlan:
         self._dest = jnp.zeros(n, jnp.int32).at[self._order].set(
             dev_j[self._order] * self.npad + rank_sorted)
         sh = NamedSharding(mesh, P(PARTS_AXIS))
+        coll.count_reshard("slabplan", pos)
         self.pos_b = jax.device_put(
             _pack3(pos, self._dest, ndev, self.npad), sh)
         gid_flat = jnp.full(ndev * self.npad, n, jnp.int32).at[

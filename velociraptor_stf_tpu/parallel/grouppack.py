@@ -30,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..utils.transfer import fetch_small
+from . import collectives as col
 from .mesh import PARTS_AXIS
 
 
@@ -101,7 +102,9 @@ def _pack_blocks(arr, dest, ndev: int, npad: int, fill, sh):
     else:
         out = jnp.full((ndev * npad,), fill, arr.dtype).at[dest].set(
             arr, mode="drop")
-    return jax.device_put(out.reshape((ndev, npad) + arr.shape[1:]), sh)
+    blocks = out.reshape((ndev, npad) + arr.shape[1:])
+    col.count_reshard("grouppack", blocks)
+    return jax.device_put(blocks, sh)
 
 
 @partial(jax.jit, static_argnames=("n", "fill", "dtype"))
