@@ -59,6 +59,12 @@ def test_no_stage_moves_full_set_payloads():
     for k in byte_keys:
         ops = snap["coll_ops::" + k[len("coll_bytes::"):]]
         per_op = snap[k] / max(ops, 1)
+        if k.endswith("::reshard"):
+            # the one-shot grouppack/slab deals legitimately move the
+            # (padded) working set ONCE — the MPIGroupExchange analog;
+            # bound the total so padding blowups would still surface
+            assert snap[k] < 24 * full_set_bytes, (k, snap[k])
+            continue
         # ghost slabs / per-group tables / scalars — never a full-set
         # (or replicated) array per op
         assert per_op < full_set_bytes, (k, per_op, snap[k], ops)

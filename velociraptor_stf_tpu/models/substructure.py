@@ -911,9 +911,16 @@ def _subset_batch_geom(pos_b, vel_b, ell_b, mass_b, scal_b, grid, t_pad,
         d2 = jnp.sum(d * d, axis=0)
 
         def fields_of(allr):
-            f = {"ell": allr[6], "vel": allr[3:6].T}
+            # stack-of-rows, NOT a 2D-slice transpose: a materialised
+            # (t, 3) transpose is lane-padded 3 -> 128 by the XLA:TPU
+            # layout (an 18x HBM blowup that OOM'd at 128^3 scale); the
+            # stacked form fuses into the predicate math like the old
+            # per-component gathers did
+            f = {"ell": allr[6],
+                 "vel": jnp.stack([allr[3], allr[4], allr[5]], axis=-1)}
             if need_pos:
-                f["pos"] = allr[0:3].T
+                f["pos"] = jnp.stack([allr[0], allr[1], allr[2]],
+                                     axis=-1)
             ki = 7
             if need_mass:
                 f["mass"] = allr[ki]

@@ -164,28 +164,21 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
 
     if sorted_layout:
         # segment geometry (static across iterations: pfof never changes)
-        prevg = jnp.concatenate([jnp.full(1, -1, jnp.int32), pfof[:-1]])
-        seg_start = (pfof != prevg) & in_group
-        sidx = jnp.nonzero(seg_start, size=min(ng1, n), fill_value=n)[0]
-        sgid = jnp.where(sidx < n, pfof[jnp.minimum(sidx, n - 1)], 0)
         offsets = jnp.searchsorted(
             pfof, jnp.arange(ng1 + 1, dtype=pfof.dtype)).astype(jnp.int32)
 
-        def bcast(tables):
-            """tuple of (ng1,) tables -> per-particle values (group 0 /
-            untagged prefix reads 0)."""
-            seeds = tuple(
-                jnp.zeros(n, t.dtype).at[sidx].set(t[sgid], mode="drop")
-                for t in tables)
-
-            def op(a, b):
-                af, bf = a[0], b[0]
-                return ((af | bf,) +
-                        tuple(jnp.where(bf, bv, av)
-                              for av, bv in zip(a[1:], b[1:])))
-
-            res = jax.lax.associative_scan(op, (seg_start,) + seeds)
-            return res[1:]
+        def bcast_flags(flags):
+            """(ng1,) int flags -> per-particle flag of the containing
+            group, as +flag at each group's start / -flag at its end and
+            one native int cumsum — EXACT, and compile-lean (an
+            associative_scan formulation OOM-killed the XLA compile at
+            512^3 scale).  Empty groups add and subtract at the same
+            slot (net 0)."""
+            f = flags.astype(jnp.int32)
+            d = jnp.zeros(n + 1, jnp.int32)
+            d = d.at[offsets[:-1]].add(f)
+            d = d.at[offsets[1:]].add(-f)
+            return jnp.cumsum(d[:-1])
 
         def segsum_int(x):
             cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
@@ -262,10 +255,14 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         else:
             vref = (stats[0:3] / jnp.maximum(stats[3:4], 1e-30)).T
         if sorted_layout:
-            vxp, vyp, vzp = bcast((vref[:, 0], vref[:, 1], vref[:, 2]))
-            dvx = vel[:, 0] - vxp
-            dvy = vel[:, 1] - vyp
-            dvz = vel[:, 2] - vzp
+            # ONE multi-row take for all three vref components (the
+            # 4.4x-amortised lane-major form; three separate component
+            # gathers measured 0.6 s per iteration at 512^3)
+            vref_rows = jnp.take(vref.T, pfof, axis=1,
+                                 indices_are_sorted=True)
+            dvx = vel[:, 0] - vref_rows[0]
+            dvy = vel[:, 1] - vref_rows[1]
+            dvz = vel[:, 2] - vref_rows[2]
             T = 0.5 * mass * (dvx * dvx + dvy * dvy + dvz * dvz)
         else:
             dv = vel - seg.gather_rows(vref, pfof)
@@ -297,8 +294,7 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
             return jnp.zeros(length, bool).at[order].set(remove_sorted)
 
         if sorted_layout:
-            (exc_p,) = bcast((exceed.astype(jnp.int32),))
-            exceed_p = exc_p > 0
+            exceed_p = bcast_flags(exceed) > 0
         else:
             exceed_p = None
 
@@ -347,8 +343,7 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         nb2 = nb - nrm
         dissolved = nb2 < min_size
         if sorted_layout:
-            (diss_p,) = bcast((dissolved.astype(jnp.int32),))
-            bound2 = bound & ~remove & (diss_p == 0)
+            bound2 = bound & ~remove & (bcast_flags(dissolved) == 0)
         else:
             bound2 = bound & ~remove & ~dissolved[pfof]
         # subtract every dropped particle's contribution from the carry
@@ -507,7 +502,7 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
         sel = bound & grp_active[cur_pfof]
         nsel = int(fetch_small(jnp.sum(sel.astype(jnp.int32))))
         ncur = cur_pfof.shape[0]
-        if 0 < nsel <= ncur // 2:
+        if 0 < nsel <= (3 * ncur) // 4:
             spad = seg.pad_class(nsel)
             sub_idx, svalid, _ = seg.compact_mask(sel, spad)
             cur_to_full = jnp.where(svalid, cur_to_full[sub_idx], n_full)

@@ -869,7 +869,14 @@ def _fixpoint(sweep_fn, ctx: FofSortCtx, max_sweeps: int, jumps: int = 2,
         else:
             wide = jnp.sum(ch_dirty.astype(jnp.int32)) * 64 > nch_total
             hook_quiet = jnp.all(hooked == l)
-            x = jax.lax.cond(wide | hook_quiet, jump, lambda h: h, hooked)
+            # quiet rounds need only ONE validation jump (exit requires
+            # h[h] == h, i.e. chain-freeness — see the soundness note
+            # above); the deeper acceleration jumps stay on wide rounds
+            x = jax.lax.cond(
+                wide, jump,
+                lambda h: jax.lax.cond(hook_quiet, lambda y: y[y],
+                                       lambda y: y, h),
+                hooked)
         return (x, l, nm, jnp.any(x != l), it + 1,
                 work + jnp.sum(nch_round).astype(jnp.float32))
 
