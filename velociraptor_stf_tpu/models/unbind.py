@@ -394,7 +394,19 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
     ntag = int(jax.device_get(jnp.sum(tag)))
     if 0 < ntag < n // 2:
         tpad = seg.pad_class(ntag)
-        sub_idx, svalid, scatter_to = seg.compact_mask(tag, tpad)
+        # subset built ALREADY group-sorted (stable: within-group order =
+        # original order): the sorted-layout ejection then needs no
+        # second sorted copy of the subset — at 512^3 those copies
+        # (~1.7 GB) pushed the run over the v5e's HBM
+        # padding slots must sort like group 0 (an all-zero TAIL would
+        # break the non-decreasing pfof the scan machinery assumes), so
+        # the subset is the LAST tpad entries of the full group-sorted
+        # order: [(tpad-ntag) untagged pad | tagged sorted by group]
+        order = jnp.argsort(jnp.where(tag, pfof, 0),
+                            stable=True).astype(jnp.int32)
+        sub_idx = order[n - tpad:]
+        svalid = jnp.arange(tpad) >= (tpad - ntag)
+        scatter_to = jnp.where(svalid, sub_idx, n)
         pos_t, vel_t, mass_t = pos[sub_idx], vel[sub_idx], mass[sub_idx]
         pfof_t = jnp.where(svalid, pfof[sub_idx], 0)
         if W is None:
@@ -424,7 +436,8 @@ def check_unbound_groups(pos, vel, mass, pfof, num_groups: int,
 
 
 def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
-                  uinfo: UnbindInfo, G: float, boxsize, min_size: int):
+                  uinfo: UnbindInfo, G: float, boxsize, min_size: int,
+                  presorted: bool = False):
     """POTREF frame + host-chunked iterative ejection -> bound mask."""
     ng1 = num_groups + 1
 
@@ -467,15 +480,21 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
     # of the box instead of all of it.
     n_full = pfof.shape[0]
     bound_full = pfof > 0
-    # group-sort once: the sorted-layout ejection replaces the per-
-    # iteration table gathers / segment scatters with cumsum machinery
-    # (see _unbind_loop).  The stable sort preserves within-group order,
-    # so every ranked tie-break matches the unsorted path bit-for-bit.
-    perm0 = seg.sort_by_group(pfof)
-    cur_vel, cur_mass = vel[perm0], mass[perm0]
-    cur_pfof, cur_pos = pfof[perm0], pos[perm0]
-    W_cur = W[perm0]
-    cur_to_full = perm0
+    # group-sorted layout for the ejection (the scan/cumsum machinery in
+    # _unbind_loop needs it).  ``presorted`` callers (the tagged-subset
+    # path) built their arrays group-sorted already — no copies; the
+    # stable sort otherwise preserves within-group order, so every
+    # ranked tie-break matches the unsorted path bit-for-bit.
+    if presorted:
+        cur_vel, cur_mass, cur_pfof, cur_pos = vel, mass, pfof, pos
+        W_cur = W
+        cur_to_full = None          # identity
+    else:
+        perm0 = seg.sort_by_group(pfof)
+        cur_vel, cur_mass = vel[perm0], mass[perm0]
+        cur_pfof, cur_pos = pfof[perm0], pos[perm0]
+        W_cur = W[perm0]
+        cur_to_full = perm0
     bound = None
     prev_bound = cur_pfof > 0
     chunk_iters = 4
@@ -486,7 +505,11 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
             jnp.asarray(uinfo.maxunbindfrac, pos.dtype),
             min_size, uinfo.cmvelreftype, max_iters=chunk_iters,
             bound0=bound, sorted_layout=True)
-        bound_full = bound_full.at[cur_to_full].set(bound, mode="drop")
+        if cur_to_full is None:
+            bound_full = bound
+        else:
+            bound_full = bound_full.at[cur_to_full].set(bound,
+                                                        mode="drop")
         if not bool(fetch_small(changed)):
             break
         lost = seg.segment_sum(
@@ -505,7 +528,10 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
         if 0 < nsel <= (3 * ncur) // 4:
             spad = seg.pad_class(nsel)
             sub_idx, svalid, _ = seg.compact_mask(sel, spad)
-            cur_to_full = jnp.where(svalid, cur_to_full[sub_idx], n_full)
+            cur_to_full = jnp.where(
+                svalid,
+                sub_idx if cur_to_full is None else cur_to_full[sub_idx],
+                n_full)
             safe = jnp.where(svalid, sub_idx, 0)
             cur_vel = cur_vel[safe]
             cur_pos = cur_pos[safe]
@@ -528,7 +554,7 @@ def _check_unbound_subset(pos_t, vel_t, mass_t, pfof_t, W_t,
     recomputes work on it directly (boxsize passed through for the periodic
     unwrap inside compute_potential)."""
     return _run_ejection(pos_t, vel_t, mass_t, pfof_t, W_t, num_groups,
-                         uinfo, G, boxsize, min_size)
+                         uinfo, G, boxsize, min_size, presorted=True)
 
 
 def _finalize_unbind(mass, pfof, bound, W, num_groups: int,
