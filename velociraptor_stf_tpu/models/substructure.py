@@ -865,90 +865,83 @@ def _subset_batch_totals(pos_b, grid):
     return jax.vmap(one)(pos_b)
 
 
-@partial(jax.jit, static_argnames=("grid", "t_pad", "pred0", "pred_att",
-                                   "pred_att2", "pred_merge"))
-def _subset_batch_geom(pos_b, vel_b, ell_b, mass_b, scal_b, grid, t_pad,
-                       pred0, pred_att, pred_att2, pred_merge):
-    """Geometry dispatch: bin, expand candidate windows, evaluate all four
-    pair criteria on ONE gathered operand set and compact every edge list
-    to the front (one vmapped dispatch).
+@partial(jax.jit, static_argnames=("grid", "t_pad", "reach2"))
+def _subset_batch_prefilter(pos_b, grid, t_pad, reach2):
+    """Geometry phase A: bin, expand candidate windows, evaluate ONLY the
+    spatial reach (position gathers) and compact the in-reach pairs to
+    the front.  The 27-cell candidate stencil is ~6x the linking sphere,
+    so ~80% of slots die here BEFORE the velocity/ell field gathers —
+    XLA:TPU gathers are the near-serial cost (~40M elem/s) that
+    dominated the recursion variant, and a fused multi-row take is not
+    an option (its gather result is lane-padded minor-dim-k, an 18x HBM
+    blowup that OOM'd).  Returns per lane (order, erow, ecol, d2, nkeep)
+    padded to t_pad; the caller slices to the fetched max count."""
 
-    The criteria are label-independent, so every edge list the graph
-    stages need — base links, both orientations of the (asymmetric)
-    attach criteria, merge links — comes out of a single pass over the
-    candidate table; the graph stages then run on count-sliced lists
-    (the static-shape analog of the sequential path's edge shrink).
-    """
-
-    need_pos = isinstance(pred0, StreamPredLX)
-    need_mass = isinstance(pred0, StreamPredScaleEllB)
-    need_scal = isinstance(pred0, (StreamPredScaleEllB, Pred6DOutlierB))
-
-    def one(pos, vel, ell, mass, scal):
+    def one(pos):
         binning = bin_particles(pos, grid, lean=True)
         order = binning.order
         pos_s = pos[order]
         pst, pcn, _ = fof.candidate_counts_half(binning, grid)
         row, col, valid = fof.flat_candidates(pst, pcn, t_pad)
-        # ONE lane-major (k, npad) field matrix + TWO multi-row takes
-        # replace the ~14 per-component pair gathers (XLA:TPU gathers run
-        # near-serial at ~40M elem/s; a multi-row take amortises the
-        # per-index cost ~4.4x — this pass dominated the recursion
-        # variant's wall time)
-        rows = [pos_s.T, vel[order].T, ell[order][None, :]]
+        d2 = fof._pair_d2_bcast(fof._gather2(pos_s, row),
+                                fof._gather2(pos_s, col), grid)
+        keep = valid & (d2 <= reach2)
+        dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        dest = jnp.where(keep, dest, t_pad)
+        erow = jnp.zeros(t_pad, jnp.int32).at[dest].set(row, mode="drop")
+        ecol = jnp.zeros(t_pad, jnp.int32).at[dest].set(col, mode="drop")
+        d2c = jnp.full(t_pad, jnp.inf, d2.dtype).at[dest].set(
+            d2, mode="drop")
+        return order, erow, ecol, d2c, jnp.sum(keep.astype(jnp.int32))
+
+    return jax.vmap(one)(pos_b)
+
+
+@partial(jax.jit, static_argnames=("pred0", "pred_att", "pred_att2",
+                                   "pred_merge"))
+def _subset_batch_criteria(order_b, row_b, col_b, d2_b, nk_b, pos_b,
+                           vel_b, ell_b, mass_b, scal_b, pred0, pred_att,
+                           pred_att2, pred_merge):
+    """Geometry phase B on the in-reach pairs only: gather the per-pair
+    fields, evaluate all four criteria (both orientations of the
+    asymmetric ones) and compact every edge list to the front."""
+    need_pos = isinstance(pred0, StreamPredLX)
+    need_mass = isinstance(pred0, StreamPredScaleEllB)
+    need_scal = isinstance(pred0, (StreamPredScaleEllB, Pred6DOutlierB))
+
+    def one(order, row, col, d2, nk, pos, vel, ell, mass, scal):
+        tk = row.shape[0]
+        valid = jnp.arange(tk) < nk
+        fields_s = {"ell": ell[order], "vel": vel[order]}
+        if need_pos:
+            # LX re-derives per-axis scalings from raw pair separations
+            fields_s["pos"] = pos[order]
         if need_mass:
-            rows.append(mass[order][None, :])
+            fields_s["mass"] = mass[order]
         if need_scal:
-            rows.append(jnp.full((1, pos.shape[0]), scal,
-                                 dtype=pos.dtype))
-        merged = jnp.concatenate(rows, axis=0)
-        own_all = jnp.take(merged, row, axis=1)
-        nbr_all = jnp.take(merged, col, axis=1)
-        d = own_all[0:3] - nbr_all[0:3]
-        if grid.periodic:
-            box = jnp.asarray(grid.boxsize, d.dtype)
-            d = d - box * jnp.round(d / box)
-        d2 = jnp.sum(d * d, axis=0)
-
-        def fields_of(allr):
-            # stack-of-rows, NOT a 2D-slice transpose: a materialised
-            # (t, 3) transpose is lane-padded 3 -> 128 by the XLA:TPU
-            # layout (an 18x HBM blowup that OOM'd at 128^3 scale); the
-            # stacked form fuses into the predicate math like the old
-            # per-component gathers did
-            f = {"ell": allr[6],
-                 "vel": jnp.stack([allr[3], allr[4], allr[5]], axis=-1)}
-            if need_pos:
-                f["pos"] = jnp.stack([allr[0], allr[1], allr[2]],
-                                     axis=-1)
-            ki = 7
-            if need_mass:
-                f["mass"] = allr[ki]
-                ki += 1
-            if need_scal:
-                f["scal"] = allr[ki]
-            return f
-
-        own = fields_of(own_all)
-        nbr = fields_of(nbr_all)
+            fields_s["scal"] = jnp.full(order.shape[0], scal,
+                                        dtype=d2.dtype)
+        own = fof._gather_fields(fields_s, row)
+        nbr = fof._gather_fields(fields_s, col)
         m0 = pred0(d2, own, nbr) & valid
         maf = pred_att(d2, own, nbr) & valid
         mab = pred_att(d2, nbr, own) & valid
         m2f = pred_att2(d2, own, nbr) & valid
         m2b = pred_att2(d2, nbr, own) & valid
         mm = pred_merge(d2, own, nbr) & valid
-        er0, ec0, n0 = fof.compact_edges(row, col, m0, t_pad)
+        er0, ec0, n0 = fof.compact_edges(row, col, m0, tk)
         era, eca, na = fof.compact_edges(
             jnp.concatenate([row, col]), jnp.concatenate([col, row]),
-            jnp.concatenate([maf, mab]), 2 * t_pad)
+            jnp.concatenate([maf, mab]), 2 * tk)
         era2, eca2, na2 = fof.compact_edges(
             jnp.concatenate([row, col]), jnp.concatenate([col, row]),
-            jnp.concatenate([m2f, m2b]), 2 * t_pad)
-        erm, ecm, nm = fof.compact_edges(row, col, mm, t_pad)
-        return (order, er0, ec0, n0, era, eca, na, era2, eca2, na2,
+            jnp.concatenate([m2f, m2b]), 2 * tk)
+        erm, ecm, nm = fof.compact_edges(row, col, mm, tk)
+        return (er0, ec0, n0, era, eca, na, era2, eca2, na2,
                 erm, ecm, nm)
 
-    return jax.vmap(one)(pos_b, vel_b, ell_b, mass_b, scal_b)
+    return jax.vmap(one)(order_b, row_b, col_b, d2_b, nk_b, pos_b,
+                         vel_b, ell_b, mass_b, scal_b)
 
 
 @partial(jax.jit, static_argnames=("pair_cap",))
@@ -1044,9 +1037,17 @@ def _subset_batch_run(opt: C.Options, entries: List[dict], pos_b, vel_b,
         scal_b = jnp.where(jnp.isfinite(mv) & (mv > 0), mv, 1.0)
     else:
         scal_b = jnp.ones(pos_b.shape[0], pos_b.dtype)
-    (order_b, er0_b, ec0_b, n0_b, era_b, eca_b, na_b, era2_b, eca2_b,
-     na2_b, erm_b, ecm_b, nm_b) = _subset_batch_geom(
-        pos_b, vel_b, ell_b, mass_b, scal_b, grid, t_pad,
+    b = opt.ellxscale * opt.ellphys
+    reach2 = float((b * max(1.0, opt.ellxfac)) ** 2)
+    order_b, row_b, col_b, d2_b, nk_b = _subset_batch_prefilter(
+        pos_b, grid, t_pad, reach2)
+    tk = fof._pad_pow2(int(max(int(np.max(np.asarray(
+        fetch_small(nk_b)))), 1)), lo=256)
+    tk = min(tk, t_pad)
+    (er0_b, ec0_b, n0_b, era_b, eca_b, na_b, era2_b, eca2_b,
+     na2_b, erm_b, ecm_b, nm_b) = _subset_batch_criteria(
+        order_b, row_b[:, :tk], col_b[:, :tk], d2_b[:, :tk],
+        jnp.minimum(nk_b, tk), pos_b, vel_b, ell_b, mass_b, scal_b,
         *_subset_preds(opt))
     n0_h, na_h, na2_h, nm_h = fetch_small((n0_b, na_b, na2_b, nm_b))
     e0 = fof._pad_pow2(int(max(int(n0_h.max()), 1)), lo=256)
