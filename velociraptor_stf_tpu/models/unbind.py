@@ -255,14 +255,12 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         else:
             vref = (stats[0:3] / jnp.maximum(stats[3:4], 1e-30)).T
         if sorted_layout:
-            # ONE multi-row take for all three vref components (the
-            # 4.4x-amortised lane-major form; three separate component
-            # gathers measured 0.6 s per iteration at 512^3)
-            vref_rows = jnp.take(vref.T, pfof, axis=1,
-                                 indices_are_sorted=True)
-            dvx = vel[:, 0] - vref_rows[0]
-            dvy = vel[:, 1] - vref_rows[1]
-            dvz = vel[:, 2] - vref_rows[2]
+            # three SEPARATE 1D component gathers: a fused (3, n) take's
+            # gather result is laid out minor-dim-3 and lane-padded
+            # 3 -> 128 (a 16 GB HBM blowup at 512^3 — OOM'd at runtime)
+            dvx = vel[:, 0] - vref[:, 0][pfof]
+            dvy = vel[:, 1] - vref[:, 1][pfof]
+            dvz = vel[:, 2] - vref[:, 2][pfof]
             T = 0.5 * mass * (dvx * dvx + dvy * dvy + dvz * dvz)
         else:
             dv = vel - seg.gather_rows(vref, pfof)
