@@ -73,14 +73,14 @@ def main():
 
     for iters in (1, 2, 4):
         t0 = time.time()
-        b, ch = U._unbind_loop(vel_t, mass_t, pfof_t, W_t, potref, ng,
+        b, _, ch = U._unbind_loop(vel_t, mass_t, pfof_t, W_t, potref, ng,
                                Er, mf, 20, uinfo.cmvelreftype,
                                max_iters=iters, bound0=None)
         sync(b)
         print(f"_unbind_loop(max_iters={iters}) cold-ish: "
               f"{time.time()-t0:.2f} s", flush=True)
         t0 = time.time()
-        b, ch = U._unbind_loop(vel_t, mass_t, pfof_t, W_t, potref, ng,
+        b, _, ch = U._unbind_loop(vel_t, mass_t, pfof_t, W_t, potref, ng,
                                Er, mf, 20, uinfo.cmvelreftype,
                                max_iters=iters, bound0=None)
         sync(b)

@@ -83,7 +83,7 @@ bound = None
 chunk_iters = 16
 for k in range(64):
     t0 = time.time()
-    bound, changed = U._unbind_loop(
+    bound, _, changed = U._unbind_loop(
         vel_t, mass_t, pfof_t, W_t, potref_vel, ng,
         jnp.asarray(uinfo.Eratio, pos.dtype),
         jnp.asarray(uinfo.maxunbindfrac, pos.dtype),

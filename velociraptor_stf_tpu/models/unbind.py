@@ -142,21 +142,25 @@ def compute_potential(pos, mass, pfof, num_groups: int, eps: float,
 def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
                  Eratio, maxunbindfrac, min_size: int,
                  cmvelreftype: int, max_iters: int = 100,
-                 bound0=None, sorted_layout: bool = False):
-    """Iterative ejection; returns (bound mask, changed flag).
+                 bound0=None, sorted_layout: bool = False,
+                 stats0=None):
+    """Iterative ejection; returns (bound, stats, changed).
 
     ``max_iters`` bounds the device-side while_loop so a single dispatch
     stays short; the caller re-invokes until converged (the axon tunnel
-    kills long-running kernels).
+    kills long-running kernels), threading the returned ``stats`` back
+    in via ``stats0`` so the chunked sequence is bit-identical to one
+    uninterrupted loop and the full-n stats init runs once.
 
-    ``sorted_layout``: arrays are group-sorted (group 0 first; stable
-    order within groups).  Per-iteration per-group<->per-particle
-    traffic then avoids the near-serial XLA:TPU table gathers/scatters
-    (~40-140M elem/s — they dominated the 512^3 ejection): group sums
-    become int32 cumsum+boundary-diffs (exact) and table->particle
-    broadcasts become a segmented last-seen-value associative scan over
-    values seeded at segment starts — pure SELECTION, so every
-    broadcast value is bit-identical to the gather it replaces.
+    ``sorted_layout``: arrays are group-sorted (group 0 / padding first;
+    stable order within groups, pfof non-decreasing).  Per-iteration
+    per-group<->per-particle traffic then avoids the near-serial
+    XLA:TPU table gathers/scatters (~40-140M elem/s — they dominated
+    the 512^3 ejection): group sums become int32 cumsum+boundary-diffs
+    (exact) and table->particle broadcasts become boundary-delta int32
+    cumsums over the f32 bit patterns (``bcast_f32``) — modular
+    cancellation is exact, so every broadcast value is bit-identical
+    to the gather it replaces.
     """
     n = vel.shape[0]
     ng1 = num_groups + 1
@@ -184,6 +188,24 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
             cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                    jnp.cumsum(x.astype(jnp.int32))])
             return cum[offsets[1:]] - cum[offsets[:-1]]
+
+        def bcast_f32(vals):
+            """(ng1,) f32 table -> per-particle value of the containing
+            group, BIT-EXACT, without a table gather (XLA:TPU gathers run
+            ~40M elem/s — three of these dominated the 512^3 ejection
+            iteration).  The int boundary-delta cumsum trick of
+            ``bcast_flags`` applied to the f32 BIT PATTERNS: +bits at each
+            group's start, -bits at its end, one int32 cumsum.  Modular
+            int32 cancellation is exact, so every position inside group g
+            reads exactly bits[g] — a pure SELECTION, bit-identical to
+            the vals[pfof] gather it replaces."""
+            bits = jax.lax.bitcast_convert_type(vals.astype(jnp.float32),
+                                                jnp.int32)
+            d = jnp.zeros(n + 1, jnp.int32)
+            d = d.at[offsets[:-1]].add(bits)
+            d = d.at[offsets[1:]].add(-bits)
+            s = jnp.cumsum(d[:-1], dtype=jnp.int32)
+            return jax.lax.bitcast_convert_type(s, jnp.float32)
 
     # Per-group stats ride the while_loop carry as a LANE-MAJOR (5, ng1)
     # table [m*vx, m*vy, m*vz, m, count], updated INCREMENTALLY by
@@ -255,12 +277,13 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
         else:
             vref = (stats[0:3] / jnp.maximum(stats[3:4], 1e-30)).T
         if sorted_layout:
-            # three SEPARATE 1D component gathers: a fused (3, n) take's
-            # gather result is laid out minor-dim-3 and lane-padded
-            # 3 -> 128 (a 16 GB HBM blowup at 512^3 — OOM'd at runtime)
-            dvx = vel[:, 0] - vref[:, 0][pfof]
-            dvy = vel[:, 1] - vref[:, 1][pfof]
-            dvz = vel[:, 2] - vref[:, 2][pfof]
+            # three boundary-delta cumsum broadcasts (bit-identical to
+            # the vref[:, c][pfof] gathers they replace, ~20x faster on
+            # XLA:TPU; a fused (3, n) take would also be lane-padded
+            # 3 -> 128 — a 16 GB HBM blowup at 512^3)
+            dvx = vel[:, 0] - bcast_f32(vref[:, 0])
+            dvy = vel[:, 1] - bcast_f32(vref[:, 1])
+            dvz = vel[:, 2] - bcast_f32(vref[:, 2])
             T = 0.5 * mass * (dvx * dvx + dvy * dvy + dvz * dvz)
         else:
             dv = vel - seg.gather_rows(vref, pfof)
@@ -312,7 +335,8 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
             rm_c = rank_mask(g_c, e_c, rank_budget)
             keep_removed = jnp.zeros(n, bool).at[
                 jnp.where(cvalid, idx, n)].set(rm_c, mode="drop")
-            return keep_removed | (unbound & ~exceed[pfof])
+            return keep_removed | (unbound & ~(
+                exceed_p if sorted_layout else exceed[pfof]))
 
         def ranked_full(_):
             return rank_mask(jnp.where(unbound, pfof, ng1), E, n)
@@ -356,9 +380,16 @@ def _unbind_loop(vel, mass, pfof, W, potref_vel, num_groups: int,
     # bound0's under jax.shard_map (no-op values: True and 0)
     changed0 = jnp.any(bound0 | jnp.bool_(True))
     it0 = jnp.max(jnp.zeros_like(pfof))
-    bound, _, changed, iters = jax.lax.while_loop(
-        cond_fn, body_fn, (bound0, group_stats(bound0), changed0, it0))
-    return bound, changed
+    if stats0 is None:
+        # host-chunked callers thread the returned stats back in: the
+        # resulting iteration sequence is then bit-identical to ONE
+        # uninterrupted while_loop (the incremental carry just keeps
+        # evolving), and the full-n 5-row scatter-add init was the
+        # single most expensive op of a late-chunk dispatch
+        stats0 = group_stats(bound0)
+    bound, stats, changed, iters = jax.lax.while_loop(
+        cond_fn, body_fn, (bound0, stats0, changed0, it0))
+    return bound, stats, changed
 
 
 @dataclass
@@ -494,20 +525,31 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
         W_cur = W[perm0]
         cur_to_full = perm0
     bound = None
+    stats = None
     prev_bound = cur_pfof > 0
     chunk_iters = 4
+    prof = os.environ.get("VR_PROFILE_EJECT") == "1"
+    if prof:
+        import time as _time
+        jax.block_until_ready(W_cur)
+        _t0 = _time.time()
     for _ in range(64):  # host-chunked: bounded device time per dispatch
-        bound, changed = _unbind_loop(
+        bound, stats, changed = _unbind_loop(
             cur_vel, cur_mass, cur_pfof, W_cur, potref_vel, num_groups,
             jnp.asarray(uinfo.Eratio, pos.dtype),
             jnp.asarray(uinfo.maxunbindfrac, pos.dtype),
             min_size, uinfo.cmvelreftype, max_iters=chunk_iters,
-            bound0=bound, sorted_layout=True)
+            bound0=bound, sorted_layout=True, stats0=stats)
         if cur_to_full is None:
             bound_full = bound
         else:
             bound_full = bound_full.at[cur_to_full].set(bound,
                                                         mode="drop")
+        if prof:
+            jax.block_until_ready(bound)
+            print(f"EJECT:: chunk loop {_time.time()-_t0:.2f}s "
+                  f"ncur={cur_pfof.shape[0]}", flush=True)
+            _t0 = _time.time()
         if not bool(fetch_small(changed)):
             break
         lost = seg.segment_sum(
@@ -519,13 +561,28 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
                 cur_pos, jnp.where(bound, cur_mass, 0.0), pfof_rec,
                 num_groups, uinfo.eps, G, boxsize=boxsize)
             W_cur = jnp.where(grp_active[cur_pfof], W_new, W_cur)
+        if prof:
+            jax.block_until_ready(W_cur)
+            print(f"EJECT:: recompute {_time.time()-_t0:.2f}s", flush=True)
+            _t0 = _time.time()
         # compact to the active groups' bound particles when it pays
         sel = bound & grp_active[cur_pfof]
         nsel = int(fetch_small(jnp.sum(sel.astype(jnp.int32))))
         ncur = cur_pfof.shape[0]
         if 0 < nsel <= (3 * ncur) // 4:
             spad = seg.pad_class(nsel)
-            sub_idx, svalid, _ = seg.compact_mask(sel, spad)
+            # compact with the padding at the FRONT (group-0 slots): the
+            # sorted-layout machinery needs cur_pfof non-decreasing, and
+            # sel selects a subsequence of an already group-sorted array
+            # — compact_mask's valid-first layout would leave a zero
+            # TAIL, corrupting the searchsorted segment offsets (wrong
+            # caps/dissolution counts post-compaction)
+            dest = (spad - nsel) + jnp.cumsum(sel.astype(jnp.int32)) - 1
+            dest = jnp.where(sel, dest, spad)
+            sub_idx = jnp.zeros(spad, jnp.int32).at[dest].set(
+                jnp.arange(ncur, dtype=jnp.int32), mode="drop")
+            svalid = jnp.arange(spad) >= (spad - nsel)
+            sub_idx = jnp.where(svalid, sub_idx, 0)
             cur_to_full = jnp.where(
                 svalid,
                 sub_idx if cur_to_full is None else cur_to_full[sub_idx],
@@ -537,7 +594,13 @@ def _run_ejection(pos, vel, mass, pfof, W, num_groups: int,
             cur_pfof = jnp.where(svalid, cur_pfof[safe], 0)
             W_cur = W_cur[safe]
             bound = None            # = pfof>0 on the fresh subset
+            stats = None            # stale layout: recompute on the subset
             prev_bound = cur_pfof > 0
+            if prof:
+                jax.block_until_ready(cur_pfof)
+                print(f"EJECT:: compact {_time.time()-_t0:.2f}s "
+                      f"-> {spad}", flush=True)
+                _t0 = _time.time()
         else:
             prev_bound = bound
     return bound_full

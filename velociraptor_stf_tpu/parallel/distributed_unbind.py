@@ -136,7 +136,7 @@ def _make_unbind_body(npad: int, ng_loc: int, uinfo: UnbindInfo, G: float,
 
             def outer(state):
                 bound, W_cur, _, it = state
-                bound2, changed = _unbind_loop(
+                bound2, _, changed = _unbind_loop(
                     vel_l, mass_l, gid_l, W_cur, potref_vel, ng_loc,
                     Eratio, mfrac, min_size, uinfo.cmvelreftype,
                     max_iters=4, bound0=bound)
@@ -152,7 +152,7 @@ def _make_unbind_body(npad: int, ng_loc: int, uinfo: UnbindInfo, G: float,
             bound, W_fin, _, _ = jax.lax.while_loop(
                 cond, outer, (bound0, W0, changed0, it0))
         else:
-            bound, _ = _unbind_loop(
+            bound, _, _ = _unbind_loop(
                 vel_l, mass_l, gid_l, W0, potref_vel, ng_loc,
                 Eratio, mfrac, min_size, uinfo.cmvelreftype,
                 max_iters=256, bound0=None)
